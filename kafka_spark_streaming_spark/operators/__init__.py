@@ -1,0 +1,9 @@
+"""Operator package — importing it populates the query registry."""
+
+from kafka_spark_streaming_spark.operators.registry import ORACLES, QUERIES, register
+
+# Import order = SURVEY.md §2 inventory order; each module registers its
+# queries on import.
+from kafka_spark_streaming_spark.operators import relational  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "register"]

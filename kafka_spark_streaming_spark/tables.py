@@ -1,0 +1,73 @@
+"""Test-fixture table loaders (TESTDATA.md / FIXTURES.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet each under a scale-factor dir.
+
+Also defines the canonical `messages` projection: the reference consumes
+opaque Kafka (key, value) string pairs (Streamer.scala:120,
+KafkaStreamerToHbase.scala:83). For broker-free deterministic tests we
+project `events` into that shape — including NULL keys (exercised by the
+bulk sink's sentinel routing, HbaseWriter.scala:54-66) and ≥2 topics
+(csv multi-topic subscribe, Streamer.scala:109).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/projections into it."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → reference-shaped stream input (key, value, topic, ts).
+
+    Deterministic integer arithmetic only, so the DuckDB oracle can
+    reproduce it exactly (see MESSAGES_ORACLE_SQL).
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.when(F.col("user_id") % 19 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("user_id") % 50).cast("string"))
+        .alias("key"),
+        F.col("event_type").alias("value"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("page_visits"))
+        .otherwise(F.lit("page_edits"))
+        .alias("topic"),
+        F.col("ts"),
+    )
+
+
+# Same projection in DuckDB's dialect, used as a CTE by oracle SQL.
+MESSAGES_ORACLE_SQL = """
+SELECT
+  CASE WHEN user_id % 19 = 0 THEN NULL
+       ELSE CAST(user_id % 50 AS VARCHAR) END AS key,
+  event_type AS value,
+  CASE WHEN event_id % 3 = 0 THEN 'page_visits' ELSE 'page_edits' END AS topic,
+  ts
+FROM events
+"""
