@@ -4,6 +4,7 @@ from kafka_spark_streaming_spark.operators.registry import ORACLES, QUERIES, reg
 
 # Import order = SURVEY.md §2 inventory order; each module registers its
 # queries on import.
+from kafka_spark_streaming_spark.operators import reference_parity  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import relational  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -33,7 +33,20 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan — Catalyst pushes filters/projections into it."""
+    """Columnar parquet scan — Catalyst pushes filters/projections into it.
+
+    events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects by default; we read nanos as long and
+    truncate to microseconds (exactly what DuckDB's ns→µs cast does,
+    so the oracle agrees). Integer `div`, not `/`: 1.7e18 ns exceeds
+    double's 53-bit mantissa.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
