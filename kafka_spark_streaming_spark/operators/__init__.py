@@ -6,5 +6,6 @@ from kafka_spark_streaming_spark.operators.registry import ORACLES, QUERIES, reg
 # queries on import.
 from kafka_spark_streaming_spark.operators import reference_parity  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import relational  # noqa: E402,F401
+from kafka_spark_streaming_spark.operators import streaming_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

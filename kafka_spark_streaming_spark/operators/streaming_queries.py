@@ -1,0 +1,131 @@
+"""Streaming-backed registered queries.
+
+Each of these runs a REAL Structured Streaming query (file-stream
+source standing in for Kafka, trigger(availableNow=True) to drain
+deterministically), folds it to final state, and returns that state as
+a DataFrame — so the DuckDB oracle can check batch≡stream equivalence
+(SURVEY.md §5.3, "what's hard" #2).
+
+Wall-clock elements are made deterministic by injecting a fixed clock
+into the pipeline (epoch 1700000000 → 2023/11/14 22:13 UTC).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark.operators.registry import register
+from kafka_spark_streaming_spark.sources.files import file_stream_messages
+from kafka_spark_streaming_spark.streaming.pipeline import (
+    StreamerConfig,
+    StreamerPipeline,
+)
+from kafka_spark_streaming_spark.streaming.windows import windowed_counts
+from kafka_spark_streaming_spark.tables import MESSAGES_ORACLE_SQL
+
+_M = f"WITH messages AS ({MESSAGES_ORACLE_SQL})"
+_seq = itertools.count()
+
+
+def _events_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
+
+
+def _drain_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DF to completion into a memory sink; return the
+    final table."""
+    name = f"kss_mem_{os.getpid()}_{next(_seq)}"
+    ckpt = tempfile.mkdtemp(prefix="kss_ckpt_")
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# --- streaming aggregation folded to final state -------------------------
+@register(
+    "s_stream_value_counts",
+    f"{_M} SELECT value, COUNT(*) AS n FROM messages GROUP BY value",
+)
+def s_stream_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = file_stream_messages(spark, _events_path(sf_dir))
+    agg = msgs.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
+    return _drain_to_memory(agg, "complete")
+
+
+# --- event-time tumbling windows (phase 2) -------------------------------
+@register(
+    "s_windowed_counts",
+    f"""
+    {_M}
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS bucket,
+           value, COUNT(*) AS n
+    FROM messages GROUP BY 1, 2
+    """,
+)
+def s_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = file_stream_messages(spark, _events_path(sf_dir))
+    return _drain_to_memory(windowed_counts(msgs, "1 hour"), "complete")
+
+
+# --- streaming dedup (T5, cross-batch) -----------------------------------
+@register(
+    "s_stream_distinct",
+    f"{_M} SELECT DISTINCT key, value FROM messages",
+)
+def s_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = file_stream_messages(spark, _events_path(sf_dir))
+    distinct = msgs.select("key", "value").dropDuplicates(["key", "value"])
+    return _drain_to_memory(distinct, "append")
+
+
+# --- the full Streamer pipeline → sink state ----------------------------
+# End-to-end: stream → foreachBatch summary + bulk upsert → LWW cell
+# store; the returned DF is the sink's final state. Oracle rebuilds the
+# same cells relationally.
+@register(
+    "s_pipeline_sink_state",
+    # Cells are keyed by (rowkey, cf, qualifier); all values of one key
+    # collapse into the key's cell, LWW tie-break = max(value) — exactly
+    # what the reference's HBase writes would have converged to.
+    f"""
+    {_M}
+    SELECT '1700000000-' || key AS rowkey, 'cf1' AS cf,
+           'content' AS qualifier,
+           key || '--|--' || MAX(value) AS value
+    FROM messages WHERE key IS NOT NULL GROUP BY key
+    UNION ALL
+    SELECT '1700000000-kafka empty message', 'cf1', 'content',
+           'kafka empty message'
+    WHERE EXISTS (SELECT 1 FROM ({MESSAGES_ORACLE_SQL}) WHERE key IS NULL)
+    UNION ALL
+    SELECT '1700000000', 'cf1', 'messages',
+           'Spark - date: 2023/11/14 22:13 - number of RDD (batches): 0'
+           || ' - number of message in this RDD: '
+           || CAST(COUNT(*) AS VARCHAR)
+    FROM messages
+    """,
+)
+def s_pipeline_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="kss_pipe_")
+    cfg = StreamerConfig(
+        table_path=os.path.join(work, "cells"),
+        bulk=True,
+        clock=lambda: 1700000000,
+    )
+    pipe = StreamerPipeline(spark, cfg)
+    msgs = file_stream_messages(spark, _events_path(sf_dir))
+    q = pipe.start(msgs, checkpoint=os.path.join(work, "ckpt"))
+    q.awaitTermination()
+    return pipe.sink.current().select("rowkey", "cf", "qualifier", "value")

@@ -1,0 +1,59 @@
+"""Per-record executor-side sink (SURVEY.md S5).
+
+The reference's second entry point writes every record from inside
+foreachPartition on the executors (KafkaStreamerToHbase.scala:156-160),
+re-creating connections per partition per batch. The idiomatic
+Structured Streaming shape is a ForeachWriter: open(partition, epoch)
+is the connection-setup hook, process(row) the per-record put, close
+the teardown — Spark calls it on executors, once per partition per
+epoch.
+
+This file-backed implementation writes one file per (epoch, partition)
+— overwriting on retry, so re-delivery is idempotent at the
+(epoch, partition) granularity (better than the reference's
+at-least-once-at-best story, SURVEY.md §4 fault tolerance row).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+class RecordForeachWriter:
+    """ForeachWriter protocol object for df.writeStream.foreach(...).
+
+    Rows must have fields (rowkey, qualifier, value). In a real deploy
+    `open` would create the HBase/Kafka connection from a pooled
+    client; here it opens a file handle.
+    """
+
+    def __init__(self, out_dir: str, cf: str = "cf1"):
+        self.out_dir = out_dir
+        self.cf = cf
+        self._fh = None
+        self._tmp = None
+        self._final = None
+
+    def open(self, partition_id: int, epoch_id: int) -> bool:
+        os.makedirs(self.out_dir, exist_ok=True)
+        self._final = os.path.join(
+            self.out_dir, f"epoch={epoch_id:08d}-part={partition_id:05d}.tsv"
+        )
+        self._tmp = self._final + ".inprogress"
+        self._fh = open(self._tmp, "w", encoding="utf-8")
+        return True
+
+    def process(self, row) -> None:
+        key = "" if row.rowkey is None else str(row.rowkey)
+        val = "" if row.value is None else str(row.value)
+        qual = "" if row.qualifier is None else str(row.qualifier)
+        self._fh.write(f"{key}\t{self.cf}\t{qual}\t{val}\n")
+
+    def close(self, error) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+            if error is None:
+                os.replace(self._tmp, self._final)
+            else:
+                os.remove(self._tmp)

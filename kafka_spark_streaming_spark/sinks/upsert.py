@@ -1,0 +1,133 @@
+"""Keyed-upsert sink — the reference's HBase cell model on parquet.
+
+HBase semantics (SURVEY.md §1.1, HbaseWriter.scala:22-31,76-82): a row
+is (rowkey, cf, qualifier) → value; writing the same cell again
+overwrites it (last-write-wins). The reference offers a single-row put
+(S3) and a bulk per-batch put (S4, whose implementation was broken —
+driver-side ArrayList mutated on executors; we implement the intent).
+
+Design for scale:
+- State lives in versioned parquet dirs `v_{batch_id}`; each batch
+  computes new_state = LWW(old_state ∪ batch) as one distributed plan
+  (shuffle on the cell key only), writes the new version, then prunes
+  old versions. No driver-side data movement.
+- Idempotent / exactly-once under foreachBatch retries: a re-run of
+  batch N deterministically rewrites `v_N` from `v_{N-1}` + the same
+  input (SURVEY.md §7 "what's hard" #4).
+- Within-batch collisions on the same cell (the reference's
+  epoch-second rowkeys collide routinely, Streamer.scala:163) resolve
+  deterministically by max(value) — documented tie-break so tests and
+  oracle agree.
+- On a real deployment this maps 1:1 onto a Delta/Iceberg MERGE; the
+  versioned-parquet variant keeps the harness dependency-free.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CELL_KEY = ["rowkey", "cf", "qualifier"]
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("rowkey", T.StringType(), False),
+        T.StructField("cf", T.StringType(), False),
+        T.StructField("qualifier", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("batch_id", T.LongType(), False),
+    ]
+)
+
+
+class KeyedUpsertSink:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- state management -------------------------------------------------
+    def _versions(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.path) if d.startswith("v_") and
+            os.path.isdir(os.path.join(self.path, d))
+        )
+
+    def current(self) -> DataFrame:
+        """Current cell state as a DataFrame (empty if no writes yet)."""
+        versions = self._versions()
+        if not versions:
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+        return self.spark.read.parquet(os.path.join(self.path, versions[-1]))
+
+    # -- the upsert -------------------------------------------------------
+    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """MERGE-style last-write-wins upsert of (rowkey, cf, qualifier, value).
+
+        One shuffle on the cell key; everything stays distributed.
+        """
+        stamped = batch_df.select(
+            *CELL_KEY, F.col("value").cast("string")
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+
+        prior = self.current().filter(F.col("batch_id") < batch_id)
+        merged = prior.unionByName(stamped)
+        w = W.partitionBy(*CELL_KEY).orderBy(
+            F.desc("batch_id"), F.desc("value")
+        )
+        new_state = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        out = os.path.join(self.path, f"v_{batch_id:012d}")
+        tmp = out + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        new_state.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+        self._prune(keep=2)
+
+    def _prune(self, keep: int) -> None:
+        for stale in self._versions()[:-keep]:
+            shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
+
+    # -- convenience: the reference's two write shapes --------------------
+    def put_single(self, rowkey: str, qualifier: str, value: str,
+                   cf: str = "cf1", batch_id: int = 0) -> None:
+        """S3: one summary cell per batch (HbaseWriter.scala:22-31)."""
+        df = self.spark.createDataFrame(
+            [(rowkey, cf, qualifier, value)],
+            "rowkey string, cf string, qualifier string, value string",
+        )
+        self.write_batch(df, batch_id)
+
+    def put_bulk(self, messages_df: DataFrame, rowkey_prefix: str,
+                 cf: str = "cf1", batch_id: int = 0) -> None:
+        """S4 intent: distinct (key,value) records → one cell each
+        (HbaseWriter.scala:42-74), null keys → sentinel row."""
+        rows = (
+            messages_df.select(
+                F.when(
+                    F.col("key").isNull(),
+                    F.lit(f"{rowkey_prefix}-kafka empty message"),
+                )
+                .otherwise(F.concat(F.lit(f"{rowkey_prefix}-"), F.col("key")))
+                .alias("rowkey"),
+                F.lit(cf).alias("cf"),
+                F.lit("content").alias("qualifier"),
+                F.when(F.col("key").isNull(), F.lit("kafka empty message"))
+                .otherwise(F.concat_ws("--|--", F.col("key"), F.col("value")))
+                .alias("value"),
+            )
+            .dropDuplicates()
+        )
+        self.write_batch(rows, batch_id)

@@ -1,0 +1,65 @@
+"""File-stream source — broker-free stand-in for the Kafka source.
+
+Feeds parquet files through Structured Streaming's file source so every
+streaming operator can be exercised with `trigger(availableNow=True)`
+deterministically (SURVEY.md §5: batch≡stream equivalence testing).
+Each file dropped into the directory becomes (part of) a micro-batch —
+the moral equivalent of records arriving on a topic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def file_stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan of events parquet (directory, or a single file —
+    the file source only accepts directories, so a file path becomes
+    parent dir + pathGlobFilter)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def file_stream_messages(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """events stream → reference-shaped (key, value, topic, ts) messages.
+
+    Same projection as tables.messages so stream and batch results are
+    directly comparable.
+    """
+    ev = file_stream_events(spark, path, max_files_per_trigger)
+    return ev.select(
+        F.when(F.col("user_id") % 19 == 0, F.lit(None).cast("string"))
+        .otherwise((F.col("user_id") % 50).cast("string"))
+        .alias("key"),
+        F.col("event_type").alias("value"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("page_visits"))
+        .otherwise(F.lit("page_edits"))
+        .alias("topic"),
+        F.col("ts"),
+    )

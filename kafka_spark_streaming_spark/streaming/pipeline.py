@@ -1,0 +1,121 @@
+"""The Streamer pipeline — entry point 1 of the reference, Spark-first.
+
+Reference behavior (Streamer.scala:120-202): every micro-batch,
+(a) count records, (b) build a summary string with a batch counter and
+a wall-clock date, (c) send it to Kafka and/or put it into HBase under
+an epoch-second rowkey, (d) optionally bulk-write the batch's distinct
+records. Re-expressed:
+
+- DStream/foreachRDD       → readStream + foreachBatch
+- hand-rolled counter var  → foreachBatch's restart-safe batch_id
+  (Streamer.scala:122,128 resets on restart; batch_id doesn't)
+- HBase puts               → KeyedUpsertSink (LWW cell semantics)
+- Kafka producer-per-batch → optional kafka batch write (executor-side)
+- per-record entry point 2 → RecordForeachWriter (sinks/foreach.py)
+
+Everything inside foreachBatch is declarative DataFrame work — the two
+counts are distributed aggregations; only the 1-row summary ever
+reaches the driver.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark.sinks.kafka import (
+    to_kafka_records,
+    write_batch_to_kafka,
+)
+from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+
+@dataclass
+class StreamerConfig:
+    """Mirror of the reference CLI surface (Streamer.scala:27-43),
+    minus Kerberos plumbing (out of scope, SURVEY.md S6)."""
+
+    table_path: str | None = None        # -table (HBase table → sink dir)
+    bulk: bool = False                   # -bulk
+    output_topic: str | None = None      # -output_topic
+    brokers: str | None = None           # -b
+    summary_path: str | None = None      # per-batch summary log table
+    clock: object = field(default=time.time, repr=False)
+
+
+class StreamerPipeline:
+    def __init__(self, spark: SparkSession, cfg: StreamerConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.sink = (
+            KeyedUpsertSink(spark, cfg.table_path) if cfg.table_path else None
+        )
+        self.summaries: list[tuple] = []  # driver-side log of (batch_id, n, nd)
+
+    # -- the per-batch body (foreachBatch target) -------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            n = batch_df.count()  # T4, Streamer.scala:130
+            n_distinct = batch_df.dropDuplicates(["key", "value"]).count()  # T2/T3
+            epoch = int(self.cfg.clock())
+            date_str = time.strftime("%Y/%m/%d %H:%M", time.gmtime(epoch))  # T6
+            summary = (
+                f"Spark - date: {date_str}"
+                f" - number of RDD (batches): {batch_id}"
+                f" - number of message in this RDD: {n}"
+            )  # T7, Streamer.scala:130
+
+            self.summaries.append((batch_id, n, n_distinct, summary))
+            if self.cfg.summary_path:
+                self.spark.createDataFrame(
+                    [(batch_id, n, n_distinct, date_str, summary)],
+                    "batch_id long, n_messages long, n_distinct long,"
+                    " batch_date string, summary string",
+                ).write.mode("append").parquet(self.cfg.summary_path)
+
+            if self.cfg.output_topic and self.cfg.brokers:
+                write_batch_to_kafka(
+                    to_kafka_records(
+                        self.spark.createDataFrame([(summary,)], "value string")
+                    ),
+                    self.cfg.brokers,
+                    self.cfg.output_topic,
+                )
+
+            if self.sink is not None:
+                rowkey = str(epoch)  # Streamer.scala:163: epoch-second rowkey
+                qualifier = "messages" if self.cfg.bulk else "message"
+                self.sink.put_single(
+                    rowkey, qualifier, summary, batch_id=2 * batch_id
+                )
+                if self.cfg.bulk:
+                    # S4 intent: distinct records of the batch, one cell
+                    # each, null keys → sentinel (HbaseWriter.scala:42-74)
+                    self.sink.put_bulk(
+                        batch_df, rowkey_prefix=rowkey, batch_id=2 * batch_id + 1
+                    )
+        finally:
+            batch_df.unpersist()
+
+    # -- wiring -----------------------------------------------------------
+    def start(self, messages: DataFrame, checkpoint: str,
+              available_now: bool = True, interval: str = "2 seconds"):
+        """Attach to a streaming messages DF ((key,value,topic,ts)).
+
+        availableNow=True drains all pending input then stops — the
+        deterministic test mode; processingTime mirrors the reference's
+        Seconds(2) cadence (Streamer.scala:57).
+        """
+        writer = (
+            messages.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=interval)
+        return writer.start()

@@ -1,0 +1,229 @@
+"""Streaming semantics tests (SURVEY.md §5.3).
+
+Multi-batch behavior that the oracle-checked availableNow queries can't
+see: per-batch summaries across micro-batches, LWW overwrites across
+batches, ForeachWriter per-record output, watermark late-data drop,
+and sink idempotency under batch replay.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark.sinks.foreach import RecordForeachWriter
+from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+from kafka_spark_streaming_spark.sources.files import file_stream_messages
+from kafka_spark_streaming_spark.streaming.pipeline import (
+    StreamerConfig,
+    StreamerPipeline,
+)
+from kafka_spark_streaming_spark.streaming.windows import (
+    dedup_within_watermark,
+    sessionized_counts,
+    windowed_counts,
+)
+from kafka_spark_streaming_spark.tables import messages, table
+
+
+@pytest.fixture(scope="module")
+def two_file_stream_dir(spark, sf_smoke, tmp_path_factory):
+    """events split into two parquet files → two availableNow batches
+    with maxFilesPerTrigger=1. File order is by modification time."""
+    base = tmp_path_factory.mktemp("stream_in")
+    ev = table(spark, sf_smoke, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    # write raw micros-as-... keep schema identical to source reader's
+    # expectation: ts as long nanos
+    for i, part in enumerate([first, second]):
+        out = str(base / f"f{i}")
+        part.withColumn(
+            "ts", (F.unix_micros("ts") * 1000).alias("ts")
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props") \
+            .coalesce(1).write.mode("overwrite").parquet(out)
+        os.utime(glob.glob(out + "/*.parquet")[0], (1000 + i, 1000 + i))
+    # flatten: move part files into base with ordered mtimes
+    files = []
+    for i in range(2):
+        src = glob.glob(str(base / f"f{i}") + "/*.parquet")[0]
+        dst = str(base / f"batch{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+        files.append(dst)
+    return str(base), files
+
+
+def test_pipeline_two_batches_and_lww(spark, two_file_stream_dir, tmp_path):
+    base, files = two_file_stream_dir
+    cfg = StreamerConfig(
+        table_path=str(tmp_path / "cells"), bulk=True, clock=lambda: 1700000000
+    )
+    pipe = StreamerPipeline(spark, cfg)
+    msgs = file_stream_messages(spark, base, max_files_per_trigger=1)
+    q = pipe.start(msgs, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    assert len(pipe.summaries) == 2, "expected two micro-batches"
+    total = sum(s[1] for s in pipe.summaries)
+    assert total == 1000  # all events seen exactly once
+
+    state = pipe.sink.current()
+    # LWW: both batches wrote the SAME summary cell (fixed clock ⇒ same
+    # epoch rowkey, Streamer.scala:163 collision case) — latest batch wins
+    summary_cells = state.filter(
+        (F.col("rowkey") == "1700000000") & (F.col("qualifier") == "messages")
+    ).collect()
+    assert len(summary_cells) == 1
+    assert "number of RDD (batches): 1" in summary_cells[0].value
+
+    # bulk cells: exactly the distinct union of both batches
+    n_bulk = state.filter(F.col("qualifier") == "content").count()
+    exp = (
+        messages(spark, "/root/testdata/sf0.001")
+        .select(
+            F.when(F.col("key").isNull(), "kafka empty message")
+            .otherwise(F.col("key"))
+            .alias("k"),
+            "value",
+        )
+        .dropDuplicates()
+        .select("k")
+        .distinct()
+        .count()
+    )
+    # one cell per distinct rowkey (=key); distinct (key,value) pairs
+    # collapse onto the same cell via LWW
+    assert n_bulk == exp
+
+
+def test_foreach_writer_per_record(spark, sf_smoke, tmp_path):
+    out_dir = str(tmp_path / "records")
+    msgs = file_stream_messages(
+        spark, os.path.join(sf_smoke, "events.parquet")
+    ).select(
+        F.coalesce(F.col("key"), F.lit("null")).alias("rowkey"),
+        F.lit("messages").alias("qualifier"),
+        F.col("value"),
+    )
+    q = (
+        msgs.writeStream.foreach(RecordForeachWriter(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    files = glob.glob(os.path.join(out_dir, "*.tsv"))
+    assert files, "ForeachWriter wrote no files"
+    n_lines = sum(1 for f in files for _ in open(f))
+    assert n_lines == 1000
+
+
+def test_upsert_sink_idempotent_replay(spark, tmp_path):
+    sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    df1 = spark.createDataFrame(
+        [("k1", "cf1", "q", "v1"), ("k2", "cf1", "q", "v2")],
+        "rowkey string, cf string, qualifier string, value string",
+    )
+    sink.write_batch(df1, 1)
+    df2 = spark.createDataFrame(
+        [("k1", "cf1", "q", "v1b")],
+        "rowkey string, cf string, qualifier string, value string",
+    )
+    sink.write_batch(df2, 2)
+    # replay batch 2 (foreachBatch retry) — state must be unchanged
+    sink.write_batch(df2, 2)
+    state = {r.rowkey: r.value for r in sink.current().collect()}
+    assert state == {"k1": "v1b", "k2": "v2"}
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A late batch arriving after its window was emitted and its state
+    evicted is dropped. (Eviction happens at batch end once the
+    watermark passes the window end — so the window must close before
+    the late data shows up; a late row hitting still-live state is
+    merged, per Spark's at-least-delay guarantee.)"""
+    t0 = 1_704_067_200_000_000_000
+    min_ns = 60_000_000_000
+    batches = [
+        # b0: minutes 0..59 → after it, wm = 00:49
+        [(i, t0 + i * min_ns, 1, "a", 1.0, "{}") for i in range(60)],
+        # b1: minutes 120..179 → at its end wm = 02:49; windows ≤ 02:40
+        # (incl. 00:00-00:10) are emitted and evicted
+        [(200 + i, t0 + (120 + i) * min_ns, 1, "a", 1.0, "{}") for i in range(60)],
+        # b2: 5 rows back in minute 0..4 — hopelessly late, must drop
+        [(400 + i, t0 + i * 1_000_000_000, 1, "a", 1.0, "{}") for i in range(5)],
+    ]
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    base = str(tmp_path / "in")
+    os.makedirs(base)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(base + f"/b{i}")
+    for i in range(len(batches)):
+        src = glob.glob(f"{base}/b{i}/*.parquet")[0]
+        dst = f"{base}/batch{i}.parquet"
+        os.rename(src, dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    msgs = file_stream_messages(spark, base, max_files_per_trigger=1)
+    windowed = windowed_counts(msgs, "10 minutes", watermark="10 minutes")
+    name = "wm_late_test"
+    q = (
+        windowed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name).collect()
+    # late rows targeted the first 10-minute window; on-time batch had 10
+    # rows there — the count must still be 10 (late rows dropped), and
+    # closed windows are emitted exactly once
+    first_bucket = min(r.bucket for r in emitted)
+    n_first = [r.n for r in emitted if r.bucket == first_bucket]
+    assert n_first == [10]
+
+
+def test_session_window_smoke(spark, sf_smoke, tmp_path):
+    msgs = file_stream_messages(spark, os.path.join(sf_smoke, "events.parquet"))
+    sess = sessionized_counts(msgs, gap="30 minutes")
+    name = "sess_test"
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    assert out.count() > 0
+    assert out.agg(F.sum("n_events")).collect()[0][0] > 0
+
+
+def test_dedup_within_watermark_smoke(spark, sf_smoke, tmp_path):
+    msgs = file_stream_messages(spark, os.path.join(sf_smoke, "events.parquet"))
+    dd = dedup_within_watermark(msgs).select("key", "value")
+    name = "ddwm_test"
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).count()
+    exp = (
+        messages(spark, sf_smoke).dropDuplicates(["key", "value"]).count()
+    )
+    assert got == exp
