@@ -5,7 +5,9 @@ from kafka_spark_streaming_spark.operators.registry import ORACLES, QUERIES, reg
 # Import order = SURVEY.md §2 inventory order; each module registers its
 # queries on import.
 from kafka_spark_streaming_spark.operators import reference_parity  # noqa: E402,F401
+from kafka_spark_streaming_spark.operators import analytic  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import relational  # noqa: E402,F401
+from kafka_spark_streaming_spark.operators import relational_ext  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import streaming_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

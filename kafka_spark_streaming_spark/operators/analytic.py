@@ -1,0 +1,425 @@
+"""Analytic surface: window functions, grouping sets/rollup/cube, set
+operations, pivot, scalar string/date/JSON functions, sessionization
+(SURVEY.md §2.3 gap table — operators the reference lacks, all Catalyst
+built-ins per the north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark.functions import MONEY, dec_sum
+from kafka_spark_streaming_spark.operators.registry import register
+from kafka_spark_streaming_spark.tables import table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --- window: top-k per group (row_number) --------------------------------
+# The canonical "no global sort" top-k: one shuffle on the partition
+# key, per-partition heap — survives any scale-up.
+@register(
+    "w_top3_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, revenue, rn FROM (
+      SELECT p_brand, p_partkey, revenue,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY revenue DESC, p_partkey ASC) AS rn
+      FROM (
+        SELECT p_brand, p_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST((1.0 - l_discount) AS DECIMAL(8,4)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem, part WHERE l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey
+      )
+    ) WHERE rn <= 3
+    """,
+)
+def w_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_spark_streaming_spark.functions import disc_price
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    )
+
+
+# --- window: running total (frame) ---------------------------------------
+@register(
+    "w_running_customer_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def w_running_customer_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(MONEY)).over(w).cast("double")
+        .alias("running_total"),
+    )
+
+
+# --- window: lag / inter-event gaps --------------------------------------
+@register(
+    "w_user_event_gaps",
+    """
+    SELECT user_id, COUNT(*) AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+    FROM (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+      FROM events
+    ) WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def w_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("avg_gap_us"),
+    )
+
+
+# --- rollup --------------------------------------------------------------
+@register(
+    "g_rollup_order_status",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def g_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("o_totalprice").alias("total"),
+        )
+    )
+
+
+# --- cube ----------------------------------------------------------------
+@register(
+    "g_cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def g_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("l_quantity").alias("qty"),
+        )
+    )
+
+
+# --- grouping sets (SQL form) --------------------------------------------
+@register(
+    "g_grouping_sets_events",
+    """
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort, COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (event_type, user_id % 10), ())
+    """,
+)
+def g_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort,
+               COUNT(*) AS n
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (event_type, user_id % 10), ())
+        """
+    )
+
+
+# --- set operations ------------------------------------------------------
+@register(
+    "set_ops_segments",
+    """
+    SELECT 'union' AS op, seg FROM (
+      SELECT c_mktsegment AS seg FROM customer WHERE c_nationkey = 1
+      UNION SELECT c_mktsegment FROM customer WHERE c_nationkey = 2)
+    UNION ALL
+    SELECT 'intersect', seg FROM (
+      SELECT c_mktsegment AS seg FROM customer WHERE c_nationkey = 1
+      INTERSECT SELECT c_mktsegment FROM customer WHERE c_nationkey = 2)
+    UNION ALL
+    SELECT 'except', seg FROM (
+      SELECT c_mktsegment AS seg FROM customer WHERE c_nationkey = 1
+      EXCEPT SELECT c_mktsegment FROM customer WHERE c_acctbal < 0.0)
+    """,
+)
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    n1 = cust.filter(F.col("c_nationkey") == 1).select(
+        F.col("c_mktsegment").alias("seg")
+    )
+    n2 = cust.filter(F.col("c_nationkey") == 2).select(
+        F.col("c_mktsegment").alias("seg")
+    )
+    neg = cust.filter(F.col("c_acctbal") < 0.0).select(
+        F.col("c_mktsegment").alias("seg")
+    )
+    return (
+        n1.union(n2).distinct().select(F.lit("union").alias("op"), "seg")
+        .unionAll(n1.intersect(n2).select(F.lit("intersect").alias("op"), "seg"))
+        .unionAll(n1.exceptAll(neg).distinct()
+                  .select(F.lit("except").alias("op"), "seg"))
+    )
+
+
+# --- semi/anti join counts in one pass -----------------------------------
+@register(
+    "j_semi_anti_customer_counts",
+    """
+    SELECT COUNT(CASE WHEN has_order THEN 1 END) AS n_with_orders,
+           COUNT(CASE WHEN NOT has_order THEN 1 END) AS n_without_orders
+    FROM (
+      SELECT c_custkey,
+             EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                 AS has_order
+      FROM customer
+    )
+    """,
+)
+def j_semi_anti_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    buyers = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("bk")
+    ).distinct()
+    flagged = cust.join(
+        F.broadcast(buyers), cust.c_custkey == F.col("bk"), "left_outer"
+    ).select(F.col("bk").isNotNull().alias("has_order"))
+    return flagged.agg(
+        F.count(F.when(F.col("has_order"), 1)).alias("n_with_orders"),
+        F.count(F.when(~F.col("has_order"), 1)).alias("n_without_orders"),
+    )
+
+
+# --- scalar string functions ---------------------------------------------
+@register(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS uname,
+           LOWER(p_brand) AS lbrand,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_name, 1, 6) AS name_pfx,
+           REPLACE(p_type, 'E', '3') AS leet_type,
+           REVERSE(p_brand) AS rbrand,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           p_name || '/' || p_brand AS name_brand,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
+           POSITION('and' IN p_name) AS and_pos
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 6).alias("name_pfx"),
+        F.replace(F.col("p_type"), F.lit("E"), F.lit("3")).alias("leet_type"),
+        F.reverse("p_brand").alias("rbrand"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.concat_ws("/", "p_name", "p_brand").alias("name_brand"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+        F.instr("p_name", "and").cast("bigint").alias("and_pos"),
+    )
+
+
+# --- scalar date functions -----------------------------------------------
+@register(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           dayname(o_orderdate) AS dname,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR)
+               AS plus30,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS days_since_95
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_format("o_orderdate", "EEEE").alias("dname"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.date_add(F.to_date("o_orderdate"), 30).cast("string").alias("plus30"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+    )
+
+
+# --- JSON extraction -----------------------------------------------------
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS DOUBLE) / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+# --- pivot ---------------------------------------------------------------
+@register(
+    "pivot_event_value_by_cohort",
+    f"""
+    SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+           {', '.join(
+             "CAST(SUM(CASE WHEN event_type = '" + t + "' "
+             "THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS " + t
+             for t in EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_value_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("cohort", (F.col("user_id") % 10).cast("bigint"))
+        .groupBy("cohort")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast(MONEY)).cast("double"))
+    )
+
+
+# --- time-bucketed aggregation -------------------------------------------
+@register(
+    "time_bucket_daily_events",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def time_bucket_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value").alias("total_value"),
+        )
+    )
+
+
+# --- batch sessionization (gap > 30 min ⇒ new session) -------------------
+# lag → gap flag → cumulative sum = session id: two window passes over
+# the same (user_id, ts) partitioning — one shuffle total.
+@register(
+    "sessionize_events",
+    """
+    SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                    > 1800000000 OR lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                      IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("sess_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

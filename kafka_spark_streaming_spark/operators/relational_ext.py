@@ -1,0 +1,437 @@
+"""Extended TPC-H-shaped relational coverage: subqueries, semi/anti
+joins, outer joins, having, scalar subqueries, top-k (phase 3).
+
+Columns absent from the synthetic schema (partsupp, commitdate, …) are
+substituted with available ones; predicate constants are fitted to the
+synthetic data's ranges (dates 1995..2001) so every query selects real
+rows. Scale commentary per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark.functions import MONEY, dec_sum, disc_price
+from kafka_spark_streaming_spark.operators.registry import register
+from kafka_spark_streaming_spark.tables import table
+
+
+# --- q4: order priority with EXISTS (left-semi join) ---------------------
+# Semi-join avoids materializing lineitem matches — at scale it's a
+# shuffle on orderkey where the probe side short-circuits on first hit.
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# --- q10: returned items (4-way join + top-k) ----------------------------
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST((1.0 - l_discount) AS DECIMAL(8,4))) AS DOUBLE)
+               AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- q13: customer order-count distribution (left outer join) ------------
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey AS ck, COUNT(o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- q14: conditional-aggregate ratio ------------------------------------
+# The 100*sum(case)/sum ratio: both sums exact decimals → one double
+# division, engine-identical.
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT 100.00 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST((1.0 - l_discount) AS DECIMAL(8,4))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST((1.0 - l_discount) AS DECIMAL(8,4))) AS DOUBLE)
+               AS promo_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    dp = disc_price()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.00)
+                * F.sum(
+                    F.when(F.col("p_type") == "ECONOMY", dp).otherwise(
+                        F.lit(0).cast(MONEY)
+                    )
+                ).cast("double")
+                / F.sum(dp).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+# --- q15: top supplier (agg + scalar-subquery max) -----------------------
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST((1.0 - l_discount) AS DECIMAL(8,4))) AS DOUBLE)
+                 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price()).cast("double").alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("m"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- q18: large-volume customers (HAVING + semi join) --------------------
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+      )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(MONEY)).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    cust = table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+# --- q19: disjunctive bracket predicates ---------------------------------
+# Catalyst splits the OR across the join into a common join key with
+# residual filters; all bracket constants pushed to the scans.
+@register(
+    "q19_bracket_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST((1.0 - l_discount) AS DECIMAL(8,4))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 21)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 30)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+            AND l_quantity BETWEEN 20 AND 40))
+    """,
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 21))
+        | ((brand == "Brand#2") & size.between(1, 25) & qty.between(10, 30))
+        | ((brand == "Brand#3") & size.between(1, 35) & qty.between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.sum(disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- q22: anti join + scalar subquery ------------------------------------
+@register(
+    "q22_inactive_rich_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                                   AS DOUBLE) / COUNT(c_acctbal)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "inactive" = no URGENT orders: in the synthetic data every customer
+    # has orders, so a plain NOT EXISTS(orders) selects zero rows.
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal_df = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(MONEY)).cast("double")
+         / F.count("c_acctbal")).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal_df))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+# --- q7-ish: nation-pair volume (multi-role dimension join) --------------
+@register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST((1.0 - l_discount) AS DECIMAL(8,4)) AS vol
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
+        .filter(
+            (
+                (F.col("n1.n_name") == "NATION_1")
+                & (F.col("n2.n_name") == "NATION_2")
+            )
+            | (
+                (F.col("n1.n_name") == "NATION_2")
+                & (F.col("n2.n_name") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+            disc_price().alias("vol"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("vol").cast("double").alias("revenue"))
+    )
+
+
+# --- q16-ish: distinct-count with NOT IN ---------------------------------
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin([1, 5, 10, 15, 20, 25, 30, 35, 40, 45])
+    )
+    bad_supp = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- q17-ish: correlated avg subquery ------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem, part,
+         (SELECT l_partkey AS ap, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                                       AS DOUBLE) / COUNT(l_quantity) AS avg_q
+          FROM lineitem GROUP BY l_partkey) pa
+    WHERE p_partkey = l_partkey AND pa.ap = l_partkey
+      AND p_brand = 'Brand#3' AND l_quantity < 0.5 * avg_q
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    part_avg = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.sum(F.col("l_quantity").cast(MONEY)).cast("double")
+         / F.count("l_quantity")).alias("avg_q")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == part_avg.ap)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_q"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(MONEY)).cast("double") / 7.0)
+            .alias("avg_yearly")
+        )
+    )
