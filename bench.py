@@ -15,13 +15,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: scan-agg, broadcast-join, star-join, windowing, dedup,
-# similarity, text — one per operator family once implemented.
+# Headline set: one per operator family — scan-agg, top-k join,
+# star join, scan-filter-agg, windowing, streaming fold, dedup
+# (exact-jaccard + minhash path), similarity, text, multimodal.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "w_top3_parts_per_brand",
+    "sessionize_events",
+    "s_stream_value_counts",
+    "d_minhash_lsh_pairs",
+    "sim_topk_bruteforce",
+    "t_quality_score",
+    "t_top_tokens",
+    "m_media_features",
 ]
 
 

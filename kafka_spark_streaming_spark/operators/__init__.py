@@ -6,6 +6,10 @@ from kafka_spark_streaming_spark.operators.registry import ORACLES, QUERIES, reg
 # queries on import.
 from kafka_spark_streaming_spark.operators import reference_parity  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import analytic  # noqa: E402,F401
+from kafka_spark_streaming_spark.operators import dedup  # noqa: E402,F401
+from kafka_spark_streaming_spark.operators import multimodal  # noqa: E402,F401
+from kafka_spark_streaming_spark.operators import similarity  # noqa: E402,F401
+from kafka_spark_streaming_spark.operators import text  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import relational  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import relational_ext  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import streaming_queries  # noqa: E402,F401

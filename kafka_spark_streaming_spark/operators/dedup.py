@@ -1,0 +1,277 @@
+"""Deduplication operators (north star, BASELINE.json:6): exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design notes
+------------------
+- Exact dedup: md5-fingerprint group-by — one shuffle on the hash.
+- N-gram Jaccard: shingle explode → self-join on shingle → per-pair
+  intersection counts. The shingle join is the classic near-dup plan;
+  at 100 TB you (a) drop ultra-frequent shingles (stop-shingles) to
+  kill skew, and (b) never run it un-banded — that's what the
+  MinHash+LSH variant below is for. Here it doubles as the *oracle*
+  definition of near-dup.
+- MinHash+LSH: 32 permutations (xxhash64 seeded), 16 bands × 2 rows;
+  candidates = band-hash equi-join (tiny vs all-pairs), then exact
+  Jaccard verification of candidates only. P(miss | j≥0.8) =
+  (1-j²)¹⁶ < 1e-7, so its verified output equals the exact operator's
+  — it shares the same oracle. Everything is Catalyst built-ins
+  (xxhash64, explode, min, join); no Python in the path.
+- SimHash: 64-bit signature via per-bit weight sums — a single
+  group-by with 64 conditional sums (all codegen'd), then banded
+  self-join on 16-bit prefixes + bit_count(xor) Hamming filter.
+- Embedding near-dup: brute pair cosine over the (fixed-size)
+  embedding table; at scale replace the cross join with the LSH
+  random-hyperplane bucketing in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark.functions import cosine_similarity
+from kafka_spark_streaming_spark.operators.registry import register
+from kafka_spark_streaming_spark.tables import table
+
+JACCARD_THRESHOLD = 0.8
+N_PERM = 32
+N_BANDS = 16  # × 2 rows/band = 32 perms
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT t.doc_id,
+           t.toks[i.i] || ' ' || t.toks[i.i+1] || ' ' || t.toks[i.i+2] AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+         (SELECT unnest(range(1, 500)) AS i) i
+    WHERE i.i + 2 <= len(t.toks))
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (ca.n + cb.n - c), 6) AS jaccard
+    FROM common
+    JOIN card ca ON ca.doc_id = doc_a
+    JOIN card cb ON cb.doc_id = doc_b
+    WHERE c * 1.0 / (ca.n + cb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, s).
+
+    Built from higher-order array functions — stays in codegen; the
+    explode is the only row-expansion.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(grams).alias("s")).dropDuplicates()
+    )
+
+
+def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for all shingle-sharing pairs (or only `pairs`)."""
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- exact dedup ---------------------------------------------------------
+@register(
+    "d_exact_dedup",
+    """
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.encode("text", "UTF-8")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- n-gram Jaccard near-dup (the oracle definition) ---------------------
+@register("d_ngram_jaccard_pairs", _JACCARD_PAIRS_SQL)
+def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(shingles(spark, sf_dir))
+
+
+# --- MinHash + LSH banding (the scale path; verified ⇒ same oracle) ------
+@register("d_minhash_lsh_pairs", _JACCARD_PAIRS_SQL)
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spark, sf_dir)
+    # 32 min-hashes per doc: one aggregation, 32 parallel min columns
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(p), F.col("s"))).alias(f"h{p}")
+            for p in range(N_PERM)
+        ]
+    )
+    # band hash = hash of the band's 2 signature rows; explode bands
+    bands = sig.select(
+        "doc_id",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                    .alias("bh"),
+                )
+                for b in range(N_BANDS)
+            ]
+        ).alias("bs"),
+    ).select("doc_id", F.explode("bs").alias("b"))
+    l = bands.select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    candidates = (
+        l.alias("x")
+        .join(
+            l.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+    # exact verification of the (tiny) candidate set only
+    return _jaccard_pairs(sh, pairs=candidates)
+
+
+# --- SimHash near-dup ----------------------------------------------------
+@register("d_simhash_pairs")  # engine-internal hashing ⇒ rows-only check
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over token hashes; near-dup = Hamming ≤ 6 within
+    16-bit-prefix bands. Cited intent: reference has no dedup at all
+    (SURVEY.md §2.3); this is north-star surface."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    # per-bit weights: +1 if bit set else -1, summed per doc
+    agg = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = agg.select(
+        "doc_id",
+        sum(
+            [
+                # bit i set iff weight > 0; shift JVM-side (1 << 63
+                # overflows a py4j long literal)
+                F.when(
+                    F.col(f"b{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    # band on 16-bit prefixes → candidates → Hamming filter
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# --- embedding-cosine near-dup -------------------------------------------
+@register(
+    "d_embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+)
+def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )

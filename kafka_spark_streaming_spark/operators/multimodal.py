@@ -1,0 +1,135 @@
+"""Multimodal columns (north star, BASELINE.json:6).
+
+Image/audio/video payloads are opaque `binary` columns with a typed
+metadata struct. The container has no media libraries, so the decode
+step is STUBBED (deterministic fake registered by default, and a
+clearly-marked NotImplementedError path for real codecs) — but the
+Spark-side plumbing is real and tested: schema, binary handling,
+Arrow batch shape through mapInPandas, partition behavior.
+
+At scale: binary payloads ride in the same parquet row groups as their
+metadata; filters on metadata prune row groups before any byte of
+media is read (predicate pushdown on the struct fields), and decode
+runs as Arrow-batched Python with spark.sql.execution.arrow
+.maxRecordsPerBatch bounding executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark.operators.registry import register
+from kafka_spark_streaming_spark.tables import table
+
+FEATURE_DIM = 8
+
+
+def media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → synthetic media table: (doc_id, payload binary,
+    meta struct<n_bytes, mime, width, height>)."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length("text").cast("bigint").alias("n_bytes"),
+            F.when(F.col("doc_id") % 3 == 0, "image/png")
+            .when(F.col("doc_id") % 3 == 1, "audio/wav")
+            .otherwise("video/mp4")
+            .alias("mime"),
+            ((F.col("doc_id") % 16) * 64 + 64).cast("int").alias("width"),
+            ((F.col("doc_id") % 9) * 64 + 64).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+# --- manifest projection (oracle-checked binary/metadata handling) -------
+@register(
+    "m_media_manifest",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CAST((doc_id % 16) * 64 + 64 AS INT) AS width,
+           CAST((doc_id % 9) * 64 + 64 AS INT) AS height
+    FROM documents
+    """,
+)
+def m_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_manifest(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+# --- decode / feature-extract (Arrow-batched Python) ---------------------
+def decode_media(payload: bytes, mime: str):
+    """Real decode would dispatch on mime to PIL/ffmpeg/torchaudio —
+    none of which exist in this container."""
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; use "
+        "fake_features (deterministic stub) for the pipeline plumbing"
+    )
+
+
+def fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a feature extractor: normalized
+    8-bin byte histogram. Keeps the full pipeline testable."""
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b >> 5] += 1
+    total = len(payload) or 1
+    return [c / total for c in counts]
+
+
+@register("m_media_features")  # python-side extraction ⇒ rows-only check
+def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads — the real
+    Arrow batch path a decoder would use (one pdf per Arrow batch,
+    payload bytes → fixed-dim feature vector)."""
+    m = media_manifest(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "mime": [m_["mime"] for m_ in pdf["meta"]],
+                    "features": feats,
+                }
+            )
+
+    return m.mapInPandas(
+        extract, schema="doc_id long, mime string, features array<double>"
+    )
+
+
+# --- per-mime stats over extracted features ------------------------------
+@register("m_mime_feature_stats")  # depends on python extraction ⇒ rows-only
+def m_mime_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = m_media_features(spark, sf_dir)
+    return (
+        feats.select(
+            "mime", F.element_at("features", 1).alias("f0")
+        )
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("f0"), 6).alias("avg_f0"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over embeddings (north star, BASELINE.json:6).
+
+Three tiers, one semantics:
+
+1. `sim_topk_bruteforce` — baseline: broadcast the query set, score
+   every candidate with a pure-Catalyst cosine (zip_with + aggregate,
+   codegen'd), window top-k. This is already the right 100 TB plan for
+   few queries × huge corpus: queries broadcast, corpus scanned once,
+   per-partition partial top-k via the window's rank pushdown.
+2. `sim_topk_blocked` — the same semantics through mapInPandas: each
+   Arrow batch scores a (queries × batch) matrix with one numpy GEMM.
+   At 64-dim × small k the JVM path wins; at 1024-dim+ the vectorized
+   GEMM path wins — both are here, both oracle-checked to identical
+   output.
+3. `sim_ann_lsh` — approximate: random-hyperplane signs (deterministic
+   seed) bucket the corpus; only same-bucket candidates are scored.
+   Sub-linear candidate sets at scale; recall measured in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark.functions import cosine_similarity
+from kafka_spark_streaming_spark.operators.registry import register
+from kafka_spark_streaming_spark.tables import table
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 5
+
+_TOPK_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS s
+      FROM e q, e c
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, round(s, 6) AS score, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+"""
+
+
+def _queries_and_candidates(spark: SparkSession, sf_dir: str):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    return q, c
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("s", 6).alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# --- 1: pure-Catalyst brute force ---------------------------------------
+@register("sim_topk_bruteforce", _TOPK_ORACLE)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = _queries_and_candidates(spark, sf_dir)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("s", cosine_similarity(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "s")
+    )
+    return _topk(scored)
+
+
+# --- 2: vectorized numpy GEMM via mapInPandas ----------------------------
+@register("sim_topk_blocked", _TOPK_ORACLE)
+def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    q, c = _queries_and_candidates(spark, sf_dir)
+    qrows = [(r.query_id, list(r.qv)) for r in q.collect()]  # few queries
+    qids = [r[0] for r in qrows]
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qnorm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qn = bc.value
+        for pdf in batches:
+            cm = np.array(list(pdf["cv"]), dtype=np.float64)
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qn @ cn.T  # (n_queries, batch)
+            out = []
+            for qi, qid in enumerate(ids):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": pdf["neighbor_id"].values,
+                            "s": sims[qi],
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    scored = c.mapInPandas(
+        score, schema="query_id long, neighbor_id long, s double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    return _topk(scored)
+
+
+# --- 3: LSH random-hyperplane ANN ----------------------------------------
+@register("sim_ann_lsh")  # approximate ⇒ rows-only driver check
+def sim_ann_lsh(spark: SparkSession, sf_dir: str,
+                n_tables: int = 8, planes_per_table: int = 4,
+                dim: int = 64) -> DataFrame:
+    """Multi-table random-hyperplane LSH (the standard recall lever:
+    L independent tables of k planes each — P(miss) = (1-p^k)^L).
+    Buckets are sign patterns against fixed seed-42 hyperplanes, so
+    results are deterministic across runs. Candidates = union over
+    tables of same-bucket vectors, exact-cosine reranked.
+
+    At 100 TB: per-table bucket sizes stay bounded (add planes as the
+    corpus grows), the bucket join is an equi-join Catalyst shuffles on
+    (table, bucket), and rerank cost is |candidates| not |corpus|.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.randn(n_tables, planes_per_table, dim)
+    e = table(spark, sf_dir, "embeddings")
+
+    def dot_plane(t: int, p: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in planes[t, p]]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def bucket(t: int) -> F.Column:
+        return sum(
+            [
+                F.when(dot_plane(t, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+                for p in range(planes_per_table)
+            ],
+            F.lit(0),
+        ).cast("int")
+
+    eb = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), bucket(t).alias("bkt"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+
+    cand = eb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "t",
+        "bkt",
+    )
+    qb = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "t",
+        "bkt",
+    )
+    scored = (
+        cand.join(
+            F.broadcast(qb),
+            ["t", "bkt"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("s", cosine_similarity(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "s")
+    )
+    return _topk(scored)

@@ -1,0 +1,211 @@
+"""Text-analysis operators over the documents table (north star:
+language-ID heuristic, quality scoring, token counting, fingerprinting
+— BASELINE.json:6).
+
+All hot-path expressions are Catalyst built-ins (split / higher-order
+array functions / regexp) — JVM-side, codegen'd, no Python. At 100 TB
+these are embarrassingly parallel scans; the only shuffle is the final
+group-by in corpus-level stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark.operators.registry import register
+from kafka_spark_streaming_spark.tables import table
+
+# deterministic marker vocabularies for the dialect classifier
+STREAMY = ["stream", "batch", "window", "spark", "dup"]
+QUERYY = ["scan", "join", "hash", "sort", "merge"]
+
+
+def _toks(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+# --- token counting ------------------------------------------------------
+@register(
+    "t_token_stats",
+    """
+    SELECT doc_id, n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+           list_sum(list_transform(string_split(text, ' '), t -> len(t)))
+               AS sum_token_len,
+           len(string_split(text, ' ')) - len(list_distinct(
+               string_split(text, ' '))) AS n_repeats
+    FROM documents
+    """,
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_token_len"),
+        (F.size(toks) - F.size(F.array_distinct(toks)))
+        .cast("bigint")
+        .alias("n_repeats"),
+    )
+
+
+# --- quality scoring -----------------------------------------------------
+# length-normalized + type-token-ratio composite; all integer math until
+# the final double divisions (deterministic across engines).
+@register(
+    "t_quality_score",
+    """
+    SELECT doc_id, lang, source,
+           CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+             / len(string_split(text,' ')) AS ttr,
+           CAST(least(len(string_split(text,' ')), 50) AS DOUBLE) / 50.0
+               AS len_score,
+           0.5 * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                  / len(string_split(text,' ')))
+           + 0.5 * (CAST(least(len(string_split(text,' ')), 50) AS DOUBLE)
+                    / 50.0) AS quality
+    FROM documents
+    """,
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    ttr = uniq.cast("double") / n
+    len_score = F.least(n, F.lit(50)).cast("double") / F.lit(50.0)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        ttr.alias("ttr"),
+        len_score.alias("len_score"),
+        (F.lit(0.5) * ttr + F.lit(0.5) * len_score).alias("quality"),
+    )
+
+
+# --- language/dialect ID heuristic ---------------------------------------
+# n-gram/marker-count heuristic: score = token frequency against small
+# marker vocabularies, argmax with deterministic tie-break. (The real
+# thing would use char n-gram profiles; the structure — per-doc map-only
+# scoring against broadcast profiles — is identical at scale.)
+@register(
+    "t_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN len(list_filter(string_split(text,' '),
+                      t -> t IN ({', '.join(repr(t) for t in STREAMY)})))
+                > len(list_filter(string_split(text,' '),
+                      t -> t IN ({', '.join(repr(t) for t in QUERYY)})))
+               THEN 'streamish'
+             WHEN len(list_filter(string_split(text,' '),
+                      t -> t IN ({', '.join(repr(t) for t in QUERYY)})))
+                > len(list_filter(string_split(text,' '),
+                      t -> t IN ({', '.join(repr(t) for t in STREAMY)})))
+               THEN 'queryish'
+             ELSE 'mixed' END AS pred_dialect,
+           len(list_filter(string_split(text,' '),
+               t -> t IN ({', '.join(repr(t) for t in STREAMY)})))
+               AS streamy_hits,
+           len(list_filter(string_split(text,' '),
+               t -> t IN ({', '.join(repr(t) for t in QUERYY)})))
+               AS queryy_hits
+    FROM documents
+    """,
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+
+    def hits(vocab: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(v) for v in vocab])
+        return F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t))
+        ).cast("bigint")
+
+    s, q = hits(STREAMY), hits(QUERYY)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(s > q, "streamish")
+        .when(q > s, "queryish")
+        .otherwise("mixed")
+        .alias("pred_dialect"),
+        s.alias("streamy_hits"),
+        q.alias("queryy_hits"),
+    )
+
+
+# --- document fingerprinting ---------------------------------------------
+@register(
+    "t_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+           substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 8)
+               AS fp_short
+    FROM documents
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = F.md5(F.encode(norm, "UTF-8"))
+    return d.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_short")
+    )
+
+
+# --- corpus-level term frequencies (explode → count → top-k) -------------
+@register(
+    "t_top_tokens",
+    """
+    SELECT tok, n FROM (
+      SELECT tok, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS rn
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ) WHERE rn <= 20
+    """,
+)
+def t_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_toks()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+        .select("tok", "n")
+    )
+
+
+# --- per-source/lang corpus stats ----------------------------------------
+@register(
+    "t_source_lang_stats",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def t_source_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(_toks()).cast("bigint")).alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
