@@ -82,10 +82,28 @@ def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
 
 
 def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for all shingle-sharing pairs (or only `pairs`)."""
+    """Exact Jaccard for all shingle-sharing pairs (or only `pairs`).
+
+    When a candidate set is given (the LSH path), both join sides are
+    pruned to candidate docs BEFORE the shingle self-join — the whole
+    point of banding is that the verify step is |candidates|, not
+    O(n²) on shingles.
+    """
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh_a, sh_b = sh, sh
+    if pairs is not None:
+        sh_a = sh.join(
+            pairs.select(F.col("doc_a").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        sh_b = sh.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    a = sh_a.alias("a")
+    b = sh_b.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -1,0 +1,84 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI.
+
+A query that silently loses its filter pushdown, reads extra columns,
+or degrades a broadcast join into a cartesian product would still pass
+the value oracle; these tests pin the *plan* properties that make the
+same logical query survive a 1000-executor, 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_spark_streaming_spark.operators import QUERIES
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q1_pushdown_and_pruning(spark, sf_smoke):
+    plan = plan_of(spark, "q1_pricing_summary", sf_smoke)
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed"
+    # column pruning: join keys not needed by q1 must not be read
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_partkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q6_all_filters_pushed(spark, sf_smoke):
+    plan = plan_of(spark, "q6_forecast_revenue", sf_smoke)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for frag in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert frag in pushed, f"{frag} filter not pushed to the scan"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"],
+)
+def test_dim_joins_broadcast_no_cartesian(spark, sf_smoke, name):
+    plan = plan_of(spark, name, sf_smoke)
+    assert "BroadcastHashJoin" in plan, "dimension join did not broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_smoke):
+    plan = plan_of(spark, "q3_shipping_priority", sf_smoke)
+    assert "TakeOrderedAndProject" in plan, (
+        "limit+orderBy should compile to TakeOrderedAndProject "
+        "(per-partition heap), not a global Sort"
+    )
+
+
+def test_semi_join_stays_semi(spark, sf_smoke):
+    plan = plan_of(spark, "q4_order_priority", sf_smoke)
+    assert "LeftSemi" in plan
+
+
+def test_bruteforce_sim_broadcasts_queries(spark, sf_smoke):
+    plan = plan_of(spark, "sim_topk_bruteforce", sf_smoke)
+    # inequality join against the tiny query side must be a broadcast
+    # nested loop, never a shuffle cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_band_join_is_equi(spark, sf_smoke):
+    plan = plan_of(spark, "d_minhash_lsh_pairs", sf_smoke)
+    # the band-bucket join must be hash-joinable (equi keys), not a
+    # nested loop over all pairs
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_on_scan_agg(spark, sf_smoke):
+    # AQE shows codegen spans only in the *executed* plan — run it first
+    df = QUERIES["q1_pricing_summary"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators print with a "*(stageId)" prefix
+    assert "*(1)" in plan, "scan+partial-agg stage not whole-stage-codegen'd"
