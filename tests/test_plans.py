@@ -82,3 +82,18 @@ def test_whole_stage_codegen_on_scan_agg(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # codegen'd operators print with a "*(stageId)" prefix
     assert "*(1)" in plan, "scan+partial-agg stage not whole-stage-codegen'd"
+
+
+def test_asof_join_single_hash_shuffle(spark, sf_smoke):
+    plan = plan_of(spark, "aj_purchase_last_click", sf_smoke)
+    # the whole as-of join must cost ONE keyed shuffle (the window's
+    # hashpartitioning on user_id); the final orderBy adds a range
+    # exchange but no further hash exchanges are acceptable
+    assert plan.count("hashpartitioning(") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_range_join_is_equi(spark, sf_smoke):
+    plan = plan_of(spark, "rj_error_burst_pairs", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
