@@ -25,6 +25,11 @@ from kafka_spark_streaming_spark.streaming.pipeline import (
     StreamerConfig,
     StreamerPipeline,
 )
+from kafka_spark_streaming_spark.streaming.stateful import (
+    fold_snapshots_to_final,
+    multi_batch_events_stream,
+    user_lifetime_stats,
+)
 from kafka_spark_streaming_spark.streaming.windows import windowed_counts
 from kafka_spark_streaming_spark.tables import MESSAGES_ORACLE_SQL
 
@@ -129,3 +134,24 @@ def s_pipeline_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = pipe.start(msgs, checkpoint=os.path.join(work, "ckpt"))
     q.awaitTermination()
     return pipe.sink.current().select("rowkey", "cf", "qualifier", "value")
+
+
+# --- custom stateful operator: per-user lifetime stats -------------------
+# applyInPandasWithState across 4 real micro-batches; the oracle is the
+# equivalent one-shot batch aggregate (batch≡stream). Exact-integer
+# state folds make the equivalence bit-for-bit.
+@register(
+    "s_stateful_user_stats",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_4dec,
+           CAST(epoch_us(MAX(ts)) // 1000000 AS BIGINT) AS last_ts_epoch
+    FROM events GROUP BY user_id
+    """,
+)
+def s_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = multi_batch_events_stream(spark, sf_dir, n_batches=4)
+    snapshots = _drain_to_memory(user_lifetime_stats(stream), "update")
+    return fold_snapshots_to_final(snapshots)

@@ -1,0 +1,147 @@
+"""Custom stateful streaming operator (applyInPandasWithState).
+
+The reference keeps NO state across micro-batches (its only cross-batch
+artifact is a driver-side counter variable, Streamer.scala:122 — lost
+on restart).  This module is the engine's checkpointed replacement:
+per-key state maintained by Structured Streaming's state store,
+Arrow-batched into Python, surviving restarts and rescaling with the
+number of shuffle partitions.
+
+Determinism: money is accumulated as integer hundredths-of-a-cent
+(round(value * 10000)) and timestamps as epoch seconds, so state folds
+are exact integers — batch order cannot change the result and the
+DuckDB batch oracle matches bit-for-bit (batch≡stream equivalence,
+SURVEY.md §5.3).
+
+100 TB posture: state is partitioned by user_id across
+spark.sql.shuffle.partitions state-store instances; each micro-batch
+shuffles only that batch's rows (not the state), and the pandas hook
+receives per-key Arrow batches — no driver-side state, no collect.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_4dec", LongType()),
+        StructField("last_ts_epoch", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("t", LongType()),
+    ]
+)
+
+
+def _update_user_stats(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's rows for one user into the running state and
+    emit the post-batch snapshot."""
+    if state.exists:
+        n, s, t = state.get
+    else:
+        n, s, t = 0, 0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        s += int(pdf["cents4"].sum())
+        t = max(t, int(pdf["epoch"].max()))
+    state.update((n, s, t))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value_4dec": [s],
+            "last_ts_epoch": [t],
+        }
+    )
+
+
+def user_lifetime_stats(events_stream: DataFrame) -> DataFrame:
+    """Streaming per-user lifetime stats with explicit keyed state.
+
+    Input: a *streaming* DataFrame with (user_id, ts, value).
+    Output (update mode): one post-batch snapshot row per user per
+    micro-batch the user appears in — n_events / sum / last-seen are
+    monotone folds of the state.
+    """
+    prepared = events_stream.select(
+        "user_id",
+        F.round(F.col("value") * 10000).cast("long").alias("cents4"),
+        F.unix_timestamp("ts").alias("epoch"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        STATS_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def multi_batch_events_stream(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """events.parquet as a stream of `n_batches` real micro-batches.
+
+    The fixture is a single parquet file (= one availableNow batch), so
+    cross-batch state would never be exercised; re-write it as N files
+    and feed them one per trigger.  Test/local harness concern only —
+    a real deployment reads Kafka, where batching comes from offsets.
+    """
+    from kafka_spark_streaming_spark.tables import table
+
+    # table() normalizes the fixture's TIMESTAMP(NANOS) column; the
+    # re-written split files are plain MICROS parquet.
+    events = table(spark, sf_dir, "events")
+    split_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"kss_split_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}_{n_batches}",
+    )
+    if not os.path.isdir(split_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(split_dir)
+    ):
+        events.repartitionByRange(n_batches, "ts").write.mode(
+            "overwrite"
+        ).parquet(split_dir)
+    return (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+
+
+def fold_snapshots_to_final(snapshots: DataFrame) -> DataFrame:
+    """Collapse per-batch snapshot rows to each user's final state.
+
+    n_events is strictly increasing per user across its snapshots, so
+    the final state is the max_by(n_events) row — an aggregate, not a
+    window, so it needs no extra sort.
+    """
+    return snapshots.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value_4dec", "n_events").alias("sum_value_4dec"),
+        F.max_by("last_ts_epoch", "n_events").alias("last_ts_epoch"),
+    )

@@ -227,3 +227,28 @@ def test_dedup_within_watermark_smoke(spark, sf_smoke, tmp_path):
         messages(spark, sf_smoke).dropDuplicates(["key", "value"]).count()
     )
     assert got == exp
+
+
+def test_stateful_user_stats_crosses_batches(spark, sf_smoke):
+    """The stateful operator must see multiple real micro-batches —
+    users spanning batches emit one snapshot per batch, so the
+    snapshot stream is strictly larger than the user set."""
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _drain_to_memory,
+    )
+    from kafka_spark_streaming_spark.streaming.stateful import (
+        fold_snapshots_to_final,
+        multi_batch_events_stream,
+        user_lifetime_stats,
+    )
+
+    stream = multi_batch_events_stream(spark, sf_smoke, n_batches=4)
+    snapshots = _drain_to_memory(user_lifetime_stats(stream), "update")
+    n_snapshots = snapshots.count()
+    final = fold_snapshots_to_final(snapshots)
+    n_users = final.count()
+    assert n_users > 0
+    assert n_snapshots > n_users, (
+        "every user emitted exactly one snapshot — the stream collapsed "
+        "into a single micro-batch and cross-batch state was never hit"
+    )
