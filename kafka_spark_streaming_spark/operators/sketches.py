@@ -1,0 +1,130 @@
+"""Sketch-backed operators: heavy hitters, HLL distinct, quantiles.
+
+The reference computes its per-batch distinct/frequency numbers exactly
+and only at toy scale (Streamer.scala:123-124, and those are dead code
+— SURVEY.md §2.2 T2/T3).  At 100 TB, exact global frequency needs a
+full shuffle of every token; the operators here are the sketch-shaped
+versions a real pipeline uses:
+
+- sk_heavy_hitter_tokens — the two-pass exact heavy-hitter algorithm:
+  pass 1 runs Misra-Gries with O(1/phi) counters *per partition*
+  (mapInPandas, bounded memory, no shuffle), whose output is a small
+  candidate superset of every token with frequency >= phi; pass 2
+  semi-joins the corpus against the broadcast candidates and recounts
+  exactly.  The result is EXACT (and DuckDB-oracle-checked) while the
+  full-shuffle cost is replaced by a candidate-only aggregation — the
+  shuffle carries |candidates| per partition, not |distinct tokens|.
+- sk_hll_distinct_users / sk_value_quantiles — Spark's built-in HLL++
+  and GK-quantile aggregates.  Approximate by construction, so no SQL
+  oracle; tests/test_northstar.py asserts error bounds against exact.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from kafka_spark_streaming_spark.operators.registry import register
+from kafka_spark_streaming_spark.tables import table
+
+# heavy-hitter threshold phi = 1/200 (0.5 % of all tokens)
+_PHI_INV = 200
+# MG counters per partition: 2/phi, so the batched-decrement bound
+# n_p/(k+1) sits strictly below phi·n_p and recall is guaranteed.
+_MG_K = 2 * _PHI_INV
+
+_CAND_SCHEMA = StructType([StructField("tok", StringType())])
+
+
+def _mg_candidates(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition Misra-Gries: fold Arrow batches through at most
+    _MG_K counters (batched decrement), yield surviving tokens."""
+    counters: dict[str, int] = {}
+    for pdf in pdfs:
+        for tok, cnt in pdf["tok"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(cnt)
+        if len(counters) > _MG_K:
+            # decrement all by the amount that evicts the smallest
+            # counters; every unit of decrement hits >k+1 tokens, so
+            # total decrement <= n_p/(k+1)  (standard MG bound)
+            while len(counters) > _MG_K:
+                d = min(counters.values())
+                counters = {t: c - d for t, c in counters.items() if c > d}
+    yield pd.DataFrame({"tok": list(counters.keys())})
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+
+
+@register(
+    "sk_heavy_hitter_tokens",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks)
+    SELECT tok, COUNT(*) AS n
+    FROM toks CROSS JOIN tot
+    GROUP BY tok, n_total
+    HAVING COUNT(*) * {_PHI_INV} >= n_total
+    ORDER BY n DESC, tok
+    """,
+)
+def sk_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    candidates = toks.mapInPandas(_mg_candidates, _CAND_SCHEMA).distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .filter(F.col("n") * _PHI_INV >= F.col("n_total"))
+        .select("tok", "n")
+        .orderBy(F.desc("n"), F.asc("tok"))
+    )
+
+
+# --- HLL++ distinct users per event type (approximate, rows-only) --------
+@register("sk_hll_distinct_users")
+def sk_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd 1 %) next to the exact
+    count.  At 100 TB the exact variant needs a shuffle of every
+    distinct key; HLL is a constant-size mergeable sketch computed
+    map-side.  No SQL oracle (estimator is engine-specific);
+    tests assert relative error <= 5 %."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- approximate quantiles of event value (rows-only) --------------------
+@register("sk_value_quantiles")
+def sk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna, accuracy 10000) per event
+    type — single-pass, mergeable, bounded memory; the exact quantile
+    would need a per-group sort.  Tests bound the rank error."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", [0.5, 0.9, 0.99], 10000
+            ).alias("q50_90_99")
+        )
+        .orderBy("event_type")
+    )

@@ -94,3 +94,59 @@ def test_exact_dedup_no_false_groups(spark, sf_correct):
     total_docs = dd.agg(F.sum("n_copies")).collect()[0][0]
     n_docs = spark.read.parquet(f"{sf_correct}/documents.parquet").count()
     assert total_docs == n_docs
+
+
+def test_hll_distinct_error_bound(spark, sf_smoke):
+    from kafka_spark_streaming_spark.operators import QUERIES
+
+    for row in QUERIES["sk_hll_distinct_users"](spark, sf_smoke).collect():
+        err = abs(row.approx_users - row.exact_users) / max(row.exact_users, 1)
+        assert err <= 0.05, f"{row.event_type}: HLL error {err:.2%}"
+
+
+def test_quantile_sketch_rank_error(spark, sf_smoke):
+    """percentile_approx must land within 1% rank error of exact."""
+    import numpy as np
+
+    from kafka_spark_streaming_spark.operators import QUERIES
+    from kafka_spark_streaming_spark.tables import table
+
+    approx = {
+        r.event_type: r.q50_90_99
+        for r in QUERIES["sk_value_quantiles"](spark, sf_smoke).collect()
+    }
+    rows = table(spark, sf_smoke, "events").select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for et, vals in by_type.items():
+        xs = np.sort(np.array(vals))
+        for q, got in zip([0.5, 0.9, 0.99], approx[et]):
+            rank = np.searchsorted(xs, got, side="right") / len(xs)
+            assert abs(rank - q) <= 0.01 + 1.0 / len(xs), (
+                f"{et} q{q}: rank {rank:.3f}"
+            )
+
+
+def test_mg_candidates_are_superset(spark, sf_smoke):
+    """Pass-1 MG candidates must contain every true >=phi heavy hitter
+    (the recall guarantee the exact pass-2 relies on)."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators.sketches import (
+        _CAND_SCHEMA,
+        _PHI_INV,
+        _mg_candidates,
+        _tokens,
+    )
+
+    toks = _tokens(spark, sf_smoke).repartition(8)
+    cand = {
+        r.tok for r in toks.mapInPandas(_mg_candidates, _CAND_SCHEMA).collect()
+    }
+    counts = toks.groupBy("tok").count().collect()
+    total = sum(r["count"] for r in counts)
+    truth = {r.tok for r in counts if r["count"] * _PHI_INV >= total}
+    assert truth, "fixture has no heavy hitters at this phi"
+    missing = truth - cand
+    assert not missing, f"MG dropped true heavy hitters: {missing}"
