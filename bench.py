@@ -16,19 +16,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family — scan-agg, top-k join,
-# star join, scan-filter-agg, windowing, streaming fold, dedup
-# (exact-jaccard + minhash path), similarity, text, multimodal.
+# star join, scan-filter-agg, multiway join, windowing, as-of join,
+# streaming fold, stateful streaming, dedup (minhash path),
+# similarity, sketch, text, multimodal.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_profit_by_nation_year",
     "q18_large_volume_customers",
     "w_top3_parts_per_brand",
     "sessionize_events",
+    "aj_purchase_last_click",
     "s_stream_value_counts",
+    "s_stateful_user_stats",
     "d_minhash_lsh_pairs",
     "sim_topk_bruteforce",
+    "sk_heavy_hitter_tokens",
     "t_quality_score",
     "t_top_tokens",
     "m_media_features",
@@ -46,9 +51,9 @@ def main() -> None:
 
     spark = get_spark(app_name="kss-bench")
     names = [n for n in HEADLINE if n in QUERIES]
-    # Warm the JVM/codegen once on the smallest SF so we measure the
-    # engine, not first-call JIT.
-    for n in names[:1]:
+    # Warm every plan shape once on the smallest SF so the timed
+    # section measures the engine, not first-call codegen/JIT.
+    for n in names:
         _force(QUERIES[n](spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}

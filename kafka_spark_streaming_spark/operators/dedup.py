@@ -66,7 +66,16 @@ def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, s).
 
     Built from higher-order array functions — stays in codegen; the
-    explode is the only row-expansion.
+    explode is the only row-expansion.  Two deliberate plan choices:
+
+    - per-doc dedup is array_distinct BEFORE the explode — doc-local,
+      zero shuffle (a dropDuplicates after the explode would shuffle
+      every shingle);
+    - the input is repartitioned by doc_id first, because the fixture
+      is one small parquet file (= 1 input partition) and shingling
+      would otherwise run on a single core.  hashpartitioning(doc_id)
+      also satisfies every downstream per-doc groupBy, so the minhash
+      signature aggregation runs shuffle-free on top of this.
     """
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -76,34 +85,19 @@ def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    return (
-        d.select("doc_id", F.explode(grams).alias("s")).dropDuplicates()
+    par = spark.sparkContext.defaultParallelism
+    return d.repartition(par, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("s")
     )
 
 
-def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for all shingle-sharing pairs (or only `pairs`).
-
-    When a candidate set is given (the LSH path), both join sides are
-    pruned to candidate docs BEFORE the shingle self-join — the whole
-    point of banding is that the verify step is |candidates|, not
-    O(n²) on shingles.
-    """
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for all shingle-sharing pairs — the O(pairs)
+    oracle-defining plan.  The scale path is d_minhash_lsh_pairs, which
+    produces the same output without any shingle self-join."""
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sh_a, sh_b = sh, sh
-    if pairs is not None:
-        sh_a = sh.join(
-            pairs.select(F.col("doc_a").alias("doc_id")).distinct(),
-            "doc_id",
-            "left_semi",
-        )
-        sh_b = sh.join(
-            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
-            "doc_id",
-            "left_semi",
-        )
-    a = sh_a.alias("a")
-    b = sh_b.alias("b")
+    a = sh.alias("a")
+    b = sh.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -112,8 +106,6 @@ def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    if pairs is not None:
-        common = common.join(pairs, ["doc_a", "doc_b"], "left_semi")
     ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
@@ -155,35 +147,49 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH banding (the scale path; verified ⇒ same oracle) ------
 @register("d_minhash_lsh_pairs", _JACCARD_PAIRS_SQL)
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + band join + exact verify, ONE corpus pass.
+
+    Per-doc profile = (32 minhashes, shingle set, cardinality) from a
+    single shuffle-free aggregation (shingles() pre-partitions by
+    doc_id), materialized once with localCheckpoint — the in-session
+    stand-in for the persisted signature table a 100 TB pipeline keeps
+    next to the corpus.  Without the materialization every consumer
+    (band side, verify-a, verify-b) re-runs the whole corpus scan.
+
+    Verification joins the candidate pairs back to the profile and
+    computes exact Jaccard with array_intersect on the shingle sets —
+    per-pair work is |doc| and there is NO shingle self-join anywhere;
+    the band-bucket equi-join is the only pair generator.
+    """
     sh = shingles(spark, sf_dir)
-    # 32 min-hashes per doc: one aggregation, 32 parallel min columns
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(p), F.col("s"))).alias(f"h{p}")
-            for p in range(N_PERM)
-        ]
-    )
-    # band hash = hash of the band's 2 signature rows; explode bands
-    bands = sig.select(
-        "doc_id",
-        F.array(
+    profile = (
+        sh.groupBy("doc_id")
+        .agg(
             *[
-                F.struct(
-                    F.lit(b).alias("band"),
+                F.min(F.xxhash64(F.lit(p), F.col("s"))).alias(f"h{p}")
+                for p in range(N_PERM)
+            ],
+            F.collect_set("s").alias("ss"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bands = profile.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
                     F.xxhash64(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
-                    .alias("bh"),
-                )
-                for b in range(N_BANDS)
-            ]
-        ).alias("bs"),
-    ).select("doc_id", F.explode("bs").alias("b"))
-    l = bands.select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    )
     candidates = (
-        l.alias("x")
+        bands.alias("x")
         .join(
-            l.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
+            bands.alias("y"),
+            (F.col("x.bh") == F.col("y.bh"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
@@ -191,8 +197,24 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates()
     )
-    # exact verification of the (tiny) candidate set only
-    return _jaccard_pairs(sh, pairs=candidates)
+    a = profile.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ss").alias("ss_a"),
+        F.col("n").alias("na"),
+    )
+    b = profile.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ss").alias("ss_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 # --- SimHash near-dup ----------------------------------------------------

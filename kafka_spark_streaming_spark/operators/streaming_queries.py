@@ -153,5 +153,15 @@ def s_pipeline_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = multi_batch_events_stream(spark, sf_dir, n_batches=4)
-    snapshots = _drain_to_memory(user_lifetime_stats(stream), "update")
+    # State-store count is fixed at stream start from
+    # spark.sql.shuffle.partitions and never AQE-coalesced; per-batch
+    # cost has a fixed floor per store (task + commit + Arrow hop).  On
+    # a cluster you size this to executors; for the local micro-batch
+    # drain, 8 stores cuts 4×32 tiny state tasks to 4×8.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        snapshots = _drain_to_memory(user_lifetime_stats(stream), "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return fold_snapshots_to_final(snapshots)

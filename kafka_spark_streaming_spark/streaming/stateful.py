@@ -116,13 +116,13 @@ def multi_batch_events_stream(
     # table() normalizes the fixture's TIMESTAMP(NANOS) column; the
     # re-written split files are plain MICROS parquet.
     events = table(spark, sf_dir, "events")
+    # Cross-process cache: content is deterministic per (sf, n), so the
+    # split survives between runs; _SUCCESS marks a complete write.
     split_dir = os.path.join(
         tempfile.gettempdir(),
-        f"kss_split_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}_{n_batches}",
+        f"kss_split_{os.path.basename(os.path.normpath(sf_dir))}_{n_batches}",
     )
-    if not os.path.isdir(split_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(split_dir)
-    ):
+    if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
         events.repartitionByRange(n_batches, "ts").write.mode(
             "overwrite"
         ).parquet(split_dir)
