@@ -201,3 +201,113 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str,
         .select("query_id", "neighbor_id", "s")
     )
     return _topk(scored)
+
+
+# --- 4: IVF-Flat ANN (coarse quantizer + probed cells) -------------------
+@register("sim_ann_ivf")  # approximate ⇒ rows-only driver check
+def sim_ann_ivf(spark: SparkSession, sf_dir: str,
+                n_cells: int = 16, n_probe: int = 8) -> DataFrame:
+    """IVF-Flat: k-means coarse quantizer partitions the corpus into
+    cells; queries probe only their n_probe nearest cells, so search
+    cost is ~(n_probe/n_cells) of a full scan + a tiny rerank.
+
+    Distributed construction, the way MLlib does it: deterministic
+    seed-sample of n_cells vectors as initial centroids, one Lloyd
+    refinement (assign = argmax-cosine via broadcast centroids;
+    re-center = posexplode + per-(cell,dim) avg — ONE shuffle), then
+    cell assignment becomes a persisted column of the corpus. At
+    100 TB the inverted lists are just a `cell` partition column on
+    the embedding table — partition pruning IS the index probe.
+
+    Note the fixture's vectors are near-uniform on the sphere (no
+    cluster structure), so recall ≈ scanned fraction; tests assert
+    exactly that relationship rather than a vanity recall number.
+    """
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings")
+    dim = 64
+
+    # deterministic init: evenly-strided vec_ids (seedless, reproducible)
+    n_total = e.count()
+    stride = max(n_total // n_cells, 1)
+    init = (
+        e.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * n_cells))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cmat = np.array([list(r.embedding) for r in init], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def assign_expr(centroids: np.ndarray) -> F.Column:
+        """argmax-cosine cell id, pure Catalyst (codegen'd): greatest()
+        over per-centroid dot products of the normalized vector."""
+        norm = F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            )
+        )
+        dots = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / norm
+            for c in centroids
+        ]
+        best = F.greatest(*dots)
+        cell = F.lit(0)
+        for i, d in enumerate(dots):
+            cell = F.when(d == best, F.lit(i)).otherwise(cell)
+        return cell
+
+    # one Lloyd step: re-center each cell (posexplode → per-dim avg)
+    assigned = e.select("vec_id", "embedding", assign_expr(cmat).alias("cell"))
+    centers = (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s.m).alias("centroid"))
+        .collect()
+    )
+    cmat2 = cmat.copy()
+    for r in centers:
+        v = np.array(r.centroid, dtype=np.float64)
+        n = np.linalg.norm(v)
+        if n > 0:
+            cmat2[r.cell] = v / n
+
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        assign_expr(cmat2).alias("cell"),
+    )
+    # queries probe their n_probe nearest cells
+    q = e.filter(F.col("vec_id") < N_QUERIES).collect()
+    qmat = np.array([list(r.embedding) for r in q], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    probes = np.argsort(-(qmat @ cmat2.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(r.vec_id), list(r.embedding), [int(c) for c in probes[i]])
+        for i, r in enumerate(q)
+    ]
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<float>, cells array<int>"
+    ).select("query_id", "qv", F.explode("cells").alias("cell"))
+
+    scored = (
+        corpus.join(F.broadcast(qdf), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("s", cosine_similarity(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "s")
+    )
+    return _topk(scored)

