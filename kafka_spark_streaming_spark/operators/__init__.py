@@ -15,6 +15,7 @@ from kafka_spark_streaming_spark.operators import relational_ext  # noqa: E402,F
 from kafka_spark_streaming_spark.operators import relational_tpch2  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import asof  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import sketches  # noqa: E402,F401
+from kafka_spark_streaming_spark.operators import physical  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import streaming_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

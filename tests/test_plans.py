@@ -97,3 +97,17 @@ def test_bucketed_range_join_is_equi(spark, sf_smoke):
     plan = plan_of(spark, "rj_error_burst_pairs", sf_smoke)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_join_shuffle(spark, sf_smoke):
+    plan = plan_of(spark, "j_bucketed_priority_revenue", sf_smoke)
+    assert "SortMergeJoin" in plan
+    # bucketed layout: both join inputs arrive pre-partitioned; the only
+    # hash exchange in the plan belongs to the final groupBy aggregate
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_partitioned_scan_prunes(spark, sf_smoke):
+    plan = plan_of(spark, "p_pruned_daily_type_counts", sf_smoke)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0], "date filter not pruning partitions"
