@@ -315,3 +315,55 @@ def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") >= 0.45)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
+
+
+# --- end-to-end corpus clean (the training-data flagship) ----------------
+# documents → length filter → exact dedup (keep min doc_id per content
+# hash) → near-dup removal (drop every doc that appears as the higher
+# id of a verified >=0.8-Jaccard pair) → cleaned manifest with token
+# counts. Each stage is one of the registered operators composed into
+# one declarative plan; at 100 TB the near-dup pair set is the LSH
+# output (linear-ish), the rest is scans and one groupBy.
+@register(
+    "pipe_corpus_clean",
+    f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents WHERE n_chars >= 100
+      GROUP BY md5(text)
+    ),
+    cleaned AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d JOIN kept USING (doc_id)
+      WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)
+    )
+    SELECT * FROM cleaned ORDER BY doc_id
+    """,
+)
+def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    long_enough = d.filter(F.col("n_chars") >= 100)
+    kept = (
+        long_enough.groupBy(F.md5(F.encode("text", "UTF-8")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_dups = d_minhash_lsh_pairs(spark, sf_dir).select("doc_b").distinct()
+    return (
+        d.join(kept, "doc_id", "left_semi")
+        .join(
+            near_dups,
+            d["doc_id"] == near_dups["doc_b"],
+            "left_anti",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

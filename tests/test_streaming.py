@@ -252,3 +252,77 @@ def test_stateful_user_stats_crosses_batches(spark, sf_smoke):
         "every user emitted exactly one snapshot — the stream collapsed "
         "into a single micro-batch and cross-batch state was never hit"
     )
+
+
+def test_stateful_state_survives_restart(spark, sf_smoke, tmp_path_factory):
+    """Kill the stream after half the input, start a NEW query on the
+    same checkpoint with the rest: resumed state must make the final
+    fold equal the one-shot batch aggregate (exactly-once semantics of
+    checkpointed state + availableNow)."""
+    import shutil
+
+    from kafka_spark_streaming_spark.streaming.stateful import (
+        STATS_SCHEMA,
+        fold_snapshots_to_final,
+        user_lifetime_stats,
+    )
+    from kafka_spark_streaming_spark.tables import table as t
+
+    base = tmp_path_factory.mktemp("restart")
+    src = str(base / "src")
+    ckpt = str(base / "ckpt")
+    staging = str(base / "staging")
+    os.makedirs(src)
+
+    ev = t(spark, sf_smoke, "events")
+    ev.repartitionByRange(4, "ts").write.parquet(staging)
+    parts = sorted(glob.glob(staging + "/part-*.parquet"))
+    assert len(parts) == 4
+
+    out = str(base / "snapshots")
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # memory sink can't recover a checkpoint; foreachBatch can
+        q = (
+            user_lifetime_stats(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    for p in parts[:2]:
+        shutil.copy(p, src)
+    n1 = run().count()
+    assert n1 > 0
+
+    for p in parts[2:]:
+        shutil.copy(p, src)
+    snaps = run()
+    # run 2 must RESUME (process only the 2 new files), not reprocess:
+    # users in run-2 snapshots carry counts > their run-1 rows only if
+    # state survived; equality of the final fold proves it exactly.
+    assert snaps.count() > n1
+    final = fold_snapshots_to_final(snaps)
+    expected = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                "sum_value_4dec"
+            ),
+            F.max(F.unix_timestamp("ts")).alias("last_ts_epoch"),
+        )
+    )
+    assert final.exceptAll(expected).count() == 0
+    assert expected.exceptAll(final).count() == 0
