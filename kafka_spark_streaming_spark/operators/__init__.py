@@ -16,6 +16,7 @@ from kafka_spark_streaming_spark.operators import relational_tpch2  # noqa: E402
 from kafka_spark_streaming_spark.operators import asof  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import sketches  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import physical  # noqa: E402,F401
+from kafka_spark_streaming_spark.operators import quality  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import streaming_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,81 @@
+"""Data-quality / skew-mitigation operators.
+
+Two staples of running a pipeline over data you don't control:
+
+- q_profile_events — column profile (null rate, range, cardinality) of
+  the stream table in ONE scan: every statistic is a conditional
+  aggregate, so profiling 100 TB costs exactly one pass and one 1-row
+  reduce, not a query per column.
+- a_salted_distinct_users — exact count-distinct for HOT groups via
+  two-phase salting.  A plain groupBy(event_type).countDistinct(user)
+  shuffles every (type, user) pair to one reducer per type — with 5
+  types, 5 tasks own 100 % of the data.  Salting by a hash of the
+  distinct key splits each hot group across 16 reducers (each user
+  lands in exactly one salt bucket, so per-bucket distinct counts ADD
+  to the exact answer).  Same result, 16× the parallelism on the hot
+  path; the SQL oracle is the plain COUNT(DISTINCT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark.operators.registry import register
+from kafka_spark_streaming_spark.tables import table
+
+N_SALT = 16
+
+
+@register(
+    "a_salted_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("user_id"), F.lit(N_SALT))
+    )
+    per_bucket = salted.groupBy("event_type", "salt").agg(
+        F.countDistinct("user_id").alias("d")
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum("d").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_profile_events",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(user_id) AS user_id_nulls,
+           COUNT(DISTINCT user_id) AS user_id_distinct,
+           COUNT(*) - COUNT(value) AS value_nulls,
+           MIN(value) AS value_min, MAX(value) AS value_max,
+           COUNT(*) - COUNT(event_type) AS event_type_nulls,
+           COUNT(DISTINCT event_type) AS event_type_distinct,
+           CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS ts_min_epoch,
+           CAST(epoch_us(MAX(ts)) // 1000000 AS BIGINT) AS ts_max_epoch
+    FROM events
+    """,
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    return ev.agg(
+        n.alias("n_rows"),
+        (n - F.count("user_id")).alias("user_id_nulls"),
+        F.countDistinct("user_id").alias("user_id_distinct"),
+        (n - F.count("value")).alias("value_nulls"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        (n - F.count("event_type")).alias("event_type_nulls"),
+        F.countDistinct("event_type").alias("event_type_distinct"),
+        F.unix_timestamp(F.min("ts")).alias("ts_min_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("ts_max_epoch"),
+    )
