@@ -79,3 +79,50 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.min("ts")).alias("ts_min_epoch"),
         F.unix_timestamp(F.max("ts")).alias("ts_max_epoch"),
     )
+
+
+# --- interval range-frame window: 7-day trailing revenue ------------------
+# rangeBetween (value-based frame) over per-day totals: each day sees
+# the sum of the previous 7 days including itself. Pre-aggregating to
+# days BEFORE the window keeps the frame scan tiny (one row per day,
+# not per order) — the difference between O(days) and O(orders) frame
+# evaluation at 100 TB.
+@register(
+    "w_trailing_7d_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS day_rev
+      FROM orders GROUP BY 1
+    )
+    SELECT d, day_rev,
+           CAST(SUM(CAST(day_rev AS DECIMAL(18,2))) OVER (
+             ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                              AND CURRENT ROW) AS DOUBLE) AS rev_7d
+    FROM daily ORDER BY d
+    """,
+)
+def w_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("day_rev")
+    )
+    w = (
+        W.orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "d",
+        "day_rev",
+        F.sum(F.col("day_rev").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_7d"),
+    ).orderBy("d")
