@@ -326,3 +326,28 @@ def test_stateful_state_survives_restart(spark, sf_smoke, tmp_path_factory):
     )
     assert final.exceptAll(expected).count() == 0
     assert expected.exceptAll(final).count() == 0
+
+
+def test_cli_streamer_end_to_end(spark, sf_smoke, tmp_path_factory):
+    """python -m kafka_spark_streaming_spark with the reference's flag
+    surface, file-source stand-in: summary printed, sink cells written."""
+    from kafka_spark_streaming_spark.__main__ import main
+
+    base = tmp_path_factory.mktemp("cli")
+    sink = str(base / "sink")
+    rc = main(
+        [
+            "--source-parquet",
+            os.path.join(sf_smoke, "events.parquet"),
+            "-table",
+            sink,
+            "-bulk",
+            "--available-now",
+            "--checkpoint",
+            str(base / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    cells = KeyedUpsertSink(spark, sink).current()
+    assert cells.filter(F.col("qualifier") == "messages").count() >= 1
+    assert cells.filter(F.col("qualifier") == "content").count() >= 1
