@@ -126,3 +126,48 @@ def w_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev_7d"),
     ).orderBy("d")
+
+
+# --- salted join: hot-key fact ⋈ dim without broadcast --------------------
+# event_type has 5 values — a plain shuffle join sends 1/5 of the fact
+# table to each of 5 reducers and the rest idle. When the dim side is
+# too large to broadcast (the real case this stands in for), the fix is
+# salting: replicate each dim row n_salt times, give each fact row a
+# deterministic salt from a hash, join on (key, salt) — hot keys now
+# spread over n_salt reducers. Oracle is the plain join.
+@register(
+    "j_salted_type_stats",
+    """
+    WITH dim AS (
+      SELECT event_type, COUNT(*) AS type_total
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, d.type_total, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.type_total
+    ORDER BY e.event_type
+    """,
+)
+def j_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_total")
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+    )
+    fact_salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT))
+    )
+    return (
+        fact_salted.join(dim_salted, ["event_type", "salt"])
+        .groupBy("event_type", "type_total")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -165,3 +165,58 @@ def s_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return fold_snapshots_to_final(snapshots)
+
+
+# --- stream-stream join: purchases ⋈ prior clicks within 1 h -------------
+# Both sides are watermarked streams; Spark buffers exactly the state
+# the time-range condition needs (clicks ≤ 1 h older than the purchase
+# watermark) and evicts the rest — bounded state at any scale. Input
+# files are time-ordered, so nothing is late and the drained result
+# equals the batch join bit-for-bit (oracle below).
+@register(
+    "s_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id,
+           CAST(epoch_us(p.ts) // 1000000
+                - epoch_us(c.ts) // 1000000 AS BIGINT) AS gap_s
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+    ORDER BY purchase_id, click_id
+    """,
+)
+def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = multi_batch_events_stream(spark, sf_dir, n_batches=4)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    out = joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
+    )
+    return _drain_to_memory(out, "append").orderBy("purchase_id", "click_id")

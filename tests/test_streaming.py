@@ -351,3 +351,20 @@ def test_cli_streamer_end_to_end(spark, sf_smoke, tmp_path_factory):
     cells = KeyedUpsertSink(spark, sink).current()
     assert cells.filter(F.col("qualifier") == "messages").count() >= 1
     assert cells.filter(F.col("qualifier") == "content").count() >= 1
+
+
+def test_compaction_preserves_rows(spark, sf_smoke, tmp_path):
+    """Fragment events into many tiny files, compact, assert identical
+    content and a bounded file count."""
+    from kafka_spark_streaming_spark.maintenance import compact_parquet
+
+    path = str(tmp_path / "frag")
+    ev = table(spark, sf_smoke, "events")
+    ev.repartition(64).write.parquet(path)
+    assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) == 64
+    before = ev.count()
+    n_files = compact_parquet(spark, path, target_file_bytes=1 << 20)
+    assert n_files < 64
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == before
+    assert after_df.exceptAll(ev).count() == 0
