@@ -220,3 +220,57 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
     )
     return _drain_to_memory(out, "append").orderBy("purchase_id", "click_id")
+
+
+# --- incremental materialized rollup (foreachBatch ETL) ------------------
+# Maintains a daily rollup incrementally: each micro-batch appends its
+# per-day PARTIAL aggregate stamped with batch_id; the read side
+# dedups (day, batch_id) — so a foreachBatch retry replaying a batch
+# cannot double-count — and folds partials to the rollup. Append-only
+# writes + exact-integer partials make this the idempotent,
+# shuffle-light way to keep a 100 TB rollup current: per batch it
+# shuffles |batch| rows to |days touched| partials, never rescans
+# history.
+@register(
+    "s_incremental_daily_rollup",
+    """
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_4dec
+    FROM events GROUP BY 1 ORDER BY d
+    """,
+)
+def s_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="kss_rollup_") + "/partials"
+    stream = multi_batch_events_stream(spark, sf_dir, n_batches=4)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(F.col("ts").cast("date").alias("d"))
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                    "ps"
+                ),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss_rck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(out).dropDuplicates(["d", "batch_id"])
+    return (
+        partials.groupBy("d")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("ps").alias("sum_value_4dec"),
+        )
+        .orderBy("d")
+    )
