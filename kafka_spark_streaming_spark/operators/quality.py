@@ -171,3 +171,65 @@ def j_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- exact interpolated median + dispersion moments ----------------------
+# percentile() (exact, sort-based) and the moment aggregates; both
+# engines implement the same continuous-quantile and Welford-style
+# definitions, rounded to 6 dp to absorb last-ulp accumulation-order
+# differences. At 100 TB the exact median needs a per-group sort —
+# sk_value_quantiles is the sketch alternative when that's too hot.
+@register(
+    "a_median_and_moments",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(stddev_samp(value), 6) AS sd_value,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_value_user
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a_median_and_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+            F.round(
+                F.corr(F.col("value"), F.col("user_id").cast("double")), 6
+            ).alias("corr_value_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- unpivot (wide → long) -----------------------------------------------
+@register(
+    "u_part_measures_long",
+    """
+    SELECT p_partkey, measure, val FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS sizev,
+             p_retailprice AS price
+      FROM part
+    ) UNPIVOT (val FOR measure IN (sizev AS 'size', price AS 'price'))
+    ORDER BY p_partkey, measure
+    """,
+)
+def u_part_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("sizev"),
+        F.col("p_retailprice").alias("price"),
+    )
+    return (
+        p.unpivot(
+            "p_partkey", ["sizev", "price"], "measure", "val"
+        )
+        .withColumn(
+            "measure",
+            F.when(F.col("measure") == "sizev", "size").otherwise("price"),
+        )
+        .orderBy("p_partkey", "measure")
+    )
