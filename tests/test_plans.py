@@ -111,3 +111,33 @@ def test_partitioned_scan_prunes(spark, sf_smoke):
     plan = plan_of(spark, "p_pruned_daily_type_counts", sf_smoke)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "event_date" in pf[0], "date filter not pruning partitions"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q8_market_share", "q9_profit_by_nation_year", "q2_min_cost_supplier"],
+)
+def test_tpch2_dims_broadcast(spark, sf_smoke, name):
+    plan = plan_of(spark, name, sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_fact_shuffle_topology(spark, sf_smoke):
+    # the double-EXISTS rewrite must not self-join lineitem three ways:
+    # no more than the groupBy + semi-join exchanges, and no cartesian
+    plan = plan_of(spark, "q21_sole_return_supplier", sf_smoke)
+    assert "CartesianProduct" not in plan
+    # formatted mode prints each scan node twice (tree + detail);
+    # <=5 real scans = lineitem×2, orders×2, supplier — the naive
+    # double-EXISTS form would need 3 lineitem self-joins on top
+    assert plan.count("Scan parquet") <= 10
+
+
+def test_pruned_scan_reads_single_partition(spark, sf_smoke):
+    df = QUERIES["p_pruned_daily_type_counts"](spark, sf_smoke)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partition pruning happened if the scan's selected partition count
+    # is 1 of ~30 (one day of a one-month table)
+    assert "event_date" in plan
