@@ -133,3 +133,91 @@ def m_mime_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("f0"), 6).alias("avg_f0"),
         )
     )
+
+
+# --- frame sampling (video → k frames, row explosion in Python) ----------
+def fake_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for ffmpeg frame extraction: slice the
+    payload into n evenly-spaced chunks. Real decode goes through
+    decode_media (NotImplementedError here — codecs absent)."""
+    if not payload:
+        return []
+    step = max(len(payload) // n_frames, 1)
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+
+@register("m_frame_sample")  # python-side extraction ⇒ rows-only check
+def m_frame_sample(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over video rows: mapInPandas explodes each video
+    payload into (doc_id, frame_idx, frame binary, n_bytes) rows — the
+    Arrow-batched row-expansion shape a real ffmpeg sampler uses. At
+    100 TB the explosion factor (frames/video) multiplies output
+    partitions, so the input stays partitioned by doc_id and frames
+    inherit it — no shuffle added by the sampler itself."""
+    m = media_manifest(spark, sf_dir).filter(
+        F.col("meta.mime") == "video/mp4"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_frame = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, frame in enumerate(fake_frames(payload, n_frames)):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_frame.append(frame)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": out_idx,
+                    "frame": out_frame,
+                }
+            )
+
+    frames = m.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, frame binary"
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+# --- resize plumbing (stubbed codec, real schema/batch path) -------------
+@register("m_resize_stub")  # python-side ⇒ rows-only check
+def m_resize_stub(spark: SparkSession, sf_dir: str,
+                  target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Image-resize pipeline shape: images → (doc_id, resized binary,
+    out_w, out_h). The pixel work is a deterministic stub (PIL absent);
+    the Arrow batching, binary columns, and metadata math are real."""
+    m = media_manifest(spark, sf_dir).filter(
+        F.col("meta.mime") == "image/png"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                # stub: crop/pad payload to the target "pixel count"
+                (p[: target_w * target_h] if p else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "resized": resized,
+                    "out_w": [min(target_w, m_["width"]) for m_ in pdf["meta"]],
+                    "out_h": [min(target_h, m_["height"]) for m_ in pdf["meta"]],
+                }
+            )
+
+    out = m.mapInPandas(
+        resize, schema="doc_id long, resized binary, out_w int, out_h int"
+    )
+    return out.select(
+        "doc_id",
+        F.octet_length("resized").cast("bigint").alias("resized_bytes"),
+        "out_w",
+        "out_h",
+    )

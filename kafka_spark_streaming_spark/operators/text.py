@@ -209,3 +209,31 @@ def t_source_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(_toks()).cast("bigint")).alias("total_tokens"),
         (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
     )
+
+
+# --- BPE-ish regex token counting ----------------------------------------
+# The GPT-2-style pre-tokenizer shape: words-with-leading-space,
+# numbers, punctuation runs — as one regexp_extract_all, JVM-side.
+# (A real BPE merge table is model-specific; counting pre-tokens is the
+# pipeline-relevant cost/length signal.)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "t_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    ).orderBy("doc_id")

@@ -170,3 +170,36 @@ def test_ivf_recall_vs_scanned_fraction(spark, sf_smoke):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, f"IVF recall {recall:.2f} below scanned fraction"
+
+
+def test_frame_sample_shape(spark, sf_smoke):
+    """Every video row explodes into exactly n_frames deterministic
+    frames; frame bytes are non-empty and reproducible (same md5 on
+    re-run)."""
+    from kafka_spark_streaming_spark.operators import QUERIES
+    from kafka_spark_streaming_spark.operators.multimodal import media_manifest
+    from pyspark.sql import functions as F
+
+    frames = QUERIES["m_frame_sample"](spark, sf_smoke)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert per_doc and all(r["count"] == 4 for r in per_doc)
+    n_videos = (
+        media_manifest(spark, sf_smoke)
+        .filter(F.col("meta.mime") == "video/mp4")
+        .count()
+    )
+    assert len(per_doc) == n_videos
+    a = {(r.doc_id, r.frame_idx): r.frame_md5 for r in frames.collect()}
+    b = {
+        (r.doc_id, r.frame_idx): r.frame_md5
+        for r in QUERIES["m_frame_sample"](spark, sf_smoke).collect()
+    }
+    assert a == b
+
+
+def test_resize_stub_bounds(spark, sf_smoke):
+    from kafka_spark_streaming_spark.operators import QUERIES
+
+    for r in QUERIES["m_resize_stub"](spark, sf_smoke).collect():
+        assert 0 < r.out_w <= 64 and 0 < r.out_h <= 64
+        assert r.resized_bytes <= 64 * 64
