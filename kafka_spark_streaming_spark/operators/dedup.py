@@ -367,3 +367,46 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- semantic-only near-dup: high embedding cosine, low lexical overlap --
+# Cross-table composition (embeddings.vec_id == documents.doc_id):
+# pairs whose embeddings agree (cosine >= 0.25 on the near-uniform
+# fixture) but whose texts do NOT share >=0.8 Jaccard — the "semantic
+# dup the lexical pass misses" slice a dedup pipeline reports. The
+# pair generator is the (fixed-size) embedding self-join; at corpus
+# scale swap it for the ANN candidates (similarity.py) exactly like
+# LSH replaces the shingle self-join.
+@register(
+    "d_semantic_only_pairs",
+    f"""
+    WITH lex AS ({_JACCARD_PAIRS_SQL}),
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sem AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.25)
+    SELECT sem.doc_a, sem.doc_b, cos
+    FROM sem LEFT JOIN lex
+      ON sem.doc_a = lex.doc_a AND sem.doc_b = lex.doc_b
+    WHERE lex.doc_a IS NULL
+    ORDER BY sem.doc_a, sem.doc_b
+    """,
+)
+def d_semantic_only_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    sem = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.25)
+        .select("doc_a", "doc_b", F.round("cos_raw", 6).alias("cos"))
+    )
+    lex = d_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        sem.join(lex, ["doc_a", "doc_b"], "left_anti")
+        .orderBy("doc_a", "doc_b")
+    )

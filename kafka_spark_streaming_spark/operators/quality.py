@@ -233,3 +233,25 @@ def u_part_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "measure")
     )
+
+
+# --- stratified sampling (training-data subsampling) ---------------------
+@register("smp_stratified_events")  # seeded sampler is engine-specific ⇒ rows-only
+def smp_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum downsampling with sampleBy (seed 42): keep 50% of
+    views/clicks, everything else intact — the class-rebalancing shape
+    of a training-data pipeline. Sampling happens at the scan (a
+    per-row Bernoulli draw, no shuffle); tests assert per-stratum
+    proportions within binomial tolerance and cross-run determinism."""
+    ev = table(spark, sf_dir, "events")
+    fractions = {
+        "view": 0.5,
+        "click": 0.5,
+        "purchase": 1.0,
+        "signup": 1.0,
+        "error": 1.0,
+    }
+    sample = ev.sampleBy("event_type", fractions, seed=42)
+    return sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )

@@ -203,3 +203,28 @@ def test_resize_stub_bounds(spark, sf_smoke):
     for r in QUERIES["m_resize_stub"](spark, sf_smoke).collect():
         assert 0 < r.out_w <= 64 and 0 < r.out_h <= 64
         assert r.resized_bytes <= 64 * 64
+
+
+def test_stratified_sample_proportions_and_determinism(spark, sf_smoke):
+    from kafka_spark_streaming_spark.operators import QUERIES
+    from kafka_spark_streaming_spark.tables import table
+
+    kept = {
+        r.event_type: r.n_kept
+        for r in QUERIES["smp_stratified_events"](spark, sf_smoke).collect()
+    }
+    totals = {
+        r.event_type: r["count"]
+        for r in table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    for et, frac in [("view", 0.5), ("click", 0.5), ("purchase", 1.0)]:
+        share = kept.get(et, 0) / totals[et]
+        assert abs(share - frac) < 0.15, f"{et}: kept {share:.2f} vs {frac}"
+    again = {
+        r.event_type: r.n_kept
+        for r in QUERIES["smp_stratified_events"](spark, sf_smoke).collect()
+    }
+    assert kept == again, "seeded sampler not deterministic across runs"
