@@ -423,3 +423,87 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sess_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- scalar math functions -----------------------------------------------
+@register(
+    "scalar_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_d,
+           round(ceil(l_quantity / 7.0), 6) AS ceil_q,
+           round(floor(l_extendedprice / 1000.0), 6) AS floor_p,
+           round(sqrt(l_quantity), 6) AS sqrt_q,
+           round(ln(l_extendedprice), 6) AS ln_p,
+           round(exp(l_discount), 6) AS exp_d,
+           round(pow(l_quantity, 2), 6) AS q_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+           sign(l_discount - 0.05) AS sgn,
+           round(sin(l_tax), 6) AS sin_t,
+           greatest(l_quantity, 10.0) AS gq,
+           least(l_quantity, 10.0) AS lq
+    FROM lineitem WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.round(F.ceil(F.col("l_quantity") / 7.0).cast("double"), 6).alias("ceil_q"),
+        F.round(F.floor(F.col("l_extendedprice") / 1000.0).cast("double"), 6).alias("floor_p"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_q"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        F.round(F.exp("l_discount"), 6).alias("exp_d"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("q_sq"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.round(F.sin("l_tax"), 6).alias("sin_t"),
+        F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("gq"),
+        F.least(F.col("l_quantity"), F.lit(10.0)).alias("lq"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --- array / higher-order functions --------------------------------------
+@register(
+    "scalar_array_funcs",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks) AS n,
+           toks[1] AS first_tok,
+           toks[len(toks)] AS last_tok,
+           array_to_string(list_slice(toks, 1, 3), '-') AS first3,
+           len(list_distinct(toks)) AS n_uniq,
+           list_contains(toks, 'the') AS has_the,
+           len(list_filter(toks, t -> len(t) > 4)) AS n_long,
+           list_sum(list_transform(toks, t -> len(t))) AS sum_len,
+           array_to_string(list_sort(list_distinct(
+               list_slice(toks, 1, 5))), ',') AS sorted5
+    FROM t ORDER BY doc_id
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.slice(toks, 1, 5))), ","
+        ).alias("sorted5"),
+    ).orderBy("doc_id")
