@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kafka_spark_streaming_spark.functions import cosine_similarity
 from kafka_spark_streaming_spark.operators.registry import register
@@ -366,6 +367,97 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- duplicate clusters: connected components over near-dup pairs --------
+# The step between "pairs" and "a deduplicated corpus": near-dup pairs
+# form a graph; each connected component is one duplicate cluster; the
+# pipeline keeps one canonical doc per cluster. Spark has no built-in
+# CC, so we implement min-label propagation as a loop of DataFrame
+# joins — every iteration is a pure distributed plan (join + groupBy),
+# the driver only compares one aggregate between rounds to detect the
+# fixpoint. Iteration count = cluster diameter; near-dup clusters are
+# shallow (dups of dups), so this is 2-4 rounds in practice. For
+# adversarially deep graphs swap the propagation body for the
+# alternating large-star/small-star rounds (Kiveris et al., "Connected
+# Components in MapReduce and Beyond") — same join shapes, O(log²n)
+# rounds. localCheckpoint per round cuts the exponentially-growing
+# lineage, exactly like GraphFrames' CC does with its own checkpoints.
+@register(
+    "d_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY id)
+    SELECT c.doc_id, c.cluster_id,
+           CASE WHEN ROW_NUMBER() OVER (
+                  PARTITION BY c.cluster_id
+                  ORDER BY d.n_chars DESC, c.doc_id ASC) = 1
+                THEN 1 ELSE 0 END AS keep
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    """,
+)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = d_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint(eager=True)  # pair generation runs exactly once
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    while True:
+        # each node adopts min(own label, neighbors' labels); labels
+        # only ever decrease, so the label-sum is a convergence witness
+        neigh = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(neigh, labels["id"] == neigh["u"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        comp.join(docs, "doc_id")
+        .withColumn(
+            "keep",
+            F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select("doc_id", "cluster_id", "keep")
     )
 
 

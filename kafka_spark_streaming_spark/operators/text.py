@@ -237,3 +237,62 @@ def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
     ).orderBy("doc_id")
+
+
+# --- TF-IDF top terms per document ---------------------------------------
+# Corpus-relative term weighting: tf(doc, term) * ln(N / df(term)),
+# top 3 terms per doc. Two shuffles total — one groupBy (doc, term)
+# for tf (the df counts reuse that aggregate, grouping again by term
+# only), one window per doc for the top-k. The corpus size N joins in
+# as a broadcast of a 1-row aggregate, never a driver collect. At
+# 100 TB the df table is vocabulary-sized — small enough to broadcast
+# into the scoring join.
+@register(
+    "t_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n * 1.0 / dfreq.df) AS score
+      FROM tf JOIN dfreq USING (term), n)
+    SELECT doc_id, term, round(score, 6) AS tfidf, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("score", 6).alias("tfidf"), "rn")
+    )

@@ -228,3 +228,36 @@ def test_stratified_sample_proportions_and_determinism(spark, sf_smoke):
         for r in QUERIES["smp_stratified_events"](spark, sf_smoke).collect()
     }
     assert kept == again, "seeded sampler not deterministic across runs"
+
+
+def test_dup_clusters_partition_pairs(spark, sf_correct, exact_pairs):
+    # every paired doc lands in a cluster; both ends of every near-dup
+    # pair share a cluster id; exactly one keep=1 doc per cluster
+    rows = QUERIES["d_dup_clusters"](spark, sf_correct).collect()
+    cluster = {r.doc_id: r.cluster_id for r in rows}
+    for a, b in exact_pairs:
+        assert cluster[a] == cluster[b], f"pair ({a},{b}) split across clusters"
+    keeps: dict[int, int] = {}
+    for r in rows:
+        keeps[r.cluster_id] = keeps.get(r.cluster_id, 0) + r.keep
+    assert all(k == 1 for k in keeps.values())
+    # cluster id is the component minimum — a member of the cluster
+    for r in rows:
+        assert r.cluster_id <= r.doc_id
+        assert r.cluster_id in cluster
+
+
+def test_tfidf_top_terms_shape(spark, sf_correct):
+    rows = QUERIES["t_tfidf_top_terms"](spark, sf_correct).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, terms in per_doc.items():
+        assert 1 <= len(terms) <= 3
+        assert sorted(t.rn for t in terms) == list(range(1, len(terms) + 1))
+        # descending weight in rank order
+        ordered = sorted(terms, key=lambda t: t.rn)
+        assert all(
+            ordered[i].tfidf >= ordered[i + 1].tfidf
+            for i in range(len(ordered) - 1)
+        )
