@@ -507,3 +507,32 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_distinct(F.slice(toks, 1, 5))), ","
         ).alias("sorted5"),
     ).orderBy("doc_id")
+
+
+# --- window: NTILE deciles over customer revenue -------------------------
+# A global NTILE needs a total order — on a cluster that is a single-
+# partition window, the one window shape that does NOT scale. This
+# implementation keeps the exact semantics for the oracle; the 100 TB
+# path replaces it with approx_percentile(revenue, [0.1..0.9])
+# broadcast as cutpoints + a bucket expression — one pass, no global
+# sort, boundary-approximate. Order is fully deterministic (revenue
+# DESC, custkey ASC) so both engines tile identically.
+@register(
+    "w_revenue_deciles",
+    """
+    SELECT c_custkey, revenue,
+           NTILE(10) OVER (ORDER BY revenue DESC, c_custkey ASC) AS decile
+    FROM (
+      SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY o_custkey)
+    """,
+)
+def w_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("revenue")
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return rev.withColumn("decile", F.ntile(10).over(w))

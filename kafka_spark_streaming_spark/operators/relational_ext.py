@@ -435,3 +435,42 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+# --- full outer join: per-user purchase vs click reconciliation ----------
+# The one join type the surface was missing. Both sides are pre-
+# aggregated on the join key before the join, so the full-outer is a
+# shuffle-on-key merge of two already-small per-user tables — at
+# 100 TB the aggregation does the data reduction and the join cost is
+# O(distinct users), not O(events). The USING-style join keeps a
+# single coalesced user_id column on both engines.
+@register(
+    "j_full_outer_user_activity",
+    """
+    WITH p AS (SELECT user_id, COUNT(*) AS n_purchases
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    c AS (SELECT user_id, COUNT(*) AS n_clicks
+          FROM events WHERE event_type = 'click' GROUP BY user_id)
+    SELECT user_id,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(n_clicks, 0) AS n_clicks
+    FROM p FULL OUTER JOIN c USING (user_id)
+    """,
+)
+def j_full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    return p.join(c, ["user_id"], "full_outer").select(
+        "user_id",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+    )

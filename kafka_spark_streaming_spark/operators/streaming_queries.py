@@ -30,7 +30,10 @@ from kafka_spark_streaming_spark.streaming.stateful import (
     multi_batch_events_stream,
     user_lifetime_stats,
 )
-from kafka_spark_streaming_spark.streaming.windows import windowed_counts
+from kafka_spark_streaming_spark.streaming.windows import (
+    sessionized_counts,
+    windowed_counts,
+)
 from kafka_spark_streaming_spark.tables import MESSAGES_ORACLE_SQL
 
 _M = f"WITH messages AS ({MESSAGES_ORACLE_SQL})"
@@ -82,6 +85,42 @@ def s_stream_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = file_stream_messages(spark, _events_path(sf_dir))
     return _drain_to_memory(windowed_counts(msgs, "1 hour"), "complete")
+
+
+# --- event-time session windows (phase 2) --------------------------------
+# Gap-based sessions via session_window: state merges adjacent events
+# per key until a 30-min silence. The oracle is the batch gaps-and-
+# islands equivalent (lag → gap flag → running sum = session id) with
+# Spark's window semantics: a new session starts when the gap is >= the
+# timeout, and session end = last event + timeout.
+@register(
+    "s_session_counts",
+    f"""
+    {_M},
+    m AS (SELECT key, ts FROM messages WHERE key IS NOT NULL),
+    flagged AS (
+      SELECT key, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts)
+                    >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM m),
+    sess AS (
+      SELECT key, ts,
+             SUM(new_sess) OVER (PARTITION BY key ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT key,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS sess_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY key, sid
+    """,
+)
+def s_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = file_stream_messages(spark, _events_path(sf_dir))
+    return _drain_to_memory(
+        sessionized_counts(msgs, gap="30 minutes"), "complete"
+    )
 
 
 # --- streaming dedup (T5, cross-batch) -----------------------------------

@@ -141,3 +141,27 @@ def test_pruned_scan_reads_single_partition(spark, sf_smoke):
     # partition pruning happened if the scan's selected partition count
     # is 1 of ~30 (one day of a one-month table)
     assert "event_date" in plan
+
+
+def test_tfidf_small_sides_broadcast(spark, sf_smoke):
+    # df table (vocab-sized) and the 1-row corpus count must broadcast
+    # into the scoring join — a shuffle join on term here would move
+    # the whole tf table twice at corpus scale
+    plan = plan_of(spark, "t_tfidf_top_terms", sf_smoke)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or plan.count(
+        "BroadcastHashJoin"
+    ) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_full_outer_preaggregates_before_join(spark, sf_smoke):
+    # both sides reduce to per-user counts BEFORE the full-outer join:
+    # two partial+final aggregates must appear below the join
+    plan = plan_of(spark, "j_full_outer_user_activity", sf_smoke)
+    assert "FullOuter" in plan
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    assert join_pos != -1
+    assert plan.count("HashAggregate") >= 4, "aggregation not below the join"
