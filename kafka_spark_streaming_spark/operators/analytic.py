@@ -536,3 +536,86 @@ def w_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return rev.withColumn("decile", F.ntile(10).over(w))
+
+
+# --- daily funnel: new vs returning users, cumulative reach --------------
+# First-seen date per user (one groupBy) left-joined onto daily active
+# counts; cumulative reach is a running sum over days. The running sum
+# is a single-partition window, but its input is ONE ROW PER DAY —
+# constant-sized regardless of corpus scale, so the global window is
+# safe here (unlike a per-row global rank).
+@register(
+    "time_new_vs_returning_users",
+    """
+    WITH firstseen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS active_users
+      FROM events GROUP BY 1),
+    news AS (SELECT day, COUNT(*) AS new_users FROM firstseen GROUP BY day)
+    SELECT d.day, d.active_users,
+           COALESCE(n.new_users, 0) AS new_users,
+           d.active_users - COALESCE(n.new_users, 0) AS returning_users,
+           SUM(COALESCE(n.new_users, 0)) OVER (
+             ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_users
+    FROM daily d LEFT JOIN news n USING (day)
+    """,
+)
+def time_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firstseen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    news = firstseen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        daily.join(news, ["day"], "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            (F.col("active_users") - F.coalesce("new_users", F.lit(0))).alias(
+                "returning_users"
+            ),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+    )
+
+
+# --- window: the full ranking-function family ----------------------------
+# rank / dense_rank / percent_rank / cume_dist in one pass — one
+# shuffle on the partition key, one sort, four outputs; the ordering
+# carries a unique tiebreak (custkey) so both engines rank
+# identically.
+@register(
+    "w_rank_functions",
+    """
+    SELECT c_nationkey, c_custkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           round(PERCENT_RANK() OVER w, 6) AS prank,
+           round(CUME_DIST() OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

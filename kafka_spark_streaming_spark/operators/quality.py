@@ -255,3 +255,37 @@ def smp_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_kept")
     )
+
+
+# --- deterministic capped sampling per stratum ---------------------------
+# "At most K docs per source" — the contamination/over-representation
+# cap a corpus builder applies before training. Selection is a
+# content-independent deterministic order (md5 of the doc id, a string
+# both engines hash identically), so the sample is reproducible across
+# runs AND across engines — which is what makes it oracle-checkable,
+# unlike an RNG sampler. One shuffle on the stratum key, per-partition
+# top-K heap via row_number; no global sort.
+@register(
+    "smp_capped_per_source",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def smp_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id", "n_chars")
+    )

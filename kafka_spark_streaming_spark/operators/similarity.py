@@ -311,3 +311,39 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str,
         .select("query_id", "neighbor_id", "s")
     )
     return _topk(scored)
+
+
+# --- per-language embedding centroids (elementwise array aggregate) ------
+# The "average the vectors per group" primitive every embedding
+# pipeline needs (cluster centroids, class prototypes). Expressed as
+# posexplode → groupBy(lang, pos) → avg: the explode turns elementwise
+# array math into plain columnar aggregation that partial-aggregates
+# map-side and scales with executors — no UDF, no collect. Output is
+# limited to the first 8 dimensions to keep the oracle readable; the
+# plan shape is dimension-count-independent.
+@register(
+    "sim_lang_centroid_dims",
+    """
+    WITH ed AS (
+      SELECT d.lang, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+    ex AS (
+      SELECT lang, i.i - 1 AS pos, v[i.i] AS x
+      FROM ed, (SELECT unnest(range(1, 9)) AS i) i)
+    SELECT lang, pos, round(AVG(x), 6) AS centroid_x, COUNT(*) AS n_vecs
+    FROM ex GROUP BY lang, pos
+    """,
+)
+def sim_lang_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ed = e.join(F.broadcast(d), e.vec_id == d.doc_id).select(
+        "lang", F.slice("embedding", 1, 8).alias("v")
+    )
+    ex = ed.select(
+        "lang", F.posexplode("v").alias("pos", "x")
+    ).select("lang", "pos", F.col("x").cast("double").alias("x"))
+    return ex.groupBy("lang", "pos").agg(
+        F.round(F.avg("x"), 6).alias("centroid_x"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
