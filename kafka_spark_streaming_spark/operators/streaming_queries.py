@@ -134,6 +134,30 @@ def s_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(distinct, "append")
 
 
+# --- streaming dedup with watermark-bounded state ------------------------
+# dropDuplicatesWithinWatermark: the scale-safe upgrade of
+# s_stream_distinct — state for a (key, value) is evicted once the
+# watermark passes its event time + delay, so state size is bounded by
+# the delay window instead of growing with history. Drained as a
+# single availableNow batch the watermark starts at epoch 0, nothing
+# evicts mid-batch, and the emitted set equals batch DISTINCT — which
+# is what makes it oracle-checkable.
+@register(
+    "s_dedup_within_watermark",
+    f"{_M} SELECT DISTINCT key, value FROM messages",
+)
+def s_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_spark_streaming_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    msgs = file_stream_messages(spark, _events_path(sf_dir))
+    dd = dedup_within_watermark(msgs, watermark="2 hours").select(
+        "key", "value"
+    )
+    return _drain_to_memory(dd, "append")
+
+
 # --- the full Streamer pipeline → sink state ----------------------------
 # End-to-end: stream → foreachBatch summary + bulk upsert → LWW cell
 # store; the returned DF is the sink's final state. Oracle rebuilds the

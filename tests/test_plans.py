@@ -165,3 +165,24 @@ def test_full_outer_preaggregates_before_join(spark, sf_smoke):
         join_pos = plan.find("ShuffledHashJoin")
     assert join_pos != -1
     assert plan.count("HashAggregate") >= 4, "aggregation not below the join"
+
+
+def test_capped_sampler_single_shuffle_no_global_sort(spark, sf_smoke):
+    # per-stratum top-K must be one exchange on the stratum key and a
+    # per-partition sort — a global Sort node would serialize the corpus
+    plan = plan_of(spark, "smp_capped_per_source", sf_smoke)
+    # formatted explain prints each node twice (tree + detail), so
+    # count tree entries only
+    assert plan.count("+- Exchange") == 1
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+    # map-side partial top-K before the shuffle (WindowGroupLimit):
+    # only ≤K rows per stratum per input partition reach the exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_centroid_doc_join_broadcasts(spark, sf_smoke):
+    # the documents(lang) side is dimension-sized — must broadcast, and
+    # the explode must sit above the join, not force a shuffle join
+    plan = plan_of(spark, "sim_lang_centroid_dims", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
