@@ -134,6 +134,50 @@ def s_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(distinct, "append")
 
 
+# --- stream-static enrichment join ---------------------------------------
+# The third streaming join shape (next to stream-stream and stateful):
+# each micro-batch broadcast-joins against a static dimension — no
+# state, the dim is re-resolvable per batch. Here the dim is a
+# batch-computed user→cohort table; at scale it is the classic
+# "enrich events with user metadata" pattern where the dim broadcast
+# replaces any shuffle of the stream.
+@register(
+    "s_stream_static_enrich",
+    """
+    WITH dim AS (
+      SELECT user_id, user_id % 7 AS cohort
+      FROM (SELECT DISTINCT user_id FROM events))
+    SELECT cohort, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_value_4dec
+    FROM events e JOIN dim USING (user_id)
+    GROUP BY cohort
+    """,
+)
+def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_spark_streaming_spark.sources.files import file_stream_events
+    from kafka_spark_streaming_spark.tables import table
+
+    dim = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 7)
+    )
+    stream = file_stream_events(spark, _events_path(sf_dir))
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_4dec"),
+        )
+    )
+    return _drain_to_memory(agg, "complete")
+
+
 # --- streaming dedup with watermark-bounded state ------------------------
 # dropDuplicatesWithinWatermark: the scale-safe upgrade of
 # s_stream_distinct — state for a (key, value) is evicted once the
