@@ -619,3 +619,42 @@ def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+# --- scalar conditional / null-handling functions ------------------------
+# CASE, NULLIF, GREATEST/LEAST, COALESCE — the branch-free conditional
+# surface; all constant-folding-friendly Catalyst expressions inside
+# one codegen stage, no shuffle.
+@register(
+    "scalar_cond_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 25 THEN 'bulk'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'small' END AS qty_class,
+           NULLIF(l_linestatus, 'O') AS closed_status,
+           GREATEST(l_quantity, CAST(l_discount * 100 AS DOUBLE))
+             AS greatest_v,
+           LEAST(l_tax, l_discount) AS least_rate,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS return_or_none
+    FROM lineitem
+    """,
+)
+def scalar_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > 25, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("qty_class"),
+        F.nullif(F.col("l_linestatus"), F.lit("O")).alias("closed_status"),
+        F.greatest(
+            F.col("l_quantity"), (F.col("l_discount") * 100).cast("double")
+        ).alias("greatest_v"),
+        F.least("l_tax", "l_discount").alias("least_rate"),
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")
+        ).alias("return_or_none"),
+    )
