@@ -289,3 +289,47 @@ def smp_capped_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("source", "doc_id", "n_chars")
     )
+
+
+# --- equi-width histogram (width_bucket) ---------------------------------
+# The profiling histogram: one scan, integer bucket arithmetic, one
+# groupBy — the shape never changes with scale, and the bucket count
+# (not the row count) bounds the output. Bounds are fixed constants so
+# the bucketing is reproducible run-to-run (a data-derived min/max
+# would need a first pass; at 100 TB you take bounds from table stats).
+@register(
+    "q_order_price_histogram",
+    """
+    SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN 0
+                WHEN CAST(o_totalprice AS DOUBLE) >= 600000.0 THEN 13
+                ELSE CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 50000.0)
+                          AS BIGINT) + 1 END
+             AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS max_price
+    FROM orders GROUP BY bucket
+    """,
+)
+def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    money = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        o.withColumn(
+            "bucket",
+            F.width_bucket(
+                F.col("o_totalprice").cast("double"),
+                F.lit(0.0),
+                F.lit(600000.0),
+                F.lit(12),
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(money).cast("double").alias("min_price"),
+            F.max(money).cast("double").alias("max_price"),
+        )
+    )
