@@ -438,7 +438,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(exp(l_discount), 6) AS exp_d,
            round(pow(l_quantity, 2), 6) AS q_sq,
            CAST(l_orderkey % 7 AS BIGINT) AS mod7,
-           sign(l_discount - 0.05) AS sgn,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn,
            round(sin(l_tax), 6) AS sin_t,
            greatest(l_quantity, 10.0) AS gq,
            least(l_quantity, 10.0) AS lq
@@ -459,7 +459,9 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("l_discount"), 6).alias("exp_d"),
         F.round(F.pow("l_quantity", F.lit(2)), 6).alias("q_sq"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
-        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        # DuckDB sign() is TINYINT, Spark signum() is DOUBLE — a float-vs-int
+        # kind mismatch the driver's dtype-sensitive hash rejects; pin BIGINT.
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("sgn"),
         F.round(F.sin("l_tax"), 6).alias("sin_t"),
         F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("gq"),
         F.least(F.col("l_quantity"), F.lit(10.0)).alias("lq"),
@@ -480,7 +482,8 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_distinct(toks)) AS n_uniq,
            list_contains(toks, 'the') AS has_the,
            len(list_filter(toks, t -> len(t) > 4)) AS n_long,
-           list_sum(list_transform(toks, t -> len(t))) AS sum_len,
+           CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+               AS sum_len,
            array_to_string(list_sort(list_distinct(
                list_slice(toks, 1, 5))), ',') AS sorted5
     FROM t ORDER BY doc_id
@@ -491,13 +494,15 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n"),
+        # DuckDB len() is BIGINT and list_sum() is HUGEINT (→ float64 in
+        # pandas) — cast both engines to BIGINT so dtypes agree end-to-end.
+        F.size(toks).cast("bigint").alias("n"),
         F.element_at(toks, 1).alias("first_tok"),
         F.element_at(toks, -1).alias("last_tok"),
         F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
-        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
         F.array_contains(toks, "the").alias("has_the"),
-        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("bigint").alias("n_long"),
         F.aggregate(
             F.transform(toks, lambda t: F.length(t).cast("bigint")),
             F.lit(0).cast("bigint"),
@@ -557,9 +562,9 @@ def w_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.day, d.active_users,
            COALESCE(n.new_users, 0) AS new_users,
            d.active_users - COALESCE(n.new_users, 0) AS returning_users,
-           SUM(COALESCE(n.new_users, 0)) OVER (
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (
              ORDER BY d.day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cum_users
     FROM daily d LEFT JOIN news n USING (day)
     """,

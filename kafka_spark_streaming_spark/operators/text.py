@@ -32,8 +32,8 @@ def _toks(col: str = "text") -> F.Column:
     SELECT doc_id, n_chars,
            len(string_split(text, ' ')) AS n_tokens,
            len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
-           list_sum(list_transform(string_split(text, ' '), t -> len(t)))
-               AS sum_token_len,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+               t -> len(t))) AS BIGINT) AS sum_token_len,
            len(string_split(text, ' ')) - len(list_distinct(
                string_split(text, ' '))) AS n_repeats
     FROM documents
