@@ -96,11 +96,12 @@ def fake_features(payload: bytes) -> list[float]:
     return [c / total for c in counts]
 
 
-@register("m_media_features")  # python-side extraction ⇒ rows-only check
-def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads — the real
     Arrow batch path a decoder would use (one pdf per Arrow batch,
-    payload bytes → fixed-dim feature vector)."""
+    payload bytes → fixed-dim feature vector). Array-returning internal
+    helper; the *registered* query explodes to scalars because the
+    driver's pandas canon cannot sort/hash list cells."""
     m = media_manifest(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -119,18 +120,74 @@ def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The fake extractor is a byte histogram; the corpus is pure ASCII at
+# every sf (verified), so byte == character and DuckDB can recompute the
+# exact feature values char-wise — a full value-level oracle for the
+# Arrow extraction path. (On a non-ASCII corpus this oracle would need
+# encode()-level byte access instead.)
+@register(
+    "m_media_features",
+    f"""
+    WITH chars AS (
+      SELECT doc_id, ascii(unnest(string_split(text, ''))) >> 5 AS bin
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, bin, COUNT(*) AS c FROM chars GROUP BY doc_id, bin
+    ), bins AS (
+      SELECT d.doc_id, length(d.text) AS total, r.range AS pos
+      FROM documents d, range({FEATURE_DIM}) r
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id % 3 = 0 THEN 'image/png'
+                WHEN b.doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CAST(b.pos AS INT) AS pos,
+           CAST(COALESCE(c.c, 0) AS DOUBLE)
+             / CAST(greatest(b.total, 1) AS DOUBLE) AS value
+    FROM bins b LEFT JOIN counts c
+      ON c.doc_id = b.doc_id AND c.bin = b.pos
+    """,
+)
+def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = media_feature_vectors(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "mime",
+        F.posexplode("features").alias("pos", "value"),
+    ).select("doc_id", "mime", F.col("pos").cast("int").alias("pos"), "value")
+
+
 # --- per-mime stats over extracted features ------------------------------
-@register("m_mime_feature_stats")  # depends on python extraction ⇒ rows-only
+# f3 = share of bytes in bin 3 (codes 96-127: lowercase ASCII) — the
+# non-degenerate bin on this corpus. Exact oracle via the same char-wise
+# recomputation as m_media_features.
+@register(
+    "m_mime_feature_stats",
+    """
+    WITH f3 AS (
+      SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[`a-z{{|}}~\x7f]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS f3
+      FROM documents
+    )
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           COUNT(*) AS n,
+           round(AVG(f3), 6) AS avg_f3
+    FROM f3 GROUP BY 1
+    """,
+)
 def m_mime_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = m_media_features(spark, sf_dir)
+    feats = media_feature_vectors(spark, sf_dir)
     return (
         feats.select(
-            "mime", F.element_at("features", 1).alias("f0")
+            "mime", F.element_at("features", 4).alias("f3")
         )
         .groupBy("mime")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("f0"), 6).alias("avg_f0"),
+            F.round(F.avg("f3"), 6).alias("avg_f3"),
         )
     )
 
@@ -146,7 +203,23 @@ def fake_frames(payload: bytes, n_frames: int) -> list[bytes]:
     return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
 
 
-@register("m_frame_sample")  # python-side extraction ⇒ rows-only check
+# Deterministic slicing stub + ASCII corpus ⇒ DuckDB reproduces every
+# frame byte-for-byte (substr on chars == slice on bytes), md5 included.
+@register(
+    "m_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id, text, greatest(length(text) // 4, 1) AS step
+      FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(r.range AS INT) AS frame_idx,
+           CAST(octet_length(encode(substr(text, CAST(r.range * step + 1 AS INT), CAST(step AS INT))))
+                AS BIGINT) AS frame_bytes,
+           md5(substr(text, CAST(r.range * step + 1 AS INT), CAST(step AS INT))) AS frame_md5
+    FROM v, range(4) r
+    """,
+)
 def m_frame_sample(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataFrame:
     """Frame sampling over video rows: mapInPandas explodes each video
     payload into (doc_id, frame_idx, frame binary, n_bytes) rows — the
@@ -186,7 +259,18 @@ def m_frame_sample(spark: SparkSession, sf_dir: str, n_frames: int = 4) -> DataF
 
 
 # --- resize plumbing (stubbed codec, real schema/batch path) -------------
-@register("m_resize_stub")  # python-side ⇒ rows-only check
+# Crop/pad arithmetic + metadata math is fully closed-form — exact oracle.
+@register(
+    "m_resize_stub",
+    """
+    SELECT doc_id,
+           CAST(least(octet_length(encode(text)), 4096) AS BIGINT)
+               AS resized_bytes,
+           CAST(least(64, (doc_id % 16) * 64 + 64) AS INT) AS out_w,
+           CAST(least(64, (doc_id % 9) * 64 + 64) AS INT) AS out_h
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
 def m_resize_stub(spark: SparkSession, sf_dir: str,
                   target_w: int = 64, target_h: int = 64) -> DataFrame:
     """Image-resize pipeline shape: images → (doc_id, resized binary,
