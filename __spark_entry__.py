@@ -22,12 +22,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from kafka_spark_streaming_spark.operators import QUERIES
+    from kafka_spark_streaming_spark.operators import ordered_queries
 
-    return dict(QUERIES)
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    from kafka_spark_streaming_spark.operators import ORACLES
+    from kafka_spark_streaming_spark.operators import ORACLES, ordered_queries
 
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in ordered_queries() if n in ORACLES}
