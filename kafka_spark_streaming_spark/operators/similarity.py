@@ -50,6 +50,65 @@ _TOPK_ORACLE = f"""
 """
 
 
+# LSH hyperplanes are a fixed seed-42 draw shared by the Spark query AND
+# its oracle: the SQL below embeds the same constants and recomputes the
+# whole ANN pipeline (sign buckets → candidate equi-join → exact-cosine
+# rerank → top-k) independently in DuckDB. Sign comparisons are robust
+# to summation-order float differences (dot products are never within
+# ulps of zero), so both engines bucket identically.
+_LSH_TABLES, _LSH_PLANES_PER_TABLE, _LSH_DIM = 8, 4, 64
+
+
+def _lsh_planes():
+    import numpy as np
+
+    return np.random.RandomState(42).randn(
+        _LSH_TABLES, _LSH_PLANES_PER_TABLE, _LSH_DIM
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    planes = _lsh_planes()
+
+    def bucket_expr(t: int) -> str:
+        cases = []
+        for p in range(_LSH_PLANES_PER_TABLE):
+            consts = ", ".join(repr(float(x)) for x in planes[t, p])
+            cases.append(
+                f"(CASE WHEN list_dot_product(v, [{consts}]) > 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(cases)
+
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, {bucket_expr(t)} AS bkt FROM e"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    buck AS (
+      {per_table}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buck q JOIN buck c ON q.t = c.t AND q.bkt = c.bkt
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(eq.v, ec.v) AS s
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e ec ON ec.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, round(s, 6) AS score, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """
+
+
 def _queries_and_candidates(spark: SparkSession, sf_dir: str):
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -125,10 +184,11 @@ def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- 3: LSH random-hyperplane ANN ----------------------------------------
-@register("sim_ann_lsh")  # approximate ⇒ rows-only driver check
+@register("sim_ann_lsh", _ann_lsh_oracle())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str,
-                n_tables: int = 8, planes_per_table: int = 4,
-                dim: int = 64) -> DataFrame:
+                n_tables: int = _LSH_TABLES,
+                planes_per_table: int = _LSH_PLANES_PER_TABLE,
+                dim: int = _LSH_DIM) -> DataFrame:
     """Multi-table random-hyperplane LSH (the standard recall lever:
     L independent tables of k planes each — P(miss) = (1-p^k)^L).
     Buckets are sign patterns against fixed seed-42 hyperplanes, so
@@ -139,10 +199,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str,
     corpus grows), the bucket join is an equi-join Catalyst shuffles on
     (table, bucket), and rerank cost is |candidates| not |corpus|.
     """
-    import numpy as np
-
-    rng = np.random.RandomState(42)
-    planes = rng.randn(n_tables, planes_per_table, dim)
+    planes = _lsh_planes()[:n_tables, :planes_per_table, :dim]
     e = table(spark, sf_dir, "embeddings")
 
     def dot_plane(t: int, p: int) -> F.Column:
