@@ -261,7 +261,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str,
 
 
 # --- 4: IVF-Flat ANN (coarse quantizer + probed cells) -------------------
-@register("sim_ann_ivf")  # approximate ⇒ rows-only driver check
+# rows-only by design: a value oracle would have to re-implement the
+# distributed Lloyd iteration (strided init → assign → re-center →
+# re-assign) in SQL; unlike the LSH oracle's fixed hyperplanes, the
+# centroids are data-dependent intermediates, so an independent SQL
+# recomputation stops being independent. Recall-vs-scan-fraction is
+# asserted in tests/test_northstar.py instead.
+@register("sim_ann_ivf")
 def sim_ann_ivf(spark: SparkSession, sf_dir: str,
                 n_cells: int = 16, n_probe: int = 8) -> DataFrame:
     """IVF-Flat: k-means coarse quantizer partitions the corpus into

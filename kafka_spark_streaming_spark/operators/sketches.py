@@ -93,14 +93,26 @@ def sk_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- HLL++ distinct users per event type (approximate, rows-only) --------
-@register("sk_hll_distinct_users")
+# --- HLL++ distinct users per event type ---------------------------------
+# The HLL estimate itself is engine-specific (no SQL oracle can exist
+# for the raw number), so the checkable contract is: the exact count —
+# fully SQL-verified — plus the sketch's error-bound predicate, which
+# is deterministic given the fixed rsd and data. The sketch genuinely
+# runs; the boolean fails if its estimate ever drifts past the bound.
+@register(
+    "sk_hll_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def sk_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++, rsd 1 %) next to the exact
-    count.  At 100 TB the exact variant needs a shuffle of every
-    distinct key; HLL is a constant-size mergeable sketch computed
-    map-side.  No SQL oracle (estimator is engine-specific);
-    tests assert relative error <= 5 %."""
+    """approx_count_distinct (HyperLogLog++, rsd 1 %) checked against
+    the exact count.  At 100 TB the exact variant needs a shuffle of
+    every distinct key; HLL is a constant-size mergeable sketch
+    computed map-side."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -108,23 +120,90 @@ def sk_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
-        .orderBy("event_type")
-    )
-
-
-# --- approximate quantiles of event value (rows-only) --------------------
-@register("sk_value_quantiles")
-def sk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (Greenwald-Khanna, accuracy 10000) per event
-    type — single-pass, mergeable, bounded memory; the exact quantile
-    would need a per-group sort.  Tests bound the rank error."""
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx(
-                "value", [0.5, 0.9, 0.99], 10000
-            ).alias("q50_90_99")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
         )
         .orderBy("event_type")
     )
+
+
+# --- approximate quantiles of event value --------------------------------
+# Same contract shape: exact interpolated percentiles (oracled against
+# DuckDB's quantile_cont) plus a rank-error predicate on the GK sketch
+# value — |cdf(approx_q) - q| within tolerance, computed against the
+# data itself.
+@register(
+    "sk_value_quantiles",
+    """
+    SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+           round(quantile_cont(value, 0.5), 6) AS exact_q,
+           TRUE AS approx_rank_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, CAST(0.9 AS DOUBLE) AS q,
+           round(quantile_cont(value, 0.9), 6) AS exact_q,
+           TRUE AS approx_rank_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, CAST(0.99 AS DOUBLE) AS q,
+           round(quantile_cont(value, 0.99), 6) AS exact_q,
+           TRUE AS approx_rank_ok
+    FROM events GROUP BY event_type
+    ORDER BY event_type, q
+    """,
+)
+def sk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna, accuracy 10000) per event
+    type — single-pass, mergeable, bounded memory — rank-checked
+    against the data; exact percentiles alongside for the oracle."""
+    ev = table(spark, sf_dir, "events")
+    qs = [0.5, 0.9, 0.99]
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, 10000).alias("aq"),
+        F.expr(f"percentile(value, array({', '.join(map(str, qs))}))").alias(
+            "eq"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_q = agg.select(
+        "event_type",
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("q"),
+                F.col("aq").alias("av"),
+                F.col("eq").alias("ev"),
+            )
+        ).alias("z"),
+    ).select(
+        "event_type",
+        "n",
+        F.col("z.q").alias("q"),
+        F.col("z.av").alias("av"),
+        F.col("z.ev").alias("ev"),
+    )
+    # rank check: share of values <= approx-quantile must sit within
+    # q ± (1/accuracy + one rank step)
+    vals = ev.select(F.col("event_type").alias("et"), "value")
+    cdf = (
+        per_q.join(vals, per_q.event_type == vals.et)
+        .groupBy("event_type", "q", "av", "ev", "n")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") <= F.col("av"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("cdf")
+        )
+    )
+    tol = F.lit(1.0 / 10000) + 2.0 / F.col("n")
+    return cdf.select(
+        "event_type",
+        "q",
+        F.round("ev", 6).alias("exact_q"),
+        (F.abs(F.col("cdf") - F.col("q")) <= tol).alias("approx_rank_ok"),
+    ).orderBy("event_type", "q")

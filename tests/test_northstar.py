@@ -38,15 +38,14 @@ def test_minhash_lsh_equals_exact(spark, sf_correct, exact_pairs):
     assert lsh == exact_pairs
 
 
-def test_simhash_recall_on_planted_pairs(spark, sf_correct, exact_pairs):
+def test_simhash_verified_equals_exact(spark, sf_correct, exact_pairs):
+    # banded candidates + exact verification ⇒ output equals the exact
+    # operator's (the banding captured every true pair on the fixtures)
     sim = {
         (r.doc_a, r.doc_b)
         for r in QUERIES["d_simhash_pairs"](spark, sf_correct).collect()
     }
-    recall = len(sim & exact_pairs) / len(exact_pairs)
-    assert recall >= 0.5, f"simhash recall {recall:.2f} of planted pairs"
-    # and it should not explode into a dense pair set
-    assert len(sim) < 50 * len(exact_pairs)
+    assert sim == exact_pairs
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_correct):
@@ -80,13 +79,22 @@ def test_fake_features_deterministic_and_normalized():
 
 
 def test_media_features_pipeline(spark, sf_smoke):
-    feats = QUERIES["m_media_features"](spark, sf_smoke)
-    rows = feats.collect()
+    from kafka_spark_streaming_spark.operators.multimodal import (
+        media_feature_vectors,
+    )
+
+    rows = media_feature_vectors(spark, sf_smoke).collect()
     assert len(rows) == 500
     assert all(len(r.features) == 8 for r in rows)
     # deterministic across runs (Arrow batching must not leak state)
-    again = {r.doc_id: r.features for r in QUERIES["m_media_features"](spark, sf_smoke).collect()}
+    again = {
+        r.doc_id: r.features
+        for r in media_feature_vectors(spark, sf_smoke).collect()
+    }
     assert all(again[r.doc_id] == r.features for r in rows)
+    # the registered query is the exploded scalar form: 8 rows per doc
+    exploded = QUERIES["m_media_features"](spark, sf_smoke)
+    assert exploded.count() == 500 * 8
 
 
 def test_exact_dedup_no_false_groups(spark, sf_correct):
@@ -99,33 +107,33 @@ def test_exact_dedup_no_false_groups(spark, sf_correct):
 def test_hll_distinct_error_bound(spark, sf_smoke):
     from kafka_spark_streaming_spark.operators import QUERIES
 
-    for row in QUERIES["sk_hll_distinct_users"](spark, sf_smoke).collect():
-        err = abs(row.approx_users - row.exact_users) / max(row.exact_users, 1)
-        assert err <= 0.05, f"{row.event_type}: HLL error {err:.2%}"
+    rows = QUERIES["sk_hll_distinct_users"](spark, sf_smoke).collect()
+    assert rows
+    for row in rows:
+        assert row.within_5pct, f"{row.event_type}: HLL outside 5% bound"
 
 
 def test_quantile_sketch_rank_error(spark, sf_smoke):
-    """percentile_approx must land within 1% rank error of exact."""
+    """The GK sketch's rank-error predicate must hold for every
+    (event_type, q), and the exact percentiles must match numpy."""
     import numpy as np
 
     from kafka_spark_streaming_spark.operators import QUERIES
     from kafka_spark_streaming_spark.tables import table
 
-    approx = {
-        r.event_type: r.q50_90_99
-        for r in QUERIES["sk_value_quantiles"](spark, sf_smoke).collect()
-    }
-    rows = table(spark, sf_smoke, "events").select("event_type", "value").collect()
+    rows = QUERIES["sk_value_quantiles"](spark, sf_smoke).collect()
+    assert rows
+    assert all(r.approx_rank_ok for r in rows)
     by_type: dict[str, list[float]] = {}
-    for r in rows:
+    for r in (
+        table(spark, sf_smoke, "events").select("event_type", "value").collect()
+    ):
         by_type.setdefault(r.event_type, []).append(r.value)
-    for et, vals in by_type.items():
-        xs = np.sort(np.array(vals))
-        for q, got in zip([0.5, 0.9, 0.99], approx[et]):
-            rank = np.searchsorted(xs, got, side="right") / len(xs)
-            assert abs(rank - q) <= 0.01 + 1.0 / len(xs), (
-                f"{et} q{q}: rank {rank:.3f}"
-            )
+    for r in rows:
+        want = float(np.percentile(np.array(by_type[r.event_type]), r.q * 100))
+        assert abs(r.exact_q - want) < 1e-4, (
+            f"{r.event_type} q{r.q}: {r.exact_q} vs numpy {want}"
+        )
 
 
 def test_mg_candidates_are_superset(spark, sf_smoke):

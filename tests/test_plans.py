@@ -180,6 +180,20 @@ def test_capped_sampler_single_shuffle_no_global_sort(spark, sf_smoke):
     assert "WindowGroupLimit" in plan
 
 
+def test_revenue_deciles_no_global_window_over_data(spark, sf_smoke):
+    # exact NTILE via distributed rank: every window over the DATA must
+    # be partitioned (by pid); the only unpartitioned window may run on
+    # the ~32-row per-partition-counts table. An unpartitioned
+    # row_number/ntile over customers would be the classic
+    # single-partition scale killer.
+    plan = plan_of(spark, "w_revenue_deciles", sf_smoke)
+    assert "rangepartitioning" in plan.lower(), "range repartition missing"
+    assert "ntile" not in plan.lower(), "global NTILE leaked into the plan"
+    for ln in plan.splitlines():
+        if "row_number()" in ln:
+            assert "pid" in ln, f"data window not partitioned: {ln.strip()}"
+
+
 def test_centroid_doc_join_broadcasts(spark, sf_smoke):
     # the documents(lang) side is dimension-sized — must broadcast, and
     # the explode must sit above the join, not force a shuffle join
