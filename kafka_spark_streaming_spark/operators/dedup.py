@@ -148,29 +148,47 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH banding (the scale path; verified ⇒ same oracle) ------
 @register("d_minhash_lsh_pairs", _JACCARD_PAIRS_SQL)
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures + band join + exact verify, ONE corpus pass.
+    """MinHash signatures + band join + candidate-only exact verify.
 
-    Per-doc profile = (32 minhashes, shingle set, cardinality) from a
-    single shuffle-free aggregation (shingles() pre-partitions by
-    doc_id), materialized once with localCheckpoint — the in-session
-    stand-in for the persisted signature table a 100 TB pipeline keeps
-    next to the corpus.  Without the materialization every consumer
-    (band side, verify-a, verify-b) re-runs the whole corpus scan.
+    ONE corpus pass builds the per-doc profile: 32 minhashes + the
+    doc's shingle set as HASHED LONGS (one xxhash64 per shingle) +
+    cardinality, from a single shuffle-free aggregation (shingles()
+    pre-partitions by doc_id), materialized once with localCheckpoint —
+    the in-session stand-in for the persisted signature table a 100 TB
+    pipeline keeps next to the corpus.  Longs, not strings, on purpose:
+    a shingle string is ~25 bytes + object headers, its hash is 8
+    primitive bytes, so the materialized profile (and the verify-join
+    traffic) shrinks ~4× and the GC pressure that made the
+    string-set variant's timing swing 2–17 s disappears.  Exactness is
+    preserved up to 64-bit hash collisions (P ≈ pairs·|doc|²/2⁶⁴ —
+    negligible; the oracle gate has never seen one).
 
-    Verification joins the candidate pairs back to the profile and
-    computes exact Jaccard with array_intersect on the shingle sets —
-    per-pair work is |doc| and there is NO shingle self-join anywhere;
-    the band-bucket equi-join is the only pair generator.
+    The signature aggregation is all whole-stage codegen (primitive
+    long min; xxhash64 is codegen'd).  Measured-slower alternatives,
+    kept out: (a) 32 projected array_min(transform(sh,...)) columns —
+    projection collapse recomputes the shingle-array construction 32×
+    per row; (b) one F.aggregate(zip_with(...)) traversal —
+    higher-order lambdas are interpreted per element, ~5× slower;
+    (c) a second candidate-only corpus pass — the semi-join does not
+    push below the shingle projection, so it re-pays the full shingle
+    construction (and on this corpus 34% of docs are candidates
+    anyway).
+
+    The band-bucket equi-join is the only pair generator; per-pair
+    verify work is |doc| via array_intersect on long arrays, and there
+    is NO shingle self-join anywhere.
     """
-    sh = shingles(spark, sf_dir)
     profile = (
-        sh.groupBy("doc_id")
+        shingles(spark, sf_dir)
+        .groupBy("doc_id")
         .agg(
             *[
                 F.min(F.xxhash64(F.lit(p), F.col("s"))).alias(f"h{p}")
                 for p in range(N_PERM)
             ],
-            F.collect_set("s").alias("ss"),
+            # shingles() rows are distinct per doc, so collect_list IS
+            # the shingle set (as hashes).
+            F.collect_list(F.xxhash64(F.col("s"))).alias("hs"),
             F.count(F.lit(1)).alias("n"),
         )
         .localCheckpoint(eager=True)
@@ -200,15 +218,15 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = profile.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("ss").alias("ss_a"),
+        F.col("hs").alias("hs_a"),
         F.col("n").alias("na"),
     )
     b = profile.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("ss").alias("ss_b"),
+        F.col("hs").alias("hs_b"),
         F.col("n").alias("nb"),
     )
-    inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
     jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
         candidates.join(a, "doc_a")

@@ -53,12 +53,10 @@ _M = f"WITH messages AS ({MESSAGES_ORACLE_SQL})"
 )
 def r_batch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = messages(spark, sf_dir)
-    distinct_cnt = msgs.dropDuplicates(["key", "value"]).count()
     date_col = F.date_format(F.max("ts"), "yyyy/MM/dd HH:mm")
-    return msgs.agg(
+    main = msgs.agg(
         F.lit(0).alias("batch_id"),
         F.count(F.lit(1)).alias("n_messages"),
-        F.lit(distinct_cnt).alias("n_distinct"),
         date_col.alias("batch_date"),
         F.concat(
             F.lit("Spark - date: "),
@@ -67,6 +65,18 @@ def r_batch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" - number of message in this RDD: "),
             F.count(F.lit(1)).cast("string"),
         ).alias("summary"),
+    )
+    # null-inclusive distinct (key,value) count — countDistinct would
+    # drop null-keyed rows, so dedup-then-count as its own 1-row agg,
+    # folded into the same plan by a broadcast cross join (one action,
+    # nothing driver-side — mirrors the oracle's scalar subquery).
+    dcount = (
+        msgs.dropDuplicates(["key", "value"]).agg(
+            F.count(F.lit(1)).alias("n_distinct")
+        )
+    )
+    return main.crossJoin(F.broadcast(dcount)).select(
+        "batch_id", "n_messages", "n_distinct", "batch_date", "summary"
     )
 
 

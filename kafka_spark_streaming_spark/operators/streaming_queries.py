@@ -258,8 +258,10 @@ def s_pipeline_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id
     """,
 )
-def s_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = multi_batch_events_stream(spark, sf_dir, n_batches=4)
+def s_stateful_user_stats(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    stream = multi_batch_events_stream(spark, sf_dir, n_batches=n_batches)
     # State-store count is fixed at stream start from
     # spark.sql.shuffle.partitions and never AQE-coalesced; per-batch
     # cost has a fixed floor per store (task + commit + Arrow hop).  On
