@@ -1,0 +1,314 @@
+"""LLM-training-corpus pipeline operators (north star, BASELINE.json:6).
+
+The ops a corpus builder runs between "raw crawl" and "tokenizer":
+deterministic train/val/test split, benchmark decontamination,
+sequence packing (concat-and-chunk), incremental snapshot dedup,
+text normalization, and PII redaction.  All are Catalyst built-ins —
+regexp / hash / window / join — with an exact DuckDB oracle each.
+
+Scale design notes
+------------------
+- Split + normalize + redact are pure per-row maps: pipeline with the
+  scan, no shuffle, trivially 100 TB-safe.
+- Decontamination broadcasts the EVAL side (benchmarks are ~MBs even
+  when the corpus is 100 TB); the corpus side streams through one
+  shingle explode + broadcast-hash semi-join + per-doc count.  No
+  corpus self-join anywhere.
+- Sequence packing needs a global prefix sum; the single-partition
+  window that implies is replaced by the same two-phase plan as
+  w_revenue_deciles (range-repartition -> per-partition sum ->
+  ~#partitions-row offset table broadcast back).
+- Incremental dedup anti-joins incoming fingerprints against the
+  existing corpus' fingerprint table; at 100 TB you put a bloom filter
+  of existing fps in front of the anti-join to skip the shuffle for
+  the ~never-seen majority.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka_spark_streaming_spark.operators.dedup import shingles
+from kafka_spark_streaming_spark.operators.registry import register
+from kafka_spark_streaming_spark.tables import table
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+_HEX = "0123456789abcdef"
+
+
+# --- deterministic train/val/test split ----------------------------------
+# Hash-based assignment (md5 of the doc id) so the split is stable
+# across runs, engines, and re-shards — the property that lets a 100 TB
+# corpus be re-processed incrementally without leaking val docs into
+# train. Buckets: 0..255 from the first two hex chars; <230 train
+# (~90%), <243 val (~5%), rest test (~5%).
+@register(
+    "p_train_val_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+               AS bucket,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT CASE WHEN bucket < 230 THEN 'train'
+                WHEN bucket < 243 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM b GROUP BY 1
+    """,
+)
+def p_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
+    split = (
+        F.when(bucket < 230, "train")
+        .when(bucket < 243, "val")
+        .otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint")).alias(
+            "total_tokens"
+        ),
+    )
+
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB distinct word n-gram shingles (mirrors shingles(n))."""
+    terms = " || ' ' || ".join(f"t.toks[i.i+{j}]" for j in range(n))
+    return f"""
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT t.doc_id, {terms} AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents) t,
+             (SELECT unnest(range(1, 500)) AS i) i
+        WHERE i.i + {n - 1} <= len(t.toks))
+    """
+
+
+# --- benchmark decontamination -------------------------------------------
+# Docs whose 8-gram overlap with the held-out eval set exceeds 50% —
+# the standard n-gram decontamination pass a corpus runs before
+# training so the model is not graded on memorized training text.
+# Eval set here: every 50th doc (the fixture's stand-in for a
+# benchmark suite).
+@register(
+    "p_decontaminate_ngram",
+    f"""
+    WITH sh AS ({_ngram_sql(8)}),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+    card AS (SELECT doc_id, COUNT(*) AS n FROM train GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM train t JOIN ev ON t.s = ev.s GROUP BY t.doc_id)
+    SELECT h.doc_id, CAST(h.n_overlap AS BIGINT) AS n_overlap,
+           CAST(c.n AS BIGINT) AS n_shingles,
+           round(h.n_overlap * 1.0 / c.n, 6) AS overlap_frac
+    FROM hits h JOIN card c USING (doc_id)
+    WHERE h.n_overlap * 1.0 / c.n >= 0.5
+    """,
+)
+def p_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spark, sf_dir, n=8)
+    ev = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    card = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        # eval shingles are benchmark-sized -> broadcast; the corpus
+        # side is a streaming semi-probe, never shuffled on shingle.
+        train.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.col("n_overlap") / F.col("n_shingles")
+    return (
+        hits.join(card, "doc_id")
+        .filter(frac >= 0.5)
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_shingles",
+            F.round(frac, 6).alias("overlap_frac"),
+        )
+    )
+
+
+# --- sequence packing (concat-and-chunk) ---------------------------------
+# Concatenate docs in deterministic doc_id order and cut the stream
+# into PACK_BUDGET-token training sequences; a doc belongs to the
+# sequence where its first token lands. The global prefix sum uses the
+# two-phase plan (range-repartition + per-partition running sum +
+# broadcast offsets) — the only unpartitioned window runs over the
+# ~32-row per-partition-count table, never over the corpus.
+@register(
+    "p_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+    cum AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM toks)
+    SELECT CAST(c // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS seq_tokens
+    FROM cum GROUP BY 1
+    """,
+)
+def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
+    )
+    par = spark.sparkContext.defaultParallelism
+    ranked = d.repartitionByRange(par, F.asc("doc_id")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wloc = (
+        W.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = ranked.withColumn(
+        "c_loc", F.coalesce(F.sum("n").over(wloc), F.lit(0).cast("bigint"))
+    )
+    counts = ranked.groupBy("pid").agg(F.sum("n").alias("tok"))
+    wcum = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("tok").over(wcum), F.lit(0).cast("bigint")).alias(
+            "off"
+        ),
+    )
+    seq = F.floor((F.col("off") + F.col("c_loc")) / PACK_BUDGET)
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .groupBy(seq.alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("seq_tokens"),
+        )
+    )
+
+
+# --- incremental snapshot dedup ------------------------------------------
+# The recurring-crawl shape: a new batch (doc_id >= 250) lands next to
+# the existing corpus (doc_id < 250); keep only incoming docs whose
+# content fingerprint is unseen, collapsing intra-batch copies to the
+# smallest doc_id. Anti-join on the fingerprint — one shuffle; at
+# 100 TB a bloom filter of existing fps pre-filters the probe side.
+@register(
+    "p_incremental_dedup",
+    """
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
+    inc AS (
+      SELECT md5(text) AS fp, doc_id FROM documents WHERE doc_id >= 250)
+    SELECT i.fp, CAST(MIN(i.doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM inc i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
+    GROUP BY i.fp
+    """,
+)
+def p_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("fp")
+    )
+    existing = d.filter(F.col("doc_id") < 250).select("fp").distinct()
+    inc = d.filter(F.col("doc_id") >= 250)
+    return (
+        inc.join(existing, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- text normalization --------------------------------------------------
+# The canonicalization pass run before fingerprinting/dedup: lowercase,
+# strip non-alphanumerics, collapse whitespace. Emitting the cleaned
+# fingerprint (not the cleaned text) keeps the output narrow; the op is
+# a pure per-row map that pipelines with the scan.
+@register(
+    "t_normalize_clean",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_raw,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS BIGINT) AS n_clean,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS clean_fp
+    FROM documents
+    """,
+)
+def t_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_raw"),
+        F.length(clean).cast("bigint").alias("n_clean"),
+        F.md5(F.encode(clean, "UTF-8")).alias("clean_fp"),
+    )
+
+
+# --- PII redaction -------------------------------------------------------
+# Numeric identifiers scrubbed from semi-structured payloads before
+# they can enter a training corpus — the shape of redacting telemetry
+# JSON (events.props carries embedded numeric ids exactly like real
+# event payloads carry user/account numbers). A pure per-row map.
+# Patterns are RE2-safe (no backrefs) so Spark's Java regex and
+# DuckDB's RE2 agree byte-for-byte.
+_DIGITS = "[0-9]+"
+
+
+@register(
+    "p_pii_redact",
+    f"""
+    WITH r AS (
+      SELECT event_type,
+             len(regexp_extract_all(props, '{_DIGITS}')) AS n_num,
+             length(regexp_replace(props, '{_DIGITS}', '[NUM]', 'g'))
+               AS red_len
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_num) AS BIGINT) AS num_hits,
+           CAST(SUM(red_len) AS BIGINT) AS total_redacted_len
+    FROM r GROUP BY event_type
+    """,
+)
+def p_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.size(
+                F.regexp_extract_all("props", F.lit(_DIGITS), F.lit(0))
+            ).alias("n_num"),
+            F.length(F.regexp_replace("props", _DIGITS, "[NUM]")).alias(
+                "red_len"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_num").cast("bigint").alias("num_hits"),
+            F.sum("red_len").cast("bigint").alias("total_redacted_len"),
+        )
+    )

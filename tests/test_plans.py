@@ -200,3 +200,29 @@ def test_centroid_doc_join_broadcasts(spark, sf_smoke):
     plan = plan_of(spark, "sim_lang_centroid_dims", sf_smoke)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_smoke):
+    # the eval/benchmark shingle set is tiny vs the corpus — it must
+    # broadcast; a shuffle join keyed on shingle over the corpus side
+    # would move the whole corpus at 100 TB
+    plan = plan_of(spark, "p_decontaminate_ngram", sf_smoke)
+    assert "BroadcastHashJoin" in plan, "eval shingles not broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_no_global_window_over_docs(spark, sf_smoke):
+    # global prefix sum = two-phase: range repartition + per-partition
+    # window (partitioned by pid) + offsets; any unpartitioned window
+    # must not run over the document rows
+    plan = plan_of(spark, "p_pack_sequences", sf_smoke)
+    assert "rangepartitioning" in plan.lower(), "range repartition missing"
+    for ln in plan.splitlines():
+        if "windowspecdefinition(doc_id" in ln.lower():
+            assert "pid" in ln, f"doc window not partitioned: {ln.strip()}"
+
+
+def test_incremental_dedup_is_anti_join(spark, sf_smoke):
+    plan = plan_of(spark, "p_incremental_dedup", sf_smoke)
+    assert "LeftAnti" in plan, "existing-fp filter must be an anti join"
+    assert "CartesianProduct" not in plan
