@@ -40,6 +40,8 @@ HEADLINE = [
     "t_quality_score",
     "t_top_tokens",
     "m_media_features",
+    "p_decontaminate_ngram",
+    "p_pack_sequences",
     "s_stream_value_counts",
     "s_stateful_user_stats",
 ]

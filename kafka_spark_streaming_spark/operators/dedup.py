@@ -63,8 +63,8 @@ _JACCARD_PAIRS_SQL = f"""
 """
 
 
-def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, s).
+def shingles_of(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles of a (doc_id, text) frame.
 
     Built from higher-order array functions — stays in codegen; the
     explode is the only row-expansion.  Two deliberate plan choices:
@@ -78,7 +78,6 @@ def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
       also satisfies every downstream per-doc groupBy, so the minhash
       signature aggregation runs shuffle-free on top of this.
     """
-    d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
@@ -86,9 +85,71 @@ def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    par = spark.sparkContext.defaultParallelism
-    return d.repartition(par, "doc_id").select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("s")
+    )
+
+
+def shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Shingles of the documents fixture table — see shingles_of()."""
+    return shingles_of(table(spark, sf_dir, "documents"), n=n)
+
+
+def minhash_profile(sh: DataFrame) -> DataFrame:
+    """Per-doc MinHash profile from exploded shingles: 32 signature
+    longs + the shingle set as hashed longs + cardinality, in one
+    codegen'd aggregation (shuffle-free on top of shingles_of()'s
+    doc_id partitioning).  See d_minhash_lsh_pairs for why this exact
+    formulation (and not its measured-slower alternatives)."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(p), F.col("s"))).alias(f"h{p}")
+            for p in range(N_PERM)
+        ],
+        # shingles_of() rows are distinct per doc, so collect_list IS
+        # the shingle set (as hashes).
+        F.collect_list(F.xxhash64(F.col("s"))).alias("hs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def band_buckets(profile: DataFrame) -> DataFrame:
+    """(doc_id, bh) band-bucket hashes: 16 bands × 2 signature rows."""
+    return profile.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    )
+
+
+def verified_pairs(candidates: DataFrame, profile: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates against
+    the profile's hashed shingle sets; per-pair work is |doc| via
+    array_intersect on long arrays."""
+    a = profile.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    b = profile.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -178,32 +239,10 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify work is |doc| via array_intersect on long arrays, and there
     is NO shingle self-join anywhere.
     """
-    profile = (
-        shingles(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.xxhash64(F.lit(p), F.col("s"))).alias(f"h{p}")
-                for p in range(N_PERM)
-            ],
-            # shingles() rows are distinct per doc, so collect_list IS
-            # the shingle set (as hashes).
-            F.collect_list(F.xxhash64(F.col("s"))).alias("hs"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .localCheckpoint(eager=True)
+    profile = minhash_profile(shingles(spark, sf_dir)).localCheckpoint(
+        eager=True
     )
-    bands = profile.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bh"),
-    )
+    bands = band_buckets(profile)
     candidates = (
         bands.alias("x")
         .join(
@@ -216,24 +255,7 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates()
     )
-    a = profile.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("hs").alias("hs_a"),
-        F.col("n").alias("na"),
-    )
-    b = profile.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("hs").alias("hs_b"),
-        F.col("n").alias("nb"),
-    )
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    jac = inter / (F.col("na") + F.col("nb") - inter)
-    return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return verified_pairs(candidates, profile)
 
 
 # --- SimHash near-dup ----------------------------------------------------

@@ -34,6 +34,7 @@ from kafka_spark_streaming_spark.streaming.windows import (
     sessionized_counts,
     windowed_counts,
 )
+from kafka_spark_streaming_spark.operators.dedup import _SHINGLES_SQL
 from kafka_spark_streaming_spark.tables import MESSAGES_ORACLE_SQL
 
 _M = f"WITH messages AS ({MESSAGES_ORACLE_SQL})"
@@ -383,3 +384,152 @@ def s_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# --- streaming incremental near-dup dedup (MinHash store probe) ----------
+# The corpus-builder shape: document batches arrive in order; each
+# batch is near-dup-checked against the ACCUMULATED signature store
+# (every doc seen so far) plus its own smaller-id docs, and the store
+# grows by the batch's profiles. A doc is rejected iff some smaller-id
+# doc anywhere in the corpus is a verified near-dup — which is exactly
+# the batch "keep the min of every near-dup pair" rule, so the DuckDB
+# batch oracle checks the streamed result bit-for-bit (batch≡stream).
+#
+# 100 TB posture: the store is the persisted signature table
+# (32 longs + hashed shingle set per doc — no text retained); the
+# per-batch probe is a band-bucket equi-join of |batch| signatures
+# against the store (bucket-partitioned on disk at scale, so a probe
+# touches only matching buckets), then exact verification of the
+# candidate pairs alone. Per batch nothing rescans history except the
+# banded index lookup — the standard incremental-LSH design.
+def _docs_ordered_batches(
+    spark: SparkSession, sf_dir: str, n_batches: int
+) -> DataFrame:
+    """documents.parquet as n_batches real micro-batches in doc_id
+    order (file mtimes force oldest-first processing)."""
+    import glob
+    import shutil
+
+    from kafka_spark_streaming_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    split_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"kss_docsplit_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n_batches}",
+    )
+    if not os.path.exists(os.path.join(split_dir, "_DONE")):
+        shutil.rmtree(split_dir, ignore_errors=True)
+        os.makedirs(split_dir)
+        n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        step = max(n_docs // n_batches, 1)
+        for i in range(n_batches):
+            lo = i * step
+            hi = n_docs if i == n_batches - 1 else (i + 1) * step
+            part_dir = os.path.join(split_dir, f"_part{i}")
+            (
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(split_dir, f"batch_{i:04d}.parquet")
+            shutil.move(src, dst)
+            shutil.rmtree(part_dir)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        with open(os.path.join(split_dir, "_DONE"), "w"):
+            pass
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+
+
+@register(
+    "s_incremental_near_dedup",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    rejected AS (
+      SELECT DISTINCT doc_b FROM common
+      JOIN card ca ON ca.doc_id = doc_a
+      JOIN card cb ON cb.doc_id = doc_b
+      WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8)
+    SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_shingles
+    FROM card c
+    WHERE NOT EXISTS (SELECT 1 FROM rejected r WHERE r.doc_b = c.doc_id)
+    """,
+)
+def s_incremental_near_dedup(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    from kafka_spark_streaming_spark.operators.dedup import (
+        band_buckets,
+        minhash_profile,
+        shingles_of,
+        verified_pairs,
+    )
+
+    stream = _docs_ordered_batches(spark, sf_dir, n_batches)
+    run_dir = tempfile.mkdtemp(prefix="kss_increddup_")
+    store_dir = os.path.join(run_dir, "store")
+    kept_dir = os.path.join(run_dir, "kept")
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prof = minhash_profile(shingles_of(batch_df)).localCheckpoint(
+            eager=True
+        )
+        if os.path.exists(store_dir):
+            store = batch_df.sparkSession.read.parquet(store_dir)
+            universe = store.unionByName(prof)
+        else:
+            universe = prof
+        # candidate generator: band buckets of everything seen so far,
+        # but only pairs whose LARGER side is in this batch matter —
+        # earlier docs were already decided in their own batch.
+        incoming = band_buckets(prof)
+        cand = (
+            band_buckets(universe)
+            .alias("x")
+            .join(
+                incoming.alias("y"),
+                (F.col("x.bh") == F.col("y.bh"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates()
+        )
+        rejected = (
+            verified_pairs(cand, universe)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        (
+            prof.join(rejected, "doc_id", "left_anti")
+            .select("doc_id", F.col("n").alias("n_shingles"))
+            .write.mode("append")
+            .parquet(kept_dir)
+        )
+        # the store keeps ALL seen docs (kept and rejected): a future
+        # doc duplicating a rejected doc must still be rejected.
+        prof.write.mode("append").parquet(store_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(kept_dir).orderBy("doc_id")
