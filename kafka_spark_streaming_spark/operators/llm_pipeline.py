@@ -116,7 +116,10 @@ def _ngram_sql(n: int) -> str:
     """,
 )
 def p_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(spark, sf_dir, n=8)
+    # one shingle pass, materialized: ev / card / hits all consume it —
+    # without the checkpoint the corpus-wide 8-gram construction runs
+    # once per consumer
+    sh = shingles(spark, sf_dir, n=8).localCheckpoint(eager=True)
     ev = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
     train = sh.filter(F.col("doc_id") % 50 != 0)
     card = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

@@ -236,23 +236,38 @@ def u_part_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- stratified sampling (training-data subsampling) ---------------------
-@register("smp_stratified_events")  # seeded sampler is engine-specific ⇒ rows-only
+@register(
+    "smp_stratified_events",
+    """
+    WITH kept AS (
+      SELECT event_type FROM events
+      WHERE event_type NOT IN ('view', 'click')
+         OR strpos('0123456789abcdef',
+              substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 < 8)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY event_type
+    """,
+)
 def smp_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum downsampling with sampleBy (seed 42): keep 50% of
-    views/clicks, everything else intact — the class-rebalancing shape
-    of a training-data pipeline. Sampling happens at the scan (a
-    per-row Bernoulli draw, no shuffle); tests assert per-stratum
-    proportions within binomial tolerance and cross-run determinism."""
+    """Per-stratum downsampling, hash-deterministic: keep the ~50% of
+    views/clicks whose md5(event_id) first hex digit < 8, everything
+    else intact — the class-rebalancing shape of a training-data
+    pipeline. A hash draw instead of a seeded RNG on purpose: the
+    sample is identical across runs, engines, and re-partitionings
+    (an RNG sampler like sampleBy is partition-order-dependent and
+    engine-specific, which makes the pipeline non-replayable), and the
+    filter is a per-row map evaluated at the scan — no shuffle."""
     ev = table(spark, sf_dir, "events")
-    fractions = {
-        "view": 0.5,
-        "click": 0.5,
-        "purchase": 1.0,
-        "signup": 1.0,
-        "error": 1.0,
-    }
-    sample = ev.sampleBy("event_type", fractions, seed=42)
-    return sample.groupBy("event_type").agg(
+    bucket = F.conv(
+        F.substring(F.md5(F.encode(F.col("event_id").cast("string"),
+                                   "UTF-8")), 1, 1),
+        16,
+        10,
+    ).cast("bigint")
+    kept = ev.filter(
+        (~F.col("event_type").isin("view", "click")) | (bucket < 8)
+    )
+    return kept.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_kept")
     )
 
