@@ -488,7 +488,9 @@ def s_incremental_near_dedup(
             eager=True
         )
         if os.path.exists(store_dir):
-            store = batch_df.sparkSession.read.parquet(store_dir)
+            store = batch_df.sparkSession.read.parquet(
+                store_dir
+            ).dropDuplicates(["doc_id"])
             universe = store.unionByName(prof)
         else:
             universe = prof
@@ -515,6 +517,10 @@ def s_incremental_near_dedup(
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
+        # append-only + read-side dropDuplicates(doc_id) = replay-
+        # idempotent: a foreachBatch retry re-appends the same rows and
+        # the dedup collapses them (same pattern as the daily rollup's
+        # (day, batch_id) partials).
         (
             prof.join(rejected, "doc_id", "left_anti")
             .select("doc_id", F.col("n").alias("n_shingles"))
@@ -532,4 +538,8 @@ def s_incremental_near_dedup(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(kept_dir).orderBy("doc_id")
+    return (
+        spark.read.parquet(kept_dir)
+        .dropDuplicates(["doc_id"])
+        .orderBy("doc_id")
+    )
