@@ -620,6 +620,76 @@ def time_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- time series: gap-fill / resample to a dense daily grid --------------
+# The densification every time-series consumer needs before rolling
+# math: a date spine (min..max day × event_type) left-joined onto the
+# sparse daily aggregate; missing days count 0 and carry the last
+# active day forward (last_value IGNORE NULLS). Scale: the spine comes
+# from ONE broadcast row of bounds exploded to days (constant-sized),
+# the join key is (event_type, day) — and both windows partition by
+# event_type, so nothing is a single-partition window over data rows;
+# per-type row counts are bounded by the calendar, not the corpus.
+@register(
+    "time_gapfill_daily",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events),
+    spine AS (
+      SELECT t.event_type, CAST(g.day AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+            FROM bounds) g),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT s.event_type, s.day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(d.v, 0) AS BIGINT) AS sum_value_4dec,
+           LAST_VALUE(d.day IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_active_day
+    FROM spine s LEFT JOIN daily d USING (event_type, day)
+    """,
+)
+def time_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(days))
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("v"),
+        )
+        # non-null only on days with data — the forward-fill source
+        .withColumn("active_day", F.col("day"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("v", F.lit(0)).cast("bigint").alias("sum_value_4dec"),
+        F.last(F.col("active_day"), ignorenulls=True)
+        .over(w)
+        .alias("last_active_day"),
+    )
+
+
 # --- window: the full ranking-function family ----------------------------
 # rank / dense_rank / percent_rank / cume_dist in one pass — one
 # shuffle on the partition key, one sort, four outputs; the ordering

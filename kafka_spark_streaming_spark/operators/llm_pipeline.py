@@ -143,6 +143,41 @@ def p_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exclusive_prefix_sum(
+    d: DataFrame, order_col: str, value_col: str, n_parts: int
+) -> DataFrame:
+    """Distributed exclusive prefix sum of value_col in order_col
+    order, added as column `c` — the two-phase plan: range-repartition
+    on the order key, per-partition running sum (window partitioned by
+    pid — never global over the data), then per-partition totals
+    (~n_parts rows) cumulated and broadcast back as offsets."""
+    ranked = d.repartitionByRange(n_parts, F.asc(order_col)).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wloc = (
+        W.partitionBy("pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = ranked.withColumn(
+        "c_loc",
+        F.coalesce(F.sum(value_col).over(wloc), F.lit(0).cast("bigint")),
+    )
+    counts = ranked.groupBy("pid").agg(F.sum(value_col).alias("tot"))
+    wcum = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("tot").over(wcum), F.lit(0).cast("bigint")).alias(
+            "off"
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("c", F.col("off") + F.col("c_loc"))
+        .drop("pid", "c_loc", "off")
+    )
+
+
 # --- sequence packing (concat-and-chunk) ---------------------------------
 # Concatenate docs in deterministic doc_id order and cut the stream
 # into PACK_BUDGET-token training sequences; a doc belongs to the
@@ -171,33 +206,12 @@ def p_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
     )
     par = spark.sparkContext.defaultParallelism
-    ranked = d.repartitionByRange(par, F.asc("doc_id")).withColumn(
-        "pid", F.spark_partition_id()
-    )
-    wloc = (
-        W.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    local = ranked.withColumn(
-        "c_loc", F.coalesce(F.sum("n").over(wloc), F.lit(0).cast("bigint"))
-    )
-    counts = ranked.groupBy("pid").agg(F.sum("n").alias("tok"))
-    wcum = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = counts.select(
-        "pid",
-        F.coalesce(F.sum("tok").over(wcum), F.lit(0).cast("bigint")).alias(
-            "off"
-        ),
-    )
-    seq = F.floor((F.col("off") + F.col("c_loc")) / PACK_BUDGET)
-    return (
-        local.join(F.broadcast(offsets), "pid")
-        .groupBy(seq.alias("seq_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n").alias("seq_tokens"),
-        )
+    cum = exclusive_prefix_sum(d, "doc_id", "n", par)
+    return cum.groupBy(
+        F.floor(F.col("c") / PACK_BUDGET).alias("seq_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("seq_tokens"),
     )
 
 
