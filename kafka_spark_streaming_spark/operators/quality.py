@@ -348,3 +348,75 @@ def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(money).cast("double").alias("max_price"),
         )
     )
+
+
+# --- cross-table integrity audit -----------------------------------------
+# The referential/constraint QA a warehouse runs after every load:
+# orphan foreign keys (anti-joins — dims broadcast at scale), domain
+# violations, and null-rate checks, one (check, n_violations) row
+# each. Per-table work is a single scan + conditional aggregate; the
+# orphan checks shuffle nothing but the probe side's key column.
+@register(
+    "q_integrity_audit",
+    """
+    SELECT 'orphan_order_custkey' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orphan_lineitem_orderkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'nonpositive_extendedprice',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) <= 0.0
+    UNION ALL
+    SELECT 'null_event_user',
+           CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE user_id IS NULL
+    UNION ALL
+    SELECT 'shipdate_before_orderdate',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate < o.o_orderdate
+    """,
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+
+    def count1(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    orphan_orders = o.join(
+        F.broadcast(cust.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    orphan_items = li.select("l_orderkey").join(
+        o.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    bad_price = li.filter(F.col("l_extendedprice").cast("double") <= 0.0)
+    null_user = ev.filter(F.col("user_id").isNull())
+    early_ship = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") < F.col("o_orderdate"))
+    return (
+        count1(orphan_orders, "orphan_order_custkey")
+        .unionAll(count1(orphan_items, "orphan_lineitem_orderkey"))
+        .unionAll(count1(bad_price, "nonpositive_extendedprice"))
+        .unionAll(count1(null_user, "null_event_user"))
+        .unionAll(count1(early_ship, "shipdate_before_orderdate"))
+    )

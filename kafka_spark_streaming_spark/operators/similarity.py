@@ -410,3 +410,55 @@ def sim_lang_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("x"), 6).alias("centroid_x"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+# --- embedding int8 quantization -----------------------------------------
+# The compression pass before serving/shipping an ANN index: per-vector
+# absmax scaling to int8 (q = floor(x·127/absmax + 0.5), symmetric).
+# floor(x + 0.5) instead of round() on purpose: both engines define
+# floor identically, while round() tie-breaking (half-up vs half-even)
+# is engine-specific — the determinism trap of quantization pipelines.
+# A pure per-row map over the vector column; emits the scale factor and
+# two integer checksums of the quantized vector rather than 64 int8
+# columns (exact, order-independent evidence the bytes match).
+@register(
+    "sim_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    s AS (
+      SELECT vec_id, x,
+             list_max(list_transform(x, e -> abs(e))) AS amax
+      FROM v),
+    q AS (
+      SELECT vec_id, amax,
+             list_transform(x, e -> CAST(floor(e * 127.0 / amax + 0.5)
+                                         AS BIGINT)) AS qv
+      FROM s WHERE amax > 0)
+    SELECT vec_id, round(amax, 6) AS amax_6,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, e -> abs(e))) AS BIGINT)
+             AS q_l1
+    FROM q
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda v: v.cast("double"))
+    s = e.select(
+        "vec_id",
+        xd.alias("x"),
+        F.array_max(F.transform(xd, lambda v: F.abs(v))).alias("amax"),
+    ).filter(F.col("amax") > 0)
+    qv = F.transform(
+        "x",
+        lambda v: F.floor(v * 127.0 / F.col("amax") + 0.5).cast("bigint"),
+    )
+    q = s.select("vec_id", "amax", qv.alias("qv"))
+    zero = F.lit(0).cast("bigint")
+    return q.select(
+        "vec_id",
+        F.round("amax", 6).alias("amax_6"),
+        F.aggregate("qv", zero, lambda a, v: a + v).alias("q_sum"),
+        F.aggregate("qv", zero, lambda a, v: a + F.abs(v)).alias("q_l1"),
+    )
