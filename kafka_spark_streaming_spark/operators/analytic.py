@@ -760,3 +760,45 @@ def scalar_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")
         ).alias("return_or_none"),
     )
+
+
+# --- anomaly detection: per-series z-score -------------------------------
+# The monitoring query a pipeline runs over its own daily volumes:
+# aggregate events to (event_type, day) totals, then score each day
+# against its series' mean/stddev and flag |z| ≥ 1.5. Two narrow
+# shuffles — one keyed agg, one small broadcast join of per-type
+# moments (cardinality = #event types) back onto the daily frame; at
+# 100 TB the daily frame is already tiny relative to the raw events, so
+# everything after the first agg is effectively free. Doubles are
+# rounded at the comparison boundary so both engines flag the same
+# days.
+@register(
+    "time_zscore_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(SUM(value), 6) AS total
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    moments AS (
+      SELECT event_type, avg(total) AS mu, stddev_samp(total) AS sd
+      FROM daily GROUP BY event_type)
+    SELECT d.event_type, d.day, d.total,
+           round((d.total - m.mu) / m.sd, 6) AS zscore
+    FROM daily d JOIN moments m USING (event_type)
+    WHERE abs(round((d.total - m.mu) / m.sd, 6)) >= 1.5
+    """,
+)
+def time_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("total"))
+    moments = daily.groupBy("event_type").agg(
+        F.avg("total").alias("mu"), F.stddev_samp("total").alias("sd")
+    )
+    z = F.round((F.col("total") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        daily.join(F.broadcast(moments), "event_type")
+        .filter(F.abs(z) >= 1.5)
+        .select("event_type", "day", "total", z.alias("zscore"))
+    )

@@ -574,3 +574,63 @@ def d_semantic_only_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sem.join(lex, ["doc_a", "doc_b"], "left_anti")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- blocked edit-distance near-dup --------------------------------------
+# Character-level near-dup for short-edit variants (typo fixes, small
+# insertions) that shingle/Jaccard methods under-weight. All-pairs
+# Levenshtein is O(n²·L²) — never viable; the operator is DEFINED as
+# blocked: candidates share (lang, first-24-char prefix), an equi-join
+# that hash-partitions the corpus, then |Δlen| ≤ K prunes (a length gap
+# > K already forces distance > K) before the O(L²) verify runs on
+# survivors only. Same candidates-then-verify shape as the MinHash
+# path, so the 100 TB story is identical: no cartesian product, shuffle
+# only on the block key. Spark's levenshtein and DuckDB's agree
+# exactly (classic DP, unicode-codepoint units), which makes the
+# operator exactly oracle-able.
+@register(
+    "d_edit_distance_pairs",
+    """
+    WITH blocked AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             levenshtein(a.text, b.text) AS edit_dist
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang
+       AND substr(a.text, 1, 24) = substr(b.text, 1, 24)
+       AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 16)
+    SELECT doc_a, doc_b, CAST(edit_dist AS BIGINT) AS edit_dist
+    FROM blocked WHERE edit_dist <= 16
+    """,
+)
+def d_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("len_a"),
+        F.col("text").alias("text_a"),
+        F.substring("text", 1, 24).alias("blk_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("len_b"),
+        F.col("text").alias("text_b"),
+        F.substring("text", 1, 24).alias("blk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 16),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 16)
+    )

@@ -420,3 +420,81 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(count1(null_user, "null_event_user"))
         .unionAll(count1(early_ship, "shipdate_before_orderdate"))
     )
+
+
+# --- data-mixture rebalancing sampler ------------------------------------
+# Rebalance a corpus toward a target mixture (here: uniform across
+# sources) by per-source downsampling: rate_s = min(1, target_share ·
+# N / n_s). The draw is the md5-bucket trick (first 6 hex digits as a
+# 24-bit uniform), not an RNG — identical keep-set across runs,
+# engines, and repartitionings, which is what makes a 100 TB mixture
+# job replayable and auditable. Plan shape: one small per-source agg
+# (broadcast back), then a scan-side filter — no wide shuffle of the
+# corpus itself.
+@register(
+    "smp_mixture_rebalance",
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_s,
+             SUM(COUNT(*)) OVER () AS n_total,
+             COUNT(*) OVER () AS n_sources
+      FROM documents GROUP BY source),
+    rates AS (
+      SELECT source, n_s,
+             least(1.0, (n_total * 1.0 / n_sources) / n_s) AS rate
+      FROM counts),
+    kept AS (
+      SELECT d.source FROM documents d JOIN rates r USING (source)
+      WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))
+                 AS BIGINT) / 16777216.0 < r.rate)
+    SELECT r.source, CAST(r.n_s AS BIGINT) AS n_docs,
+           round(r.rate, 6) AS rate,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN (
+      SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source) k
+    USING (source)
+    """,
+)
+def smp_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    # corpus totals as a broadcast 1-row agg (not a global window — that
+    # would force the per-source frame through one partition)
+    totals = counts.agg(
+        F.sum("n_s").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.lit(1.0),
+            (F.col("n_total") * 1.0 / F.col("n_sources")) / F.col("n_s"),
+        ).alias("rate"),
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 16777216.0
+    )
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(draw < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_s").cast("bigint").alias("n_docs"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

@@ -296,3 +296,77 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", F.round("score", 6).alias("tfidf"), "rn")
     )
+
+
+# --- repetition signals (Gopher-style quality filters) -------------------
+# The repetition family from the Gopher/MassiveText filtering rules:
+# fraction of duplicate n-grams and the share of tokens taken by the
+# single most frequent token. High values flag boilerplate / spam /
+# degenerate generations before training. Everything is a per-row map
+# over Catalyst higher-order array functions — no shuffle, no Python;
+# at 100 TB this runs entirely inside the parquet scan stage.
+def _ngrams(toks: F.Column, n: int) -> F.Column:
+    # ["a","b","c","d"], n=2 -> ["a b","b c","c d"]
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def _dup_frac(grams: F.Column) -> F.Column:
+    # 1 - distinct/total, 0.0 for degenerate short docs
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6
+        )
+    )
+
+
+_REP_GRAM = (
+    "[array_to_string(toks[i + 1:i + {n}], ' ') "
+    "FOR i IN range(0, len(toks) - {n} + 1)]"
+)
+
+
+@register(
+    "t_repetition_signals",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, toks,
+             {_REP_GRAM.format(n=2)} AS g2,
+             {_REP_GRAM.format(n=3)} AS g3
+      FROM tok)
+    SELECT doc_id,
+           CASE WHEN len(g2) <= 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 6)
+           END AS dup_bigram_frac,
+           CASE WHEN len(g3) <= 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(g3)) * 1.0 / len(g3), 6)
+           END AS dup_trigram_frac,
+           round(list_max([len(list_filter(toks, x -> x = t))
+                           FOR t IN list_distinct(toks)]) * 1.0
+                 / len(toks), 6) AS top_token_frac
+    FROM grams
+    """,
+)
+def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    # mode-within-array without exploding: count occurrences of each
+    # distinct token with a nested filter — O(u·n) per row on bounded-
+    # length docs, still a pure map (cheaper than explode+groupBy+join
+    # back, which would shuffle every token in the corpus)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        _dup_frac(_ngrams(toks, 2)).alias("dup_bigram_frac"),
+        _dup_frac(_ngrams(toks, 3)).alias("dup_trigram_frac"),
+        F.round(top_cnt * 1.0 / F.size(toks), 6).alias("top_token_frac"),
+    )

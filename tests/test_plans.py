@@ -226,3 +226,36 @@ def test_incremental_dedup_is_anti_join(spark, sf_smoke):
     plan = plan_of(spark, "p_incremental_dedup", sf_smoke)
     assert "LeftAnti" in plan, "existing-fp filter must be an anti join"
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_signals_is_pure_scan(spark, sf_smoke):
+    # per-doc repetition metrics are a row-local map — the plan must be
+    # a single scan+project with no exchange of the corpus
+    plan = plan_of(spark, "t_repetition_signals", sf_smoke)
+    assert "+- Exchange" not in plan, "repetition signals must not shuffle"
+    assert "BatchEvalPython" not in plan, "must stay JVM-side"
+
+
+def test_mixture_rebalance_broadcasts_rates(spark, sf_smoke):
+    # per-source rates (cardinality = #sources) join back onto the
+    # corpus as a broadcast; a shuffle join on source would repartition
+    # the whole corpus to apply a ~10-row rate table
+    plan = plan_of(spark, "smp_mixture_rebalance", sf_smoke)
+    assert "BroadcastHashJoin" in plan, "rate table not broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_block_join_is_equi(spark, sf_smoke):
+    # the (lang, prefix) block key must make the self-join hash-joinable;
+    # the levenshtein verify runs above the join on candidates only
+    plan = plan_of(spark, "d_edit_distance_pairs", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zscore_moments_broadcast(spark, sf_smoke):
+    # per-type moments (cardinality = #event types) broadcast back onto
+    # the daily frame
+    plan = plan_of(spark, "time_zscore_anomalies", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
