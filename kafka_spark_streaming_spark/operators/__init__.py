@@ -22,6 +22,7 @@ from kafka_spark_streaming_spark.operators import asof  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import sketches  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import physical  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import quality  # noqa: E402,F401
+from kafka_spark_streaming_spark.operators import graph  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import llm_pipeline  # noqa: E402,F401
 from kafka_spark_streaming_spark.operators import streaming_queries  # noqa: E402,F401
 

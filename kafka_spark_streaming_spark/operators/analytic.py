@@ -802,3 +802,90 @@ def time_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) >= 1.5)
         .select("event_type", "day", "total", z.alias("zscore"))
     )
+
+
+# --- cohort retention matrix ---------------------------------------------
+# The classic growth query: users grouped by first-seen day, counted on
+# each subsequent active day. Shape at 100 TB: one keyed agg to get
+# per-user cohort day (shuffle on user_id), a distinct (user, day)
+# activity frame sharing that same key, a co-partitioned join, then a
+# small (cohort × offset) count — output cardinality is days², not
+# users, so everything downstream of the two user-keyed shuffles is
+# negligible.
+@register(
+    "time_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def time_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+# --- SCD2 interval build (temporal dimension from an event log) ----------
+# Collapse each user's event stream into validity intervals of their
+# current event_type: a new interval opens whenever the type differs
+# from the previous event (gaps-and-islands change detection), closes
+# at the next change, NULL valid_to = current state. This is the
+# batch MERGE a warehouse runs to maintain a slowly-changing dimension
+# from CDC events. All windows are partitioned by user_id — one keyed
+# shuffle, no global window; ties broken by event_id so the interval
+# set is deterministic and engine-independent.
+@register(
+    "scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id IS NOT NULL),
+    changes AS (
+      SELECT user_id, event_type, ts_s FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, event_type, ts_s AS valid_from,
+           lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS valid_to
+    FROM changes
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_s")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_s").alias("valid_from"),
+        F.lead("ts_s").over(w2).alias("valid_to"),
+    )

@@ -498,3 +498,80 @@ def smp_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+# --- CDC-style snapshot diff ---------------------------------------------
+# Reconcile two versions of a table into a change feed: the audit a
+# pipeline runs after a backfill ("what did the rerun actually
+# change?"). v2 is derived from v1 by deterministic rules (deletes:
+# key % 97 = 0; updates: price bump where key % 89 = 0; inserts:
+# shifted keys where key % 101 = 0) so both engines see identical
+# versions without extra fixtures. The diff itself is the operator: a
+# single full-outer equi-join on the key — one co-partitioned shuffle
+# at 100 TB — emitting only changed rows (insert/delete/update), never
+# the unchanged bulk.
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0
+                  THEN round(o_totalprice + 10.0, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           a.o_totalprice AS old_price, b.o_totalprice AS new_price
+    FROM orders a FULL OUTER JOIN v2 b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v2 = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 89 == 0,
+                F.round(F.col("o_totalprice") + 10.0, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("key_a"), F.col("o_totalprice").alias("old_price")
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("key_b"), F.col("o_totalprice").alias("new_price")
+    )
+    return (
+        a.join(b, a.key_a == b.key_b, "full_outer")
+        .filter(
+            F.col("key_a").isNull()
+            | F.col("key_b").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+        .select(
+            F.coalesce("key_a", "key_b").alias("o_orderkey"),
+            F.when(F.col("key_a").isNull(), "insert")
+            .when(F.col("key_b").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            "old_price",
+            "new_price",
+        )
+    )

@@ -259,3 +259,33 @@ def test_zscore_moments_broadcast(spark, sf_smoke):
     plan = plan_of(spark, "time_zscore_anomalies", sf_smoke)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_no_cartesian(spark, sf_smoke):
+    # cohort join is keyed on user_id — both sides share the key
+    plan = plan_of(spark, "time_cohort_retention", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_windows_partitioned_by_user(spark, sf_smoke):
+    # every window must be keyed on user_id; an unpartitioned window
+    # here would sort the whole event log on one executor
+    plan = plan_of(spark, "scd2_user_state", sf_smoke)
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln.lower():
+            assert "user_id" in ln, f"unpartitioned window: {ln.strip()}"
+
+
+def test_cdc_diff_is_single_full_outer(spark, sf_smoke):
+    plan = plan_of(spark, "cdc_snapshot_diff", sf_smoke)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_broadcast(spark, sf_smoke):
+    # after edge extraction the graph is nation-sized: every iteration
+    # join must broadcast, and only the relational pass may shuffle
+    plan = plan_of(spark, "g_pagerank_trade", sf_smoke)
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
