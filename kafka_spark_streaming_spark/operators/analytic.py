@@ -889,3 +889,53 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_s").alias("valid_from"),
         F.lead("ts_s").over(w2).alias("valid_to"),
     )
+
+
+# --- rolling correlation between two metric series -----------------------
+# "Do clicks still predict purchases this week?" — align two event
+# series on the day grid, then a 7-day ROWS-frame Pearson correlation.
+# The pre-aggregate-then-window pattern (cf. w_trailing_7d_revenue):
+# the corpus collapses to one row per day BEFORE any window, so the
+# unpartitioned window runs over a days-sized frame — O(days), never
+# O(events). Both engines' corr agree to well past 6 dp on a 7-row
+# frame.
+@register(
+    "time_rolling_corr",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             round(SUM(CASE WHEN event_type = 'click' THEN value
+                            ELSE 0 END), 6) AS clicks,
+             round(SUM(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END), 6) AS purchases
+      FROM events GROUP BY CAST(ts AS DATE))
+    SELECT day, clicks, purchases,
+           round(corr(clicks, purchases) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS corr_7d
+    FROM daily ORDER BY day
+    """,
+)
+def time_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)),
+            6,
+        ).alias("clicks"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            ),
+            6,
+        ).alias("purchases"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "clicks",
+        "purchases",
+        F.round(F.corr("clicks", "purchases").over(w), 6).alias("corr_7d"),
+    ).orderBy("day")

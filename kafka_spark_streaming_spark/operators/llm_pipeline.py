@@ -329,3 +329,92 @@ def p_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("red_len").cast("bigint").alias("total_redacted_len"),
         )
     )
+
+
+# --- composed quality-filter gate ----------------------------------------
+# The full curation decision in one plan: per-doc signals (type-token
+# ratio, duplicate-bigram fraction, corpus-unigram log-prob) feed
+# data-derived cutoffs — drop the bottom logprob decile and the top
+# repetition decile, require ttr ≥ 0.5 — and the output is the
+# per-source keep audit a corpus builder reviews before training.
+# Percentile cutoffs are computed ONCE globally (two 1-row aggs,
+# broadcast) — comparisons against an interpolated percentile are
+# engine-safe because every data value lies strictly on one side of an
+# interpolated threshold regardless of last-ulp differences. Signals
+# are pure scan-side maps except the unigram join (vocab-sized,
+# broadcast); nothing shuffles the corpus twice.
+@register(
+    "pipe_quality_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c) AS total FROM uni),
+    lp AS (
+      SELECT t.doc_id, AVG(ln(u.c * 1.0 / tot.total)) AS avg_logprob
+      FROM tok t JOIN uni u USING (token), tot GROUP BY t.doc_id),
+    sig AS (
+      SELECT k.doc_id, k.source,
+             len(list_distinct(k.t)) * 1.0 / len(k.t) AS ttr,
+             CASE WHEN len(k.t) - 1 <= 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(
+                         [array_to_string(k.t[i + 1:i + 2], ' ')
+                          FOR i IN range(0, len(k.t) - 1)])) * 1.0
+                       / (len(k.t) - 1)
+             END AS dup2,
+             lp.avg_logprob
+      FROM toks k JOIN lp USING (doc_id)),
+    cuts AS (
+      SELECT quantile_cont(avg_logprob, 0.1) AS lp_cut,
+             quantile_cont(dup2, 0.9) AS dup_cut
+      FROM sig)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN avg_logprob > cuts.lp_cut
+                          AND dup2 < cuts.dup_cut
+                          AND ttr >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM sig, cuts GROUP BY source
+    """,
+)
+def pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_spark_streaming_spark.operators.text import _dup_frac_raw, _toks
+
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("total"))
+    lp = (
+        tok.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("c") * 1.0 / F.col("total"))).alias("avg_logprob"))
+    )
+    sig = d.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)).alias("ttr"),
+        _dup_frac_raw(toks, 2).alias("dup2"),
+    ).join(lp, "doc_id")
+    cuts = sig.agg(
+        F.expr("percentile(avg_logprob, 0.1)").alias("lp_cut"),
+        F.expr("percentile(dup2, 0.9)").alias("dup_cut"),
+    )
+    return (
+        sig.crossJoin(F.broadcast(cuts))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("avg_logprob") > F.col("lp_cut"))
+                    & (F.col("dup2") < F.col("dup_cut"))
+                    & (F.col("ttr") >= 0.5),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

@@ -305,3 +305,61 @@ def m_resize_stub(spark: SparkSession, sf_dir: str,
         "out_w",
         "out_h",
     )
+
+
+# --- audio chunking (overlapping windows, mapInPandas) -------------------
+# The framing step ahead of any spectrogram/ASR featurizer: each audio
+# payload becomes 50%-overlapping fixed-size windows (64-byte chunks,
+# 32-byte hop, capped at 6 — stand-ins for 25 ms / 10 ms frames).
+# Chunking is pure payload arithmetic, so it runs as a deterministic
+# Arrow-batched mapInPandas over rows partitioned by doc_id — the
+# explosion inherits the input partitioning, no shuffle — and DuckDB
+# reproduces every chunk byte-for-byte via substr on the ASCII corpus.
+_CHUNK, _HOP, _MAX_CHUNKS = 64, 32, 6
+
+
+@register(
+    "m_audio_chunks",
+    f"""
+    WITH a AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0)
+    SELECT doc_id, CAST(r.range AS INT) AS chunk_idx,
+           CAST(octet_length(encode(substr(
+                 text, CAST(r.range * {_HOP} + 1 AS INT), {_CHUNK})))
+             AS BIGINT) AS chunk_bytes,
+           md5(substr(text, CAST(r.range * {_HOP} + 1 AS INT), {_CHUNK}))
+             AS chunk_md5
+    FROM a, range({_MAX_CHUNKS}) r
+    WHERE r.range * {_HOP} < a.n
+    """,
+)
+def m_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_manifest(spark, sf_dir).filter(
+        (F.col("meta.mime") == "audio/wav") & (F.col("meta.n_bytes") > 0)
+    )
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_chunk = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(_MAX_CHUNKS):
+                    start = i * _HOP
+                    if start >= len(payload):
+                        break
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_chunk.append(payload[start : start + _CHUNK])
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "chunk_idx": out_idx, "chunk": out_chunk}
+            )
+
+    chunks = m.mapInPandas(
+        chunk, schema="doc_id long, chunk_idx int, chunk binary"
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.octet_length("chunk").cast("bigint").alias("chunk_bytes"),
+        F.md5("chunk").alias("chunk_md5"),
+    )

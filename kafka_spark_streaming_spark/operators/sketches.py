@@ -207,3 +207,53 @@ def sk_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ev", 6).alias("exact_q"),
         (F.abs(F.col("cdf") - F.col("q")) <= tol).alias("approx_rank_ok"),
     ).orderBy("event_type", "q")
+
+
+# --- mergeable HLL sketch rollup (Datasketches) --------------------------
+# The warehouse pattern behind "distinct users over ANY date range
+# without rescanning": materialize one constant-size HLL sketch per
+# (event_type, day) — the granularity you'd persist at 100 TB — then
+# answer the per-type question by UNIONING sketches, never touching raw
+# data again. Spark 4 ships Apache DataSketches HLL natively
+# (hll_sketch_agg / hll_union_agg / hll_sketch_estimate), all JVM-side
+# and map-side mergeable. The estimate is engine-specific, so the
+# checkable contract is the sk_hll pattern: exact count (SQL-oracled)
+# + a deterministic error-bound boolean on the sketch estimate.
+@register(
+    "sk_hll_daily_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS union_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sk_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    day_sketches = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        day_sketches.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        )
+        .join(
+            ev.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("exact_users")
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("union_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

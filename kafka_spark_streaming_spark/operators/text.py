@@ -323,16 +323,18 @@ def _ngrams(toks: F.Column, n: int) -> F.Column:
     return grams
 
 
-def _dup_frac(toks: F.Column, n: int) -> F.Column:
+def _dup_frac_raw(toks: F.Column, n: int) -> F.Column:
     # 1 - distinct/total, 0.0 for degenerate short docs. The gram
     # TOTAL is just len(toks)-n+1 — only the distinct count needs the
     # built gram array, so the (priciest) construction runs once.
     total = F.size(toks) - n + 1
     return F.when(total <= 0, F.lit(0.0)).otherwise(
-        F.round(
-            1.0 - F.size(F.array_distinct(_ngrams(toks, n))) / total, 6
-        )
+        1.0 - F.size(F.array_distinct(_ngrams(toks, n))) / total
     )
+
+
+def _dup_frac(toks: F.Column, n: int) -> F.Column:
+    return F.round(_dup_frac_raw(toks, n), 6)
 
 
 _REP_GRAM = (

@@ -298,3 +298,27 @@ def test_unigram_logprob_broadcasts_vocab(spark, sf_smoke):
     plan = plan_of(spark, "t_unigram_logprob", sf_smoke)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_rollup_no_cartesian(spark, sf_smoke):
+    plan = plan_of(spark, "sk_hll_daily_rollup", sf_smoke)
+    assert "hll_union_agg" in plan.lower() or "HllUnionAgg" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_filter_broadcasts_vocab_and_cuts(spark, sf_smoke):
+    # vocab join broadcast; the 1-row percentile cutoffs ride a
+    # broadcast nested loop (fine — 1 row), never a shuffle cartesian
+    plan = plan_of(spark, "pipe_quality_filter", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_corr_windows_over_days_only(spark, sf_smoke):
+    # the unpartitioned window must sit ABOVE the daily pre-aggregate:
+    # exactly one aggregate below the window node, corpus never sorted
+    plan = plan_of(spark, "time_rolling_corr", sf_smoke)
+    assert "Window" in plan
+    win_pos = plan.find("Window")
+    agg_pos = plan.find("HashAggregate", win_pos)
+    assert agg_pos != -1, "window must run over the day-level aggregate"
