@@ -35,7 +35,7 @@ from kafka_spark_streaming_spark.streaming.windows import (
     windowed_counts,
 )
 from kafka_spark_streaming_spark.operators.dedup import _SHINGLES_SQL
-from kafka_spark_streaming_spark.tables import MESSAGES_ORACLE_SQL
+from kafka_spark_streaming_spark.tables import MESSAGES_ORACLE_SQL, table
 
 _M = f"WITH messages AS ({MESSAGES_ORACLE_SQL})"
 _seq = itertools.count()
@@ -592,4 +592,67 @@ def s_stream_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pn").cast("bigint").alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(10)
+    )
+
+
+# --- streaming mergeable-HLL distinct (sketch partials across batches) ---
+# The streaming twin of sk_hll_daily_rollup: each micro-batch writes
+# one constant-size DataSketches HLL partial per event_type (stamped
+# with batch_id — a replayed batch overwrites, never double-counts);
+# the fold UNIONs sketches, so distinct-over-the-whole-stream needs
+# state proportional to |types| × sketch size, not |users|. This is
+# how a 100 TB stream answers cumulative count-distinct without
+# keeping the key set anywhere. Estimate is engine-specific ⇒ the
+# sk_hll contract: exact count (oracled) + error-bound boolean.
+@register(
+    "s_stream_hll_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS union_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def s_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(prefix="kss_hll_") + "/partials"
+    stream = multi_batch_events_stream(spark, sf_dir, n_batches=3)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss_hck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(out).dropDuplicates(
+        ["event_type", "batch_id"]
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("union_within_5pct"),
+        )
+        .orderBy("event_type")
     )

@@ -39,3 +39,55 @@ def test_two_phase_prefix_sum_equals_global_window(spark, values, n_parts):
         ).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    toks=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3), min_size=1, max_size=30
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_ngrams_equal_python_reference(spark, toks, n):
+    from kafka_spark_streaming_spark.operators.text import _ngrams
+
+    d = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = d.select(_ngrams(F.col("toks"), n).alias("g")).head().g
+    want = [
+        " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+    ]
+    assert got == want
+
+
+def test_pagerank_mass_conserved(spark, sf_smoke):
+    # every rank in (0,1); total mass ≤ 1 (dangling-node mass may leak
+    # by design) and ≥ the pure-teleport floor (1-d) = 0.15
+    from kafka_spark_streaming_spark.operators import QUERIES
+
+    rows = QUERIES["g_pagerank_trade"](spark, sf_smoke).collect()
+    total = sum(r.pagerank for r in rows)
+    assert all(0.0 < r.pagerank < 1.0 for r in rows)
+    assert 0.15 <= total <= 1.000001
+
+
+def test_edit_distance_pairs_all_within_threshold(spark, sf_smoke):
+    from kafka_spark_streaming_spark.operators import QUERIES
+
+    rows = QUERIES["d_edit_distance_pairs"](spark, sf_smoke).collect()
+    assert all(r.edit_dist <= 16 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_mixture_rebalance_rates_and_counts_consistent(spark, sf_smoke):
+    from kafka_spark_streaming_spark.operators import QUERIES
+
+    rows = QUERIES["smp_mixture_rebalance"](spark, sf_smoke).collect()
+    for r in rows:
+        assert 0.0 < r.rate <= 1.0
+        assert 0 <= r.n_kept <= r.n_docs
+        if r.rate == 1.0:  # no-downsample sources keep everything
+            assert r.n_kept == r.n_docs
