@@ -67,7 +67,10 @@ def _lsh_planes():
     )
 
 
-def _ann_lsh_oracle() -> str:
+def lsh_bucket_cte() -> str:
+    """SQL body of the sign-bucket CTE over ``e(vec_id, v)`` — shared
+    by the ANN oracle here and the LSH-candidate dedup oracles in
+    dedup.py, so both engines bucket with the same seed-42 planes."""
     planes = _lsh_planes()
 
     def bucket_expr(t: int) -> str:
@@ -80,10 +83,54 @@ def _ann_lsh_oracle() -> str:
             )
         return " + ".join(cases)
 
-    per_table = "\n      UNION ALL ".join(
+    return "\n      UNION ALL ".join(
         f"SELECT vec_id, v, {t} AS t, {bucket_expr(t)} AS bkt FROM e"
         for t in range(_LSH_TABLES)
     )
+
+
+def lsh_buckets(e: DataFrame) -> DataFrame:
+    """(vec_id, t, bkt) sign-bucket rows for every vector: one exploded
+    row per LSH table, bucket = 4-bit sign pattern against the fixed
+    seed-42 hyperplanes.  Pure Catalyst (zip_with/aggregate, codegen'd);
+    the Spark twin of lsh_bucket_cte()."""
+    planes = _lsh_planes()
+
+    def dot_plane(t: int, p: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in planes[t, p]]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def bucket(t: int) -> F.Column:
+        return sum(
+            [
+                F.when(dot_plane(t, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+                for p in range(_LSH_PLANES_PER_TABLE)
+            ],
+            F.lit(0),
+        ).cast("int")
+
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), bucket(t).alias("bkt"))
+                    for t in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+
+
+def _ann_lsh_oracle() -> str:
+    per_table = lsh_bucket_cte()
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -261,15 +308,96 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str,
 
 
 # --- 4: IVF-Flat ANN (coarse quantizer + probed cells) -------------------
-# rows-only by design: a value oracle would have to re-implement the
-# distributed Lloyd iteration (strided init → assign → re-center →
-# re-assign) in SQL; unlike the LSH oracle's fixed hyperplanes, the
-# centroids are data-dependent intermediates, so an independent SQL
-# recomputation stops being independent. Recall-vs-scan-fraction is
-# asserted in tests/test_northstar.py instead.
-@register("sim_ann_ivf")
+_IVF_CELLS, _IVF_PROBE, _IVF_DIM = 16, 8, 64
+
+
+def _ann_ivf_oracle() -> str:
+    """Exact SQL replay of the whole IVF construction.  Every step of
+    the Spark pipeline is deterministic given the data (strided init,
+    one Lloyd step, argmax assignment with highest-cell tie-break,
+    top-n_probe cells with lowest-cell tie-break), so DuckDB can
+    recompute it independently: the centroids come out ulp-identical
+    and every downstream decision (cell argmax, probe ranking, final
+    top-k) has decision margins ~1e-2 vs cross-engine float noise
+    ~1e-13.  This removes the registry's last no-oracle query."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT GREATEST(COUNT(*) // {_IVF_CELLS}, 1) AS stride FROM e),
+    init AS (
+      SELECT CAST(e.vec_id // p.stride AS INT) AS cell,
+             list_transform(e.v,
+               x -> x / sqrt(list_dot_product(e.v, e.v))) AS c
+      FROM e, p
+      WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * {_IVF_CELLS}
+    ),
+    assign1 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, i.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, i.c)
+                          / sqrt(list_dot_product(e.v, e.v)) DESC,
+                          i.cell DESC) AS rn
+        FROM e CROSS JOIN init i)
+      WHERE rn = 1
+    ),
+    dims AS (
+      SELECT a.cell, gs.d AS pos, AVG(a.v[gs.d]) AS m
+      FROM assign1 a CROSS JOIN generate_series(1, {_IVF_DIM}) AS gs(d)
+      GROUP BY a.cell, gs.d
+    ),
+    newc AS (
+      SELECT cell, LIST(m ORDER BY pos) AS raw FROM dims GROUP BY cell
+    ),
+    cent2 AS (
+      SELECT i.cell,
+             CASE WHEN n.raw IS NOT NULL
+                       AND sqrt(list_dot_product(n.raw, n.raw)) > 0
+                  THEN list_transform(n.raw,
+                         x -> x / sqrt(list_dot_product(n.raw, n.raw)))
+                  ELSE i.c END AS c
+      FROM init i LEFT JOIN newc n USING (cell)
+    ),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.c)
+                          / sqrt(list_dot_product(e.v, e.v)) DESC,
+                          c.cell DESC) AS rn
+        FROM e CROSS JOIN cent2 c)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, c.c) DESC,
+                          c.cell ASC) AS rn
+        FROM e q CROSS JOIN cent2 c WHERE q.vec_id < {N_QUERIES})
+      WHERE rn <= {_IVF_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, co.neighbor_id,
+             list_cosine_similarity(p.qv, co.cv) AS s
+      FROM corpus co JOIN probes p USING (cell)
+      WHERE p.query_id <> co.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(s, 6) AS score, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@register("sim_ann_ivf", _ann_ivf_oracle())
 def sim_ann_ivf(spark: SparkSession, sf_dir: str,
-                n_cells: int = 16, n_probe: int = 8) -> DataFrame:
+                n_cells: int = _IVF_CELLS,
+                n_probe: int = _IVF_PROBE) -> DataFrame:
     """IVF-Flat: k-means coarse quantizer partitions the corpus into
     cells; queries probe only their n_probe nearest cells, so search
     cost is ~(n_probe/n_cells) of a full scan + a tiny rerank.

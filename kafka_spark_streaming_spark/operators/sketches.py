@@ -21,6 +21,7 @@ versions a real pipeline uses:
 
 from __future__ import annotations
 
+import heapq
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -48,12 +49,13 @@ def _mg_candidates(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for tok, cnt in pdf["tok"].value_counts().items():
             counters[tok] = counters.get(tok, 0) + int(cnt)
         if len(counters) > _MG_K:
-            # decrement all by the amount that evicts the smallest
-            # counters; every unit of decrement hits >k+1 tokens, so
-            # total decrement <= n_p/(k+1)  (standard MG bound)
-            while len(counters) > _MG_K:
-                d = min(counters.values())
-                counters = {t: c - d for t, c in counters.items() if c > d}
+            # decrement all by the (k+1)-th largest count in ONE pass:
+            # everything <= it drops out, so <= k counters survive, and
+            # every decrement unit still hits > k tokens — the standard
+            # MG bound (total decrement <= n_p/(k+1)) holds with a
+            # linear eviction instead of the repeated min-evict loop
+            d = heapq.nlargest(_MG_K + 1, counters.values())[-1]
+            counters = {t: c - d for t, c in counters.items() if c > d}
     yield pd.DataFrame({"tok": list(counters.keys())})
 
 

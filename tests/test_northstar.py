@@ -65,6 +65,27 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_correct):
     assert hits / total >= 0.4, f"ANN recall@5 = {hits / total:.2f}"
 
 
+def test_embedding_lsh_recall_vs_brute(spark, sf_correct):
+    """The LSH-candidate primary must be a subset of the brute pairs
+    (verification is exact, so no false positives) with recall matching
+    the sign-LSH collision model: p = (1-θ/π)^4 per table, miss =
+    (1-p)^8 over 8 tables → ≥ ~0.8 expected at cos ≥ 0.45."""
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["d_embedding_near_dup"](spark, sf_correct).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["d_embedding_near_dup_lsh"](
+            spark, sf_correct
+        ).collect()
+    }
+    assert lsh <= brute, "LSH primary produced a non-verified pair"
+    assert brute, "fixture produced no >=0.45-cosine pairs"
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.5, f"embedding-LSH recall {recall:.2f}"
+
+
 def test_media_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_media(b"bytes", "image/png")
