@@ -50,23 +50,39 @@ _PINNED_CORE = [
 ]
 
 
-def _driver_checked() -> tuple[int, set[str]]:
-    """(number of committed driver rounds, queries with any driver row)."""
+def _driver_checked() -> dict[str, int]:
+    """Map query → round index of its most recent CLEAN driver row.
+
+    A row only counts as evidence when it records a clean hash-verified
+    pass (err null, hash_match true).  Failed or oracle-less rows (e.g.
+    the r01 `no_oracle` rows for queries that have since gained exact
+    oracles) must NOT push a query into the back rotation tier — a
+    known-bad or never-verified query stays in the front 'unchecked'
+    tier until the driver actually confirms it.
+    """
     import json
     import re
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
-    rounds, seen = 0, set()
+    last_clean: dict[str, int] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
-        if not re.fullmatch(r"CORRECTNESS_r\d+\.json", path.name):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if not m:
             continue
         try:
-            seen.update(json.loads(path.read_text()))
-            rounds += 1
+            rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
-    return rounds, seen
+        rnd = int(m.group(1))
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("hash_match") is True
+            ):
+                last_clean[name] = max(rnd, last_clean.get(name, 0))
+    return last_clean
 
 
 def ordered_queries() -> dict[str, QueryFn]:
@@ -74,14 +90,17 @@ def ordered_queries() -> dict[str, QueryFn]:
     missing = [n for n in _PINNED_CORE if n not in QUERIES]
     if missing:
         raise KeyError(f"_PINNED_CORE names unknown queries: {missing}")
-    rounds, seen = _driver_checked()
+    last_clean = _driver_checked()
     rest = [n for n in QUERIES if n not in _PINNED_CORE]
-    unchecked = [n for n in rest if n in ORACLES and n not in seen]
-    checked = [n for n in rest if n in ORACLES and n in seen]
+    reg_ix = {n: i for i, n in enumerate(QUERIES)}
+    unchecked = [n for n in rest if n in ORACLES and n not in last_clean]
+    # Least-recently-verified first, so a capped window continuously
+    # refreshes the oldest evidence; registry order breaks ties.
+    checked = sorted(
+        (n for n in rest if n in ORACLES and n in last_clean),
+        key=lambda n: (last_clean[n], reg_ix[n]),
+    )
     rows_only = [n for n in rest if n not in ORACLES]
-    if checked:
-        off = (rounds * len(checked) // 3) % len(checked)
-        checked = checked[off:] + checked[:off]
     order = [*_PINNED_CORE, *unchecked, *checked, *rows_only]
     return {n: QUERIES[n] for n in order}
 

@@ -381,8 +381,11 @@ def _ann_ivf_oracle() -> str:
       WHERE rn <= {_IVF_PROBE}
     ),
     scored AS (
+      -- quantize to 9 digits BEFORE ranking so cross-engine float-sum
+      -- noise (~1e-13) can never flip a rank decision on near-ties;
+      -- both engines rank the identical quantized value
       SELECT p.query_id, co.neighbor_id,
-             list_cosine_similarity(p.qv, co.cv) AS s
+             round(list_cosine_similarity(p.qv, co.cv), 9) AS s
       FROM corpus co JOIN probes p USING (cell)
       WHERE p.query_id <> co.neighbor_id
     )
@@ -498,7 +501,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str,
     scored = (
         corpus.join(F.broadcast(qdf), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("s", cosine_similarity(F.col("qv"), F.col("cv")))
+        # quantized to 9 digits before ranking — matches the oracle's
+        # round(·, 9) so near-tied cosines rank identically cross-engine
+        .withColumn("s", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 9))
         .select("query_id", "neighbor_id", "s")
     )
     return _topk(scored)
