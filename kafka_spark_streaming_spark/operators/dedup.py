@@ -123,6 +123,7 @@ def session_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"minhash_profile:{sf_dir}",
         lambda: minhash_profile(shingles(spark, sf_dir)),
+        sf_dir=sf_dir,
     )
 
 

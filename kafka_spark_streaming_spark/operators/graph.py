@@ -124,7 +124,7 @@ def g_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 5-table relational pass — 3× the corpus scan for identical
     # 625 rows.
     edges = session_checkpoint(
-        spark, f"trade_edges:{sf_dir}", lambda: _trade_edges(spark, sf_dir)
+        spark, f"trade_edges:{sf_dir}", lambda: _trade_edges(spark, sf_dir), sf_dir=sf_dir
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("total"))
     trans = edges.join(outw, "src").select(

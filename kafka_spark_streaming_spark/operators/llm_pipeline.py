@@ -126,6 +126,7 @@ def p_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"shingles8:{sf_dir}",
         lambda: shingles(spark, sf_dir, n=8),
+        sf_dir=sf_dir,
     )
     ev = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
     train = sh.filter(F.col("doc_id") % 50 != 0)

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Fixture parquet stores event times as timestamp[us] with no tz
+        # annotation; Spark 4 would infer TIMESTAMP_NTZ, which watermarks
+        # and unix_micros() reject. Session tz is UTC, so reading them as
+        # plain TIMESTAMP preserves the instant and matches DuckDB.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

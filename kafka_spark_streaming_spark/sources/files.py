@@ -13,18 +13,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from kafka_spark_streaming_spark.tables import normalize_ts
 
 
 def file_stream_events(
@@ -32,16 +22,26 @@ def file_stream_events(
 ) -> DataFrame:
     """Streaming scan of events parquet (directory, or a single file —
     the file source only accepts directories, so a file path becomes
-    parent dir + pathGlobFilter)."""
+    parent dir + pathGlobFilter).
+
+    The file source needs an explicit schema, but hard-coding one is how
+    round 5's silent-1970s bug happened (fixtures regenerated from
+    INT64-nanos to timestamp[us]; a pinned LongType + div-1000 read
+    "succeeded" with every instant collapsed into January 1970). Instead
+    we probe the footer with a batch read under the session's parquet
+    confs and feed THAT schema to readStream, then run the same
+    normalize_ts branch the batch path uses — one ingestion contract.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    df = reader.parquet(path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_ts(reader.parquet(path))
 
 
 def file_stream_messages(

@@ -111,21 +111,37 @@ def multi_batch_events_stream(
     and feed them one per trigger.  Test/local harness concern only —
     a real deployment reads Kafka, where batching comes from offsets.
     """
-    from kafka_spark_streaming_spark.tables import table
+    from kafka_spark_streaming_spark.tables import fixture_fingerprint, table
 
-    # table() normalizes the fixture's TIMESTAMP(NANOS) column; the
-    # re-written split files are plain MICROS parquet.
+    # table() normalizes the fixture's ts encoding (see normalize_ts);
+    # the re-written split files are plain MICROS parquet.
     events = table(spark, sf_dir, "events")
-    # Cross-process cache: content is deterministic per (sf, n), so the
-    # split survives between runs; _SUCCESS marks a complete write.
+    # Cross-process cache: content is deterministic per (fixture, n), so
+    # the split survives between runs; _SUCCESS marks a complete write.
+    # The source fixture's mtime+size is part of the key — a regenerated
+    # fixture must invalidate the split, or Spark streams old data while
+    # the oracle reads new (the round-5 drift class).
     split_dir = os.path.join(
         tempfile.gettempdir(),
-        f"kss_split_{os.path.basename(os.path.normpath(sf_dir))}_{n_batches}",
+        f"kss_split_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n_batches}_{fixture_fingerprint(sf_dir, 'events')}",
     )
     if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
         events.repartitionByRange(n_batches, "ts").write.mode(
             "overwrite"
         ).parquet(split_dir)
+    # Deterministic arrival order. The file source orders files by
+    # modification time; the N range-partition files are committed by
+    # parallel tasks and can land with IDENTICAL mtimes (observed: equal
+    # to the nanosecond), making batch order arbitrary — an earlier-ts
+    # file arriving after the watermark passed it gets its rows dropped
+    # (stream-stream join lost half its pairs this way). Stamp strictly
+    # increasing mtimes in partition order, which repartitionByRange
+    # guarantees is ascending ts order. Fixed epochs keep it idempotent.
+    parts = sorted(f for f in os.listdir(split_dir) if f.startswith("part-"))
+    for k, fname in enumerate(parts):
+        t = 1_000_000_000 + k  # 2001-09-09 + k seconds; order is all that matters
+        os.utime(os.path.join(split_dir, fname), (t, t))
     return (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)

@@ -32,21 +32,76 @@ TABLES = [
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def fixture_fingerprint(sf_dir: str, name: str | None = None) -> str:
+    """Cheap content fingerprint (mtime ns + size) of fixture parquet.
+
+    Any cache derived from fixture data must key on this — round 5
+    shipped into regenerated fixtures and every (sf, params)-keyed cache
+    silently served stale data while the DuckDB oracle read fresh.
+    """
+    import os as _os
+
+    names = [name] if name else TABLES
+    parts = []
+    for n in names:
+        p = f"{sf_dir}/{n}.parquet"
+        try:
+            st = _os.stat(p)
+            parts.append(f"{st.st_mtime_ns}_{st.st_size}")
+        except FileNotFoundError:
+            parts.append("absent")
+    import hashlib
+
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain TIMESTAMP (µs, UTC session).
+
+    The fixtures have shipped `events.ts` under three parquet encodings
+    over time; all three must land on the identical instant so every
+    event-time operator (watermarks, unix_micros, windows) works and the
+    DuckDB oracle agrees:
+
+    - INT64 TIMESTAMP(NANOS), surfaced as `bigint` under
+      spark.sql.legacy.parquet.nanosAsLong=true → integer-div to µs
+      (integer `div`, not `/`: 1.7e18 ns exceeds double's mantissa);
+      exactly DuckDB's ns→µs cast.
+    - timestamp[us] without tz annotation, surfaced as `timestamp_ntz`
+      when spark.sql.parquet.inferTimestampNTZ.enabled=true → cast to
+      TIMESTAMP (session tz is UTC, so the instant is unchanged).
+    - plain `timestamp` → pass through.
+
+    Any other dtype is a fixture-contract violation and raises loudly —
+    round 5 proved a silent mis-read corrupts every session/window
+    boundary (timestamps collapsed into January 1970).
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt is None:
+        return df
+    if dt == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if dt == "timestamp":
+        return df
+    raise ValueError(
+        f"fixture drift: column {col!r} read as {dt!r}; expected one of "
+        "bigint (legacy nanos), timestamp_ntz, or timestamp. Extend "
+        "tables.normalize_ts with a branch for the new encoding."
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it.
 
-    events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects by default; we read nanos as long and
-    truncate to microseconds (exactly what DuckDB's ns→µs cast does,
-    so the oracle agrees). Integer `div`, not `/`: 1.7e18 ns exceeds
-    double's 53-bit mantissa.
+    events.ts goes through normalize_ts (the fixtures have shipped it as
+    INT64-nanos, timestamp[us]/NTZ, and plain timestamp across
+    regenerations — see normalize_ts for the contract).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -61,8 +116,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _DERIVED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def session_checkpoint(spark, key: str, build) -> DataFrame:
-    """Build-once-per-(session, key) eagerly checkpointed DataFrame."""
+def session_checkpoint(spark, key: str, build, sf_dir: str | None = None) -> DataFrame:
+    """Build-once-per-(session, key) eagerly checkpointed DataFrame.
+
+    Pass sf_dir when the build derives from fixture tables: the memo key
+    then includes fixture_fingerprint(sf_dir), so a regenerated fixture
+    (even mid-session) misses the cache instead of serving stale data.
+    """
+    if sf_dir is not None:
+        key = f"{key}@{fixture_fingerprint(sf_dir)}"
     k = (spark.sparkContext.applicationId, key)
     hit = _DERIVED_CACHE.get(k)
     if hit is not None:
