@@ -92,17 +92,126 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     )
 
 
+# Executable fixture contract (FIXTURES.md): dtypes each table must
+# surface AFTER table()'s normalization, regardless of which parquet
+# encoding a fixture regeneration shipped. Round 5 proved the cost of
+# leaving this implicit: `events.ts` flipped INT64-nanos → timestamp[us]
+# and the engine silently computed January-1970 sessions. Extra columns
+# in a future fixture are tolerated (they can't corrupt existing
+# queries); a missing column or a changed dtype fails loudly, naming
+# the drifted column.
+EXPECTED_DTYPES: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp",
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+}
+
+# Timestamp-family columns: the raw parquet may ship any encoding that
+# normalize_ts accepts; everything else must match EXPECTED_DTYPES as
+# stored.
+_TS_COLUMNS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def check_contract(name: str, dtypes: list[tuple[str, str]]) -> None:
+    """Assert a loaded table honors EXPECTED_DTYPES; raise naming the
+    drifted column. Schema-only — triggers no Spark job."""
+    expected = EXPECTED_DTYPES.get(name)
+    if expected is None:
+        return
+    actual = dict(dtypes)
+    problems = [
+        f"column {col!r}: expected {want!r}, "
+        + (f"got {actual[col]!r}" if col in actual else "MISSING")
+        for col, want in expected.items()
+        if actual.get(col) != want
+    ]
+    if problems:
+        raise ValueError(
+            f"fixture contract violation in table {name!r} "
+            f"(FIXTURES.md / tables.EXPECTED_DTYPES):\n  "
+            + "\n  ".join(problems)
+            + "\nA fixture regeneration likely changed an encoding; extend "
+            "tables.normalize_ts / EXPECTED_DTYPES deliberately instead of "
+            "letting queries mis-read it."
+        )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it.
 
-    events.ts goes through normalize_ts (the fixtures have shipped it as
-    INT64-nanos, timestamp[us]/NTZ, and plain timestamp across
-    regenerations — see normalize_ts for the contract).
+    Timestamp-family columns go through normalize_ts (the fixtures have
+    shipped ts as INT64-nanos, timestamp[us]/NTZ, and plain timestamp
+    across regenerations); every load is then checked against the
+    executable fixture contract so silent drift fails loudly.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _TS_COLUMNS.get(name, []):
+        df = normalize_ts(df, col)
+    check_contract(name, df.dtypes)
+    return df
 
 
 # Derived-table memo: a production pipeline PERSISTS expensive derived

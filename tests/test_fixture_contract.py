@@ -1,0 +1,111 @@
+"""Executable fixture contract (VERDICT r5 item 2).
+
+Round 5's fixtures were regenerated with `events.ts` re-encoded from
+INT64 TIMESTAMP(NANOS) to timestamp[us]; the repo's hard-coded schema
+kept "working" and silently collapsed every event time into January
+1970. These tests make the data contract executable: any future
+re-encoding either flows through tables.normalize_ts or fails loudly,
+naming the drifted column.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark import tables
+
+SF_DIRS = [
+    d
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    if os.path.isdir(d)
+]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", tables.TABLES)
+def test_fixture_honors_contract(spark, sf_dir, name):
+    # table() raises ValueError naming the drifted column on violation.
+    df = tables.table(spark, sf_dir, name)
+    assert dict(df.dtypes) | tables.EXPECTED_DTYPES[name] == dict(df.dtypes)
+
+
+def test_events_ts_is_sane_not_1970(spark):
+    """The exact round-5 failure shape: a mis-decoded ts lands in 1970."""
+    ev = tables.table(spark, tables.DEFAULT_SF_DIR, "events")
+    years = ev.select(F.year("ts").alias("y")).agg(
+        F.min("y").alias("lo"), F.max("y").alias("hi")
+    ).first()
+    assert years.lo >= 2000, f"ts decoded into {years.lo} — encoding drift"
+
+
+def test_normalize_ts_accepts_all_three_encodings(spark):
+    base = spark.range(1).select(
+        F.lit(1704067200_123456789).alias("ns"),  # 2024-01-01 00:00:00.123456789
+    )
+    # legacy INT64-nanos surfaced as bigint
+    nanos = base.select(F.col("ns").alias("ts"))
+    out = tables.normalize_ts(nanos)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert str(out.first().ts) == "2024-01-01 00:00:00.123456"
+    # timestamp_ntz
+    ntz = base.select(
+        F.expr("timestamp_micros(ns div 1000)").cast("timestamp_ntz").alias("ts")
+    )
+    out = tables.normalize_ts(ntz)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert str(out.first().ts) == "2024-01-01 00:00:00.123456"
+    # plain timestamp: pass-through
+    plain = base.select(F.expr("timestamp_micros(ns div 1000)").alias("ts"))
+    assert tables.normalize_ts(plain) is plain
+
+
+def test_normalize_ts_rejects_unknown_encoding(spark):
+    weird = spark.range(1).select(F.lit("2024-01-01").alias("ts"))
+    with pytest.raises(ValueError, match="fixture drift.*'ts'.*string"):
+        tables.normalize_ts(weird)
+
+
+def test_check_contract_names_drifted_column():
+    with pytest.raises(ValueError, match="'ts': expected 'timestamp', got 'bigint'"):
+        tables.check_contract(
+            "events",
+            [
+                ("event_id", "bigint"),
+                ("ts", "bigint"),
+                ("user_id", "bigint"),
+                ("event_type", "string"),
+                ("value", "double"),
+                ("props", "string"),
+            ],
+        )
+    with pytest.raises(ValueError, match="'r_name'.*MISSING"):
+        tables.check_contract("region", [("r_regionkey", "int")])
+
+
+def test_session_checkpoint_invalidates_on_fixture_rewrite(spark, tmp_path):
+    """VERDICT r5 item 7: a regenerated fixture must miss the derived-
+    table memo instead of serving stale data (the round-5 drift class,
+    in-session edition)."""
+    sf_dir = str(tmp_path)
+    src = os.path.join(tables.DEFAULT_SF_DIR, "documents.parquet")
+    dst = os.path.join(sf_dir, "documents.parquet")
+    shutil.copyfile(src, dst)
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(len(calls))
+
+    a = tables.session_checkpoint(spark, f"probe:{sf_dir}", build, sf_dir=sf_dir)
+    b = tables.session_checkpoint(spark, f"probe:{sf_dir}", build, sf_dir=sf_dir)
+    assert a is b and len(calls) == 1  # memo hit while fixture unchanged
+
+    # "regenerate" the fixture: same path, new mtime
+    os.utime(dst, None)
+    c = tables.session_checkpoint(spark, f"probe:{sf_dir}", build, sf_dir=sf_dir)
+    assert len(calls) == 2 and c is not a
