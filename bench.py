@@ -80,20 +80,24 @@ NOTES = {
         "(shared-host VM shows ~1.5x whole-run noise between passes)"
     ),
     "derived_tables": (
-        "d_minhash_lsh_pairs and g_pagerank_trade probe derived "
-        "artifacts (minhash signature profile / distilled edge list) "
-        "memoized per (session, corpus) via tables.session_checkpoint "
-        "— the production shape persists these next to the corpus, so "
-        "the min-of-2 number measures the probe; the first pass still "
-        "pays the one-time build (~2.2s / ~2.5s at sf0.1)"
+        "d_minhash_lsh_pairs / g_pagerank_trade / p_decontaminate_ngram "
+        "probe derived artifacts (minhash signature profile, distilled "
+        "edge list, 8-gram index) memoized per (session, corpus) via "
+        "tables.session_checkpoint — the production shape persists these "
+        "next to the corpus, so the min-of-2 number measures the probe; "
+        "each artifact's one-time build cost is reported separately as "
+        "derived_build_sec and gated at the same 1.5x vs the previous "
+        "round"
     ),
 }
 
 
-def _prev_bench() -> dict[str, float]:
-    """Per-query timings from the latest BENCH_r{N}.json, if any."""
+def _prev_bench() -> tuple[dict[str, float], dict[str, float]]:
+    """(per-query, derived-build) timings from the latest BENCH_r{N}.json
+    that actually produced numbers — a crashed round (parsed: null, like
+    r05) is skipped, so the gate compares against the last REAL bench."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best = -1, {}
+    best_n, best_q, best_d = -1, {}, {}
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -103,10 +107,13 @@ def _prev_bench() -> dict[str, float]:
                 doc = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        q = (doc.get("parsed") or doc).get("queries") or {}
+        parsed = doc.get("parsed") or doc
+        q = parsed.get("queries") or {}
         if int(m.group(1)) > best_n and q:
-            best_n, best = int(m.group(1)), q
-    return best
+            best_n = int(m.group(1))
+            best_q = q
+            best_d = parsed.get("derived_build_sec") or {}
+    return best_q, best_d
 
 
 def regressions(
@@ -161,6 +168,20 @@ def main() -> None:
                 timings[n] = dt
     total = round(sum(timings.values()), 3)
 
+    # One-time derived-artifact build cost at the bench SF (ADVICE r4
+    # #2): the session memo means the timed passes above only measure
+    # the probe; this surfaces the build so it can't regress invisibly.
+    # Keys are "artifact:<sf_dir>" — keep the sf_dir ones, shorten to
+    # the artifact name for round-over-round comparability.
+    from kafka_spark_streaming_spark import tables as _tables
+
+    derived = {
+        k.split(":", 1)[0]: v
+        for k, v in _tables.DERIVED_BUILD_SEC.items()
+        if sf_dir in k
+    }
+
+    prev_q, prev_d = _prev_bench()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -174,7 +195,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "regressions": regressions(timings, _prev_bench()),
+                "derived_build_sec": derived,
+                "regressions": regressions(timings, prev_q)
+                + regressions(derived, prev_d),
                 "notes": NOTES,
             }
         )

@@ -224,6 +224,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # drop entries of dead sessions so their blocks can be reclaimed.
 _DERIVED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Wall-clock cost of each derived artifact's one-time build, keyed by
+# the caller's memo key (pre-fingerprint). The memo means min-of-N bench
+# passes never observe this cost; bench.py surfaces it as
+# derived_build_sec so a build-time regression can't hide behind the
+# cache (ADVICE r4 #2).
+DERIVED_BUILD_SEC: dict[str, float] = {}
+
 
 def session_checkpoint(spark, key: str, build, sf_dir: str | None = None) -> DataFrame:
     """Build-once-per-(session, key) eagerly checkpointed DataFrame.
@@ -232,6 +239,7 @@ def session_checkpoint(spark, key: str, build, sf_dir: str | None = None) -> Dat
     then includes fixture_fingerprint(sf_dir), so a regenerated fixture
     (even mid-session) misses the cache instead of serving stale data.
     """
+    base_key = key
     if sf_dir is not None:
         key = f"{key}@{fixture_fingerprint(sf_dir)}"
     k = (spark.sparkContext.applicationId, key)
@@ -240,7 +248,11 @@ def session_checkpoint(spark, key: str, build, sf_dir: str | None = None) -> Dat
         return hit
     for stale in [s for s in _DERIVED_CACHE if s[0] != k[0]]:
         del _DERIVED_CACHE[stale]
+    import time
+
+    t0 = time.perf_counter()
     df = build().localCheckpoint(eager=True)
+    DERIVED_BUILD_SEC[base_key] = round(time.perf_counter() - t0, 3)
     _DERIVED_CACHE[k] = df
     return df
 
