@@ -368,3 +368,72 @@ def test_compaction_preserves_rows(spark, sf_smoke, tmp_path):
     after_df = spark.read.parquet(path)
     assert after_df.count() == before
     assert after_df.exceptAll(ev).count() == 0
+
+
+def test_pipeline_checkpoint_restart_exactly_once(spark, sf_smoke, tmp_path):
+    """SURVEY.md §7 "what's hard" #4 / VERDICT r5 item 5: kill a stream
+    mid-corpus and resume from its checkpoint — the restarted run must
+    (a) not reprocess files the checkpoint already committed and (b)
+    leave the sink bit-identical to an uninterrupted single run. At
+    100 TB restart is the common case, and this is what the reference
+    gets wrong (its hand-rolled batch counter resets on restart,
+    Streamer.scala:122); foreachBatch's checkpoint-backed batch_id plus
+    the idempotent versioned MERGE is the fix being proven here.
+    """
+    ev = table(spark, sf_smoke, "events")
+    halves = [
+        ev.filter(F.col("event_id") % 2 == i).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        for i in range(2)
+    ]
+
+    def stage(base: str, i: int, df) -> None:
+        scratch = f"{base}/_w{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        dst = f"{base}/batch{i}.parquet"
+        os.rename(glob.glob(scratch + "/*.parquet")[0], dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    def run(pipe: StreamerPipeline, base: str, ckpt: str) -> None:
+        msgs = file_stream_messages(spark, base, max_files_per_trigger=1)
+        q = pipe.start(msgs, checkpoint=ckpt)
+        q.awaitTermination()
+
+    # --- interrupted run: drain half, stop, add the rest, resume -------
+    base_a, ckpt_a = str(tmp_path / "in_a"), str(tmp_path / "ckpt_a")
+    os.makedirs(base_a)
+    stage(base_a, 0, halves[0])
+    cfg_a = StreamerConfig(
+        table_path=str(tmp_path / "cells_a"), bulk=True, clock=lambda: 1700000000
+    )
+    first = StreamerPipeline(spark, cfg_a)
+    run(first, base_a, ckpt_a)
+    assert [s[0] for s in first.summaries] == [0]
+
+    stage(base_a, 1, halves[1])
+    resumed = StreamerPipeline(spark, cfg_a)  # fresh process, same ckpt+sink
+    run(resumed, base_a, ckpt_a)
+
+    # (a) exactly-once input: the resumed run saw ONLY the new file, and
+    # its batch_id continued from the checkpoint instead of resetting
+    assert [s[0] for s in resumed.summaries] == [1]
+    assert resumed.summaries[0][1] == halves[1].count()
+
+    # --- uninterrupted single run over the same two files --------------
+    base_b, ckpt_b = str(tmp_path / "in_b"), str(tmp_path / "ckpt_b")
+    os.makedirs(base_b)
+    for i in range(2):
+        stage(base_b, i, halves[i])
+    cfg_b = StreamerConfig(
+        table_path=str(tmp_path / "cells_b"), bulk=True, clock=lambda: 1700000000
+    )
+    single = StreamerPipeline(spark, cfg_b)
+    run(single, base_b, ckpt_b)
+    assert [s[0] for s in single.summaries] == [0, 1]
+
+    # (b) the sink state is bit-identical to the uninterrupted run
+    cols = ["rowkey", "cf", "qualifier", "value", "batch_id"]
+    got = sorted(map(tuple, resumed.sink.current().select(*cols).collect()))
+    want = sorted(map(tuple, single.sink.current().select(*cols).collect()))
+    assert got == want and len(got) > 0
