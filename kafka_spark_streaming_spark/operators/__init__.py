@@ -74,6 +74,8 @@ def _driver_checked() -> dict[str, int]:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):  # tolerate a JSON-array emission
+            continue
         rnd = int(m.group(1))
         for name, row in rows.items():
             if (

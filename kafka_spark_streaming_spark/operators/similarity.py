@@ -38,8 +38,12 @@ _TOPK_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     scored AS (
+      -- floor(s*1e9+0.5)/1e9 BEFORE ranking, same as the Spark side:
+      -- collapses cross-engine float-sum noise (~1e-13) so near-tied
+      -- cosines rank identically in both engines (floor is defined
+      -- identically everywhere; round() tie-breaking is engine-specific)
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(q.v, c.v) AS s
+             floor(list_cosine_similarity(q.v, c.v) * 1e9 + 0.5) / 1e9 AS s
       FROM e q, e c
       WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id)
     SELECT query_id, neighbor_id, round(s, 6) AS score, rn AS rank
@@ -143,8 +147,9 @@ def _ann_lsh_oracle() -> str:
       WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
     ),
     scored AS (
+      -- same floor-quantize-before-rank as the Spark side (see _q9)
       SELECT cand.query_id, cand.neighbor_id,
-             list_cosine_similarity(eq.v, ec.v) AS s
+             floor(list_cosine_similarity(eq.v, ec.v) * 1e9 + 0.5) / 1e9 AS s
       FROM cand
       JOIN e eq ON eq.vec_id = cand.query_id
       JOIN e ec ON ec.vec_id = cand.neighbor_id)
@@ -165,7 +170,19 @@ def _queries_and_candidates(spark: SparkSession, sf_dir: str):
     return q, c
 
 
+def _q9(col: F.Column) -> F.Column:
+    """floor(s*1e9 + 0.5)/1e9 — 9-digit quantization applied on BOTH
+    engines before any rank decision. floor is defined identically
+    everywhere, while round() (Spark: BigDecimal HALF_UP; DuckDB:
+    binary-double away-from-zero) is not bit-identical; quantizing first
+    makes a cross-engine rank flip vanishingly unlikely (only a true
+    cosine within 0.5e-9 of a quantization boundary could still differ).
+    Same pattern as sim_quantize_int8."""
+    return F.floor(col * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+
 def _topk(scored: DataFrame) -> DataFrame:
+    scored = scored.withColumn("s", _q9(F.col("s")))
     w = W.partitionBy("query_id").orderBy(
         F.desc("s"), F.asc("neighbor_id")
     )
@@ -381,11 +398,13 @@ def _ann_ivf_oracle() -> str:
       WHERE rn <= {_IVF_PROBE}
     ),
     scored AS (
-      -- quantize to 9 digits BEFORE ranking so cross-engine float-sum
-      -- noise (~1e-13) can never flip a rank decision on near-ties;
-      -- both engines rank the identical quantized value
+      -- floor-quantize to 9 digits BEFORE ranking so cross-engine
+      -- float-sum noise (~1e-13) makes rank flips vanishingly unlikely
+      -- (a true cosine within 0.5e-9 of a boundary could still land
+      -- either side); floor, not round: round() tie-breaking and its
+      -- decimal/binary path are engine-specific
       SELECT p.query_id, co.neighbor_id,
-             round(list_cosine_similarity(p.qv, co.cv), 9) AS s
+             floor(list_cosine_similarity(p.qv, co.cv) * 1e9 + 0.5) / 1e9 AS s
       FROM corpus co JOIN probes p USING (cell)
       WHERE p.query_id <> co.neighbor_id
     )
@@ -501,9 +520,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str,
     scored = (
         corpus.join(F.broadcast(qdf), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        # quantized to 9 digits before ranking — matches the oracle's
-        # round(·, 9) so near-tied cosines rank identically cross-engine
-        .withColumn("s", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 9))
+        # floor-quantized to 9 digits before ranking — matches the
+        # oracle's floor(s*1e9+0.5)/1e9 (see _q9) so near-tied cosines
+        # rank identically cross-engine
+        .withColumn("s", _q9(cosine_similarity(F.col("qv"), F.col("cv"))))
         .select("query_id", "neighbor_id", "s")
     )
     return _topk(scored)

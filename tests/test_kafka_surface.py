@@ -101,23 +101,31 @@ def test_stream_reader_builds_kafka_plan(spark):
 
 
 def test_stream_reader_reaches_datasource_resolution(spark):
-    """Drive the REAL DataStreamReader (no mock): without the
-    spark-sql-kafka connector jar (absent in this environment — no
-    network to fetch it), `.load()` must fail inside Spark's
-    DataSource.lookupDataSource with the kafka-specific guidance
-    message.  That proves the builder's format + option map reaches
-    Spark's source-resolution machinery intact — the strongest S1
-    evidence available without a broker; with the jar on the
-    classpath the same call returns the wire-schema DataFrame that
-    kafka_messages() projects (tested below on a static frame)."""
-    import pytest
+    """Drive the REAL DataStreamReader (no mock), in whichever of the
+    two environments we're in (ADVICE r4 #3 — must not invert when the
+    connector jar IS on the classpath):
+
+    - no spark-sql-kafka jar (this sandbox — no network to fetch it):
+      `.load()` must fail inside Spark's DataSource.lookupDataSource
+      with the kafka-specific guidance message, proving the builder's
+      format + option map reaches source-resolution machinery intact;
+    - jar present: resolution succeeds without a broker (load is lazy),
+      and the stream must surface Kafka's wire schema — the exact
+      shape kafka_messages() projects (also tested on a static frame).
+    """
     from pyspark.errors import AnalysisException
 
-    with pytest.raises(AnalysisException) as ei:
-        kafka_stream_reader(spark, "b:9092", topics="a,b", min_partitions=8)
-    msg = str(ei.value)
-    assert "kafka" in msg.lower()
-    assert "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+    try:
+        df = kafka_stream_reader(spark, "b:9092", topics="a,b", min_partitions=8)
+    except AnalysisException as ei:
+        msg = str(ei)
+        assert "kafka" in msg.lower()
+        assert "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+    else:
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        assert isinstance(fields["key"], BinaryType)
+        assert isinstance(fields["value"], BinaryType)
+        assert "topic" in fields and "timestamp" in fields
 
 
 _WIRE_SCHEMA = StructType(
