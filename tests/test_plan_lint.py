@@ -50,8 +50,75 @@ _BNLJ_OK = {
 }
 
 
+# Queries whose plan contains a GLOBAL (unpartitioned) window, each
+# individually reviewed: the window's input frame is bounded by design
+# (per-partition counts, one row per day, per-chunk offsets) — O(32) or
+# O(days), never O(data). A global window over data rows is the one
+# window shape that cannot scale (WindowExec moves everything to a
+# single partition); any new entry here needs the same bounded-frame
+# argument in its docstring.
+_GLOBAL_WINDOW_OK = {
+    "w_revenue_deciles",          # 32-row per-partition-count offsets table
+    "time_new_vs_returning_users", # running sum over one row per day
+    "time_rolling_corr",          # rolling stats over the daily series
+    "w_trailing_7d_revenue",      # trailing window over the daily rollup
+    "p_pack_sequences",           # prefix sum over per-chunk offsets
+}
+
+# Queries allowed to read EVERY column of a fixture table: the operator
+# genuinely emits whole rows (a cleaning pipeline returns cleaned
+# documents). Everything else must column-prune its scans.
+_FULL_SCAN_OK = {("pipe_corpus_clean", "documents")}
+
+# Full column counts of the fixture tables a scan could fail to prune.
+_TABLE_WIDTHS = {
+    "lineitem": 11,
+    "orders": 6,
+    "events": 6,
+    "part": 6,
+    "documents": 5,
+    "customer": 5,
+}
+
+
 def _batch_names() -> list[str]:
     return sorted(n for n in QUERIES if not n.startswith("s_"))
+
+
+def _global_window_count(df) -> int:
+    """Window nodes with an empty partitionSpec in the optimized logical
+    plan (the physical tree hides behind AdaptiveSparkPlan until
+    execution, so lint the logical one)."""
+
+    def walk(node) -> int:
+        n = 0
+        if node.nodeName() == "Window" and node.partitionSpec().size() == 0:
+            n += 1
+        for i in range(node.children().size()):
+            n += walk(node.children().apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().optimizedPlan())
+
+
+def _unpruned_scans(name: str, plan: str) -> list[tuple[str, int]]:
+    """(table, n_cols) for each parquet scan that reads a fixture
+    table's FULL width — at 100 TB that is the difference between
+    scanning the needed columns and scanning everything."""
+    import re
+
+    out = []
+    for m in re.finditer(
+        r"Location:[^\n]*?/(\w+)\.parquet.*?ReadSchema: struct<([^>]*)>",
+        plan,
+        re.S,
+    ):
+        tbl, schema = m.group(1), m.group(2)
+        ncols = len([c for c in schema.split(",") if ":" in c]) if schema else 0
+        width = _TABLE_WIDTHS.get(tbl)
+        if width and ncols >= width and (name, tbl) not in _FULL_SCAN_OK:
+            out.append((tbl, ncols))
+    return out
 
 
 @pytest.mark.parametrize("name", _batch_names())
@@ -69,3 +136,16 @@ def test_no_cartesian_no_row_python(spark, sf_smoke, name):
             "is bounded by design, add it to _BNLJ_OK with a reason"
         )
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+    unpruned = _unpruned_scans(name, plan)
+    assert not unpruned, (
+        f"{name}: scan reads the full width of {unpruned} — project the "
+        "needed columns so Catalyst prunes the parquet read, or add to "
+        "_FULL_SCAN_OK with a reason"
+    )
+    if name not in _GLOBAL_WINDOW_OK:
+        assert _global_window_count(df) == 0, (
+            f"{name}: unpartitioned window over an unreviewed frame — "
+            "WindowExec single-partitions its input; restructure (local "
+            "rank + bounded offsets) or add to _GLOBAL_WINDOW_OK with a "
+            "bounded-frame argument"
+        )
