@@ -149,3 +149,35 @@ def test_no_cartesian_no_row_python(spark, sf_smoke, name):
             "rank + bounded offsets) or add to _GLOBAL_WINDOW_OK with a "
             "bounded-frame argument"
         )
+
+
+# Filter pushdown reaching the parquet scan — spot-checked on the
+# filter-heavy headline queries: (query, substring that must appear in
+# a PushedFilters/PartitionFilters list). If a refactor reroutes a
+# predicate through a derived column, it falls out of the scan and the
+# query silently re-reads everything at 100 TB; this makes that loud.
+_PUSHDOWN_EXPECT = [
+    ("q6_forecast_revenue", "PushedFilters", "GreaterThanOrEqual(l_shipdate"),
+    ("q3_shipping_priority", "PushedFilters", "EqualTo(c_mktsegment,BUILDING)"),
+    ("q19_bracket_revenue", "PushedFilters", "GreaterThanOrEqual(p_size,1)"),
+    ("q14_promo_revenue", "PushedFilters", "l_shipdate"),
+    # partition pruning (event_date is a directory column): the scan
+    # must touch 1/30th of the files, not filter post-read
+    ("p_pruned_daily_type_counts", "PartitionFilters", "event_date"),
+]
+
+
+@pytest.mark.parametrize("name,section,needle", _PUSHDOWN_EXPECT)
+def test_filter_reaches_scan(spark, sf_smoke, name, section, needle):
+    import re
+
+    df = QUERIES[name](spark, sf_smoke)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    lists = re.findall(rf"{section}: \[[^\]]*\]", plan)
+    assert any(needle in x for x in lists), (
+        f"{name}: expected {needle!r} in a {section} list; got {lists}"
+    )
