@@ -440,3 +440,79 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# --- vocabulary build + document id-encoding -----------------------------
+# The tokenization-prep step of a training pipeline: build a top-V
+# vocabulary over the corpus, then encode every document as the
+# sequence of token ids (0 = UNK). Scale shape, stage by stage:
+# corpus counts = one wide groupBy; top-V = TakeOrdered (no global
+# sort of the data); id assignment = a window over the V-row vocab
+# (bounded — V=256 regardless of corpus size); encoding = broadcast
+# hash join of the V-row vocab against the exploded tokens; per-doc
+# fold = one groupBy(doc_id). Nothing global ever touches data rows.
+# The encoded sequence is verified via exact integer aggregates
+# (count / UNK count / position-weighted checksum) rather than a giant
+# array column, so the DuckDB oracle compares exactly.
+_VOCAB_V = 256
+
+
+@register(
+    "t_vocab_encode",
+    f"""
+    WITH flat AS (
+      SELECT t.doc_id, t.toks[i.i] AS tok, i.i AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents) t,
+           (SELECT unnest(range(1, 1000)) AS i) i
+      WHERE i.i <= len(t.toks)
+    ),
+    vocab AS (
+      SELECT tok,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS id
+      FROM flat GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok ASC LIMIT {_VOCAB_V}
+    )
+    SELECT f.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unk,
+           CAST(SUM(f.pos * COALESCE(v.id, 0)) AS BIGINT) AS ids_checksum
+    FROM flat f LEFT JOIN vocab v USING (tok)
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def t_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # TakeOrdered top-V, then rank WITHIN the V-row frame (bounded
+    # global window — see test_plan_lint._GLOBAL_WINDOW_OK)
+    vocab = (
+        counts.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_VOCAB_V)
+        .withColumn(
+            "id",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))),
+        )
+        .select("tok", "id")
+    )
+    enc = tok.join(F.broadcast(vocab), "tok", "left")
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("id").isNull(), 1).otherwise(0).cast("bigint")
+            ).alias("n_unk"),
+            F.sum(
+                (F.col("pos") + 1) * F.coalesce(F.col("id"), F.lit(0))
+            ).cast("bigint").alias("ids_checksum"),
+        )
+        .orderBy("doc_id")
+    )

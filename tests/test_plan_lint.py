@@ -63,6 +63,7 @@ _GLOBAL_WINDOW_OK = {
     "time_rolling_corr",          # rolling stats over the daily series
     "w_trailing_7d_revenue",      # trailing window over the daily rollup
     "p_pack_sequences",           # prefix sum over per-chunk offsets
+    "t_vocab_encode",             # row_number over the 256-row vocab
 }
 
 # Queries allowed to read EVERY column of a fixture table: the operator
