@@ -32,8 +32,9 @@ def file_stream_events(
     confs and feed THAT schema to readStream, then run the same
     normalize_ts branch the batch path uses — one ingestion contract.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    from kafka_spark_streaming_spark.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

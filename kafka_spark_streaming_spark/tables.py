@@ -197,6 +197,24 @@ def check_contract(name: str, dtypes: list[tuple[str, str]]) -> None:
         )
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs timestamp determinism depends on, on
+    WHATEVER session the caller hands us (the correctness driver builds
+    its own, without get_spark's configuration):
+
+    - UTC session tz: epoch functions and the DuckDB oracle (naive
+      timestamps) agree on the instant;
+    - NTZ inference off + legacy nanos-as-long: both non-timestamp
+      fixture encodings surface in the shapes normalize_ts handles.
+
+    All three are runtime-settable SQLConfs; every query path loads via
+    table()/file_stream_events(), which call this first.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it.
 
@@ -205,8 +223,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     across regenerations); every load is then checked against the
     executable fixture contract so silent drift fails loudly.
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _TS_COLUMNS.get(name, []):
         df = normalize_ts(df, col)
