@@ -437,3 +437,46 @@ def test_pipeline_checkpoint_restart_exactly_once(spark, sf_smoke, tmp_path):
     got = sorted(map(tuple, resumed.sink.current().select(*cols).collect()))
     want = sorted(map(tuple, single.sink.current().select(*cols).collect()))
     assert got == want and len(got) > 0
+
+
+def test_multi_batch_split_files_arrive_in_ts_order(spark):
+    """Regression test for the round-6 stream-stream-join failure: the
+    file source orders files by mtime, and parallel task commits can
+    land all split files with IDENTICAL mtimes (observed equal to the
+    nanosecond) — arrival order then becomes arbitrary, and a file
+    arriving after the watermark passed its ts range gets silently
+    dropped. multi_batch_events_stream must stamp strictly increasing
+    mtimes in range-partition (= ascending ts) order, idempotently."""
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_spark.streaming.stateful import (
+        multi_batch_events_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    multi_batch_events_stream(spark, sf_dir, n_batches=4)
+
+    import glob as _glob
+
+    from kafka_spark_streaming_spark.tables import fixture_fingerprint
+
+    split_dir = os.path.join(
+        "/tmp", f"kss_split_sf0.001_4_{fixture_fingerprint(sf_dir, 'events')}"
+    )
+    parts = sorted(_glob.glob(split_dir + "/part-*.parquet"))
+    assert len(parts) == 4
+    mtimes = [os.stat(p).st_mtime for p in parts]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4, (
+        f"split mtimes not strictly increasing: {mtimes}"
+    )
+    # partition order must equal ts order (repartitionByRange contract)
+    ts_firsts = [pq.read_table(p, columns=["ts"])["ts"][0].as_py() for p in parts]
+    assert ts_firsts == sorted(ts_firsts)
+
+    # sabotage: equalize mtimes (the parallel-commit failure shape) and
+    # re-enter — the function must restamp even on a cache hit
+    for p in parts:
+        os.utime(p, (5_000_000, 5_000_000))
+    multi_batch_events_stream(spark, sf_dir, n_batches=4)
+    mtimes = [os.stat(p).st_mtime for p in sorted(_glob.glob(split_dir + "/part-*.parquet"))]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
