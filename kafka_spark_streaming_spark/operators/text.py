@@ -516,3 +516,40 @@ def t_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- boilerplate prefix detection ----------------------------------------
+# Documents sharing an identical leading token run are the signature of
+# boilerplate (scraped headers, license banners, template intros) — a
+# standard cleaning step before near-dedup. One groupBy on the 4-token
+# prefix (map-side partial agg, one shuffle of |distinct prefixes|);
+# embarrassingly parallel at any corpus size.
+@register(
+    "t_boilerplate_prefixes",
+    """
+    WITH pre AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:4], ' ') AS prefix
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 4)
+    SELECT prefix, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM pre GROUP BY prefix
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, prefix
+    """,
+)
+def t_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    pre = d.filter(F.size(toks) >= 4).select(
+        "doc_id", F.array_join(F.slice(toks, 1, 4), " ").alias("prefix")
+    )
+    return (
+        pre.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("prefix"))
+    )
