@@ -410,13 +410,16 @@ def _docs_ordered_batches(
     import glob
     import shutil
 
+    from kafka_spark_streaming_spark.tables import fixture_fingerprint
     from kafka_spark_streaming_spark.tables import table as _table
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fixture fingerprint in the cache key: a regenerated
+    # documents.parquet must invalidate the split (round-5 drift class)
     split_dir = os.path.join(
         tempfile.gettempdir(),
         f"kss_docsplit_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{n_batches}",
+        f"_{n_batches}_{fixture_fingerprint(sf_dir, 'documents')}",
     )
     if not os.path.exists(os.path.join(split_dir, "_DONE")):
         shutil.rmtree(split_dir, ignore_errors=True)

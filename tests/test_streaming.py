@@ -480,3 +480,50 @@ def test_multi_batch_split_files_arrive_in_ts_order(spark):
     multi_batch_events_stream(spark, sf_dir, n_batches=4)
     mtimes = [os.stat(p).st_mtime for p in sorted(_glob.glob(split_dir + "/part-*.parquet"))]
     assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+
+
+def test_incremental_rollup_retry_cannot_double_count(spark, sf_smoke):
+    """The incremental rollup's claim: a foreachBatch retry that
+    re-appends a batch's per-day partials cannot double-count, because
+    the read side dedups on (day, batch_id). Simulate the retry by
+    literally appending a duplicate of one batch's partial rows, then
+    assert the folded rollup equals the untouched batch oracle."""
+    import glob as _glob
+
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        s_incremental_daily_rollup,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    rolled = s_incremental_daily_rollup(spark, sf_smoke)
+    # locate the partials dir from the plan's scanned files
+    out_dir = os.path.dirname(rolled.inputFiles()[0].replace("file:", ""))
+
+    # "retry": duplicate every partial row of batch 0 by re-appending it
+    partials = spark.read.parquet(out_dir)
+    partials.filter(F.col("batch_id") == 0).write.mode("append").parquet(out_dir)
+
+    refolded = (
+        spark.read.parquet(out_dir)
+        .dropDuplicates(["d", "batch_id"])
+        .groupBy("d")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("ps").alias("sum_value_4dec"),
+        )
+        .orderBy("d")
+    )
+    ev = table(spark, sf_smoke, "events")
+    expect = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                "sum_value_4dec"
+            ),
+        )
+        .orderBy("d")
+    )
+    assert [tuple(r) for r in refolded.collect()] == [
+        tuple(r) for r in expect.collect()
+    ]
