@@ -32,7 +32,13 @@ N_BUCKETS = 16
 
 
 def _tag(sf_dir: str) -> str:
-    return re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    """Cache tag for derived layouts: sf name + fixture fingerprint, so
+    a regenerated fixture invalidates every derived layout instead of
+    serving stale data (the round-5 drift class)."""
+    from kafka_spark_streaming_spark.tables import fixture_fingerprint
+
+    base = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    return f"{base}_{fixture_fingerprint(sf_dir)}"
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
