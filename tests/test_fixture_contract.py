@@ -109,3 +109,37 @@ def test_session_checkpoint_invalidates_on_fixture_rewrite(spark, tmp_path):
     os.utime(dst, None)
     c = tables.session_checkpoint(spark, f"probe:{sf_dir}", build, sf_dir=sf_dir)
     assert len(calls) == 2 and c is not a
+
+
+def test_engine_confs_pinned_on_foreign_session(spark):
+    """The correctness driver builds its own SparkSession without the
+    engine's configuration. ensure_engine_confs (called from every
+    table()/file_stream_events() load) must pin UTC + parquet encoding
+    confs on whatever session arrives, so timestamp semantics match the
+    DuckDB oracle regardless of the caller's environment. Simulate the
+    hostile case by flipping the confs on the shared session."""
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.session.timeZone",
+            "spark.sql.parquet.inferTimestampNTZ.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        ev = tables.table(spark, tables.DEFAULT_SF_DIR, "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # the instant must be the UTC one, not a shifted wall clock
+        lo = ev.agg(F.min(F.unix_micros("ts")).alias("m")).first().m
+        import duckdb
+
+        want = duckdb.sql(
+            f"SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) FROM "
+            f"read_parquet('{tables.DEFAULT_SF_DIR}/events.parquet')"
+        ).fetchone()[0]
+        assert lo == want
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
