@@ -701,8 +701,8 @@ def time_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey, c_custkey,
            RANK() OVER w AS rnk,
            DENSE_RANK() OVER w AS drnk,
-           round(PERCENT_RANK() OVER w, 6) AS prank,
-           round(CUME_DIST() OVER w, 6) AS cdist
+           floor(PERCENT_RANK() OVER w * 1e6 + 0.5) / 1e6 AS prank,
+           floor(CUME_DIST() OVER w * 1e6 + 0.5) / 1e6 AS cdist
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey
                  ORDER BY c_acctbal DESC, c_custkey ASC)
@@ -718,8 +718,14 @@ def w_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        # floor(x*1e6+0.5)/1e6, not round(): identical in both engines
+        # at the .5 boundaries percent_rank hits (caught at sf0.1)
+        (F.floor(F.percent_rank().over(w) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "prank"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "cdist"
+        ),
     )
 
 
@@ -854,16 +860,20 @@ def time_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_user_state",
     """
     WITH ordered AS (
-      SELECT user_id, event_type,
+      SELECT user_id, event_type, ts, event_id,
              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
              lag(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
       FROM events WHERE user_id IS NOT NULL),
     changes AS (
-      SELECT user_id, event_type, ts_s FROM ordered
+      SELECT user_id, event_type, ts_s, ts, event_id FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type)
+    -- lead ordered by FULL-precision ts + event_id: two state changes
+    -- inside the same second tie on ts_s, and each engine would break
+    -- the tie its own way (caught at sf0.1)
     SELECT user_id, event_type, ts_s AS valid_from,
-           lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS valid_to
+           lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
     FROM changes
     """,
 )
@@ -875,6 +885,8 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = ev.select(
         "user_id",
         "event_type",
+        "ts",
+        "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         F.lag("event_type").over(w).alias("prev_type"),
     )
@@ -882,7 +894,9 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_type").isNull()
         | (F.col("event_type") != F.col("prev_type"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts_s")
+    # full-precision tie-break (see oracle comment): ts_s collides
+    # within a second at larger SFs
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         "event_type",
