@@ -17,6 +17,7 @@ the queries themselves are ordinary declarative DataFrame plans.
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 import tempfile
@@ -41,6 +42,17 @@ def _tag(sf_dir: str) -> str:
     return f"{base}_{fixture_fingerprint(sf_dir)}"
 
 
+def _prune_stale(prefix: str, keep_tag: str) -> None:
+    """Remove sibling layout dirs built under older fingerprints —
+    each regeneration would otherwise strand a full table copy."""
+    import shutil
+
+    base = re.sub(r"_[0-9a-f]{12}$", "", keep_tag)
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_{base}_*")):
+        if not d.endswith(keep_tag):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """orders + lineitem bucketed (and sorted) by the join key.
 
@@ -51,6 +63,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tag = _tag(sf_dir)
     names = (f"kss_orders_b_{tag}", f"kss_lineitem_b_{tag}")
     base = os.path.join(tempfile.gettempdir(), f"kss_bucketed_{tag}")
+    _prune_stale("kss_bucketed", tag)
     for name, src, key in (
         (names[0], "orders", "o_orderkey"),
         (names[1], "lineitem", "l_orderkey"),
@@ -105,6 +118,7 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     turns every date filter into partition pruning instead of a scan."""
     tag = _tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"kss_events_bydate_{tag}")
+    _prune_stale("kss_events_bydate", tag)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             table(spark, sf_dir, "events")

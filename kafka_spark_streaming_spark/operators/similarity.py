@@ -520,10 +520,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str,
     scored = (
         corpus.join(F.broadcast(qdf), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        # floor-quantized to 9 digits before ranking — matches the
-        # oracle's floor(s*1e9+0.5)/1e9 (see _q9) so near-tied cosines
-        # rank identically cross-engine
-        .withColumn("s", _q9(cosine_similarity(F.col("qv"), F.col("cv"))))
+        # raw cosine here; _topk applies the _q9 floor-quantization that
+        # matches the oracle's floor(s*1e9+0.5)/1e9 for every caller
+        .withColumn("s", cosine_similarity(F.col("qv"), F.col("cv")))
         .select("query_id", "neighbor_id", "s")
     )
     return _topk(scored)

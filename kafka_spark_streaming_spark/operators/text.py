@@ -461,11 +461,12 @@ _VOCAB_V = 256
     "t_vocab_encode",
     f"""
     WITH flat AS (
-      SELECT t.doc_id, t.toks[i.i] AS tok, i.i AS pos
+      -- position spine driven by each doc's own token count (no
+      -- hard-coded cap that a longer future fixture could overflow)
+      SELECT t.doc_id, t.toks[u.i] AS tok, u.i AS pos
       FROM (SELECT doc_id, string_split(text, ' ') AS toks
             FROM documents) t,
-           (SELECT unnest(range(1, 1000)) AS i) i
-      WHERE i.i <= len(t.toks)
+           unnest(generate_series(1, len(t.toks))) AS u(i)
     ),
     vocab AS (
       SELECT tok,

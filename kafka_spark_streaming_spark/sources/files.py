@@ -32,10 +32,22 @@ def file_stream_events(
     confs and feed THAT schema to readStream, then run the same
     normalize_ts branch the batch path uses — one ingestion contract.
     """
-    from kafka_spark_streaming_spark.tables import ensure_engine_confs
+    from pyspark.errors import AnalysisException
+
+    from kafka_spark_streaming_spark.tables import (
+        EXPECTED_DTYPES,
+        ensure_engine_confs,
+    )
 
     ensure_engine_confs(spark)
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    except AnalysisException:
+        # empty landing directory (files arrive later — the normal
+        # streaming posture): fall back to the fixture contract's
+        # post-normalization events schema instead of refusing to start
+        cols = ", ".join(f"{c} {t}" for c, t in EXPECTED_DTYPES["events"].items())
+        schema = spark.createDataFrame([], cols).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -263,7 +263,14 @@ def session_checkpoint(spark, key: str, build, sf_dir: str | None = None) -> Dat
     hit = _DERIVED_CACHE.get(k)
     if hit is not None:
         return hit
-    for stale in [s for s in _DERIVED_CACHE if s[0] != k[0]]:
+    for stale in [
+        s
+        for s in _DERIVED_CACHE
+        if s[0] != k[0]
+        # same app, same artifact, older fingerprint: the regeneration
+        # case — drop it so its checkpoint blocks can be reclaimed
+        or (s[1].startswith(f"{base_key}@") and s[1] != key)
+    ]:
         del _DERIVED_CACHE[stale]
     import time
 

@@ -108,14 +108,29 @@ def _unpruned_scans(name: str, plan: str) -> list[tuple[str, int]]:
     scanning the needed columns and scanning everything."""
     import re
 
+    def _top_level_fields(schema: str) -> int:
+        # commas inside nested types (array<...>, struct<...>) are not
+        # field separators — count only depth-0 commas
+        if not schema.strip():
+            return 0
+        depth, n = 0, 1
+        for ch in schema:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                n += 1
+        return n
+
     out = []
     for m in re.finditer(
-        r"Location:[^\n]*?/(\w+)\.parquet.*?ReadSchema: struct<([^>]*)>",
+        r"Location:[^\n]*?/(\w+)\.parquet.*?ReadSchema: struct<(.*?)>\n",
         plan,
         re.S,
     ):
         tbl, schema = m.group(1), m.group(2)
-        ncols = len([c for c in schema.split(",") if ":" in c]) if schema else 0
+        ncols = _top_level_fields(schema)
         width = _TABLE_WIDTHS.get(tbl)
         if width and ncols >= width and (name, tbl) not in _FULL_SCAN_OK:
             out.append((tbl, ncols))

@@ -460,8 +460,11 @@ def test_multi_batch_split_files_arrive_in_ts_order(spark):
 
     from kafka_spark_streaming_spark.tables import fixture_fingerprint
 
+    import tempfile
+
     split_dir = os.path.join(
-        "/tmp", f"kss_split_sf0.001_4_{fixture_fingerprint(sf_dir, 'events')}"
+        tempfile.gettempdir(),
+        f"kss_split_sf0.001_4_{fixture_fingerprint(sf_dir, 'events')}",
     )
     parts = sorted(_glob.glob(split_dir + "/part-*.parquet"))
     assert len(parts) == 4
