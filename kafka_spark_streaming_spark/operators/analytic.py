@@ -953,3 +953,52 @@ def time_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchases",
         F.round(F.corr("clicks", "purchases").over(w), 6).alias("corr_7d"),
     ).orderBy("day")
+
+
+# --- scalar map functions ------------------------------------------------
+# create_map / map_keys / map_values / element_at / map_filter /
+# transform_values — the map surface (SURVEY §2.3 gap table row:
+# "no map scalar functions" in the reference). All codegen'd
+# expressions in one stage, no shuffle. The DuckDB oracle reproduces
+# the VALUES directly from the source columns (map construction is the
+# Spark-side behavior under test; both engines must land on identical
+# scalars, computed in the same operation order for bit-equality).
+@register(
+    "scalar_map_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           3 AS n_entries,
+           l_quantity AS qty,
+           'disc,qty,tax' AS keys_sorted,
+           l_quantity + l_discount * 100 + l_tax * 100 AS vals_sum,
+           CAST(CASE WHEN l_quantity > 10 THEN 1 ELSE 0 END
+              + CASE WHEN l_discount * 100 > 10 THEN 1 ELSE 0 END
+              + CASE WHEN l_tax * 100 > 10 THEN 1 ELSE 0 END AS INT)
+             AS n_high,
+           l_quantity * 2 AS qty_doubled
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("disc"), F.col("l_discount") * 100,
+        F.lit("tax"), F.col("l_tax") * 100,
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(m).alias("n_entries"),
+        F.element_at(m, "qty").alias("qty"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        # fold in insertion order: qty + disc + tax — matches the
+        # oracle's left-to-right sum for bit-identical doubles
+        F.aggregate(
+            F.map_values(m), F.lit(0.0), lambda acc, v: acc + v
+        ).alias("vals_sum"),
+        F.size(F.map_filter(m, lambda k, v: v > 10)).alias("n_high"),
+        F.element_at(
+            F.transform_values(m, lambda k, v: v * 2), "qty"
+        ).alias("qty_doubled"),
+    ).orderBy("l_orderkey", "l_linenumber")
