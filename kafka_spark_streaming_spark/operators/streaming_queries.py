@@ -422,14 +422,18 @@ def _docs_ordered_batches(
         f"_{n_batches}_{fixture_fingerprint(sf_dir, 'documents')}",
     )
     if not os.path.exists(os.path.join(split_dir, "_DONE")):
-        shutil.rmtree(split_dir, ignore_errors=True)
-        os.makedirs(split_dir)
+        # build in a process-unique dir, atomically rename into place:
+        # two concurrent harness processes must not interleave writes
+        # into the same split dir (loser discards its copy)
+        build_dir = f"{split_dir}.build{os.getpid()}"
+        shutil.rmtree(build_dir, ignore_errors=True)
+        os.makedirs(build_dir)
         n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
         step = max(n_docs // n_batches, 1)
         for i in range(n_batches):
             lo = i * step
             hi = n_docs if i == n_batches - 1 else (i + 1) * step
-            part_dir = os.path.join(split_dir, f"_part{i}")
+            part_dir = os.path.join(build_dir, f"_part{i}")
             (
                 docs.filter(
                     (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
@@ -439,12 +443,16 @@ def _docs_ordered_batches(
                 .parquet(part_dir)
             )
             (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            dst = os.path.join(split_dir, f"batch_{i:04d}.parquet")
+            dst = os.path.join(build_dir, f"batch_{i:04d}.parquet")
             shutil.move(src, dst)
             shutil.rmtree(part_dir)
             os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        with open(os.path.join(split_dir, "_DONE"), "w"):
+        with open(os.path.join(build_dir, "_DONE"), "w"):
             pass
+        try:
+            os.rename(build_dir, split_dir)
+        except OSError:  # another process won the race
+            shutil.rmtree(build_dir, ignore_errors=True)
     return (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

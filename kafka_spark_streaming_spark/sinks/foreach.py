@@ -39,7 +39,11 @@ class RecordForeachWriter:
         self._final = os.path.join(
             self.out_dir, f"epoch={epoch_id:08d}-part={partition_id:05d}.tsv"
         )
-        self._tmp = self._final + ".inprogress"
+        # unique per attempt: with speculation (or a zombie attempt
+        # surviving a retry) two attempts of the same (epoch, partition)
+        # run concurrently — a shared tmp path would let the loser write
+        # through the winner's renamed inode
+        self._tmp = f"{self._final}.inprogress.{os.getpid()}-{id(self)}"
         self._fh = open(self._tmp, "w", encoding="utf-8")
         return True
 

@@ -53,9 +53,13 @@ class KeyedUpsertSink:
 
     # -- state management -------------------------------------------------
     def _versions(self) -> list[str]:
+        # exclude in-flight '.tmp' build dirs: after a crash between the
+        # tmp write and the rename they linger, and current() must never
+        # surface uncommitted state (nor _prune count them toward keep)
         return sorted(
-            d for d in os.listdir(self.path) if d.startswith("v_") and
-            os.path.isdir(os.path.join(self.path, d))
+            d for d in os.listdir(self.path)
+            if d.startswith("v_") and "." not in d
+            and os.path.isdir(os.path.join(self.path, d))
         )
 
     def current(self) -> DataFrame:
@@ -101,17 +105,27 @@ class KeyedUpsertSink:
             shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
 
     # -- convenience: the reference's two write shapes --------------------
+    def _next_batch_id(self) -> int:
+        versions = self._versions()
+        return int(versions[-1][2:]) + 1 if versions else 0
+
     def put_single(self, rowkey: str, qualifier: str, value: str,
-                   cf: str = "cf1", batch_id: int = 0) -> None:
-        """S3: one summary cell per batch (HbaseWriter.scala:22-31)."""
+                   cf: str = "cf1", batch_id: int | None = None) -> None:
+        """S3: one summary cell per batch (HbaseWriter.scala:22-31).
+
+        batch_id defaults to (last committed version)+1: write_batch
+        treats an equal-or-lower id as a replay of that batch, so a
+        fixed default would make every later call drop all prior state.
+        Pass an explicit id only for replay-idempotent streaming use.
+        """
         df = self.spark.createDataFrame(
             [(rowkey, cf, qualifier, value)],
             "rowkey string, cf string, qualifier string, value string",
         )
-        self.write_batch(df, batch_id)
+        self.write_batch(df, self._next_batch_id() if batch_id is None else batch_id)
 
     def put_bulk(self, messages_df: DataFrame, rowkey_prefix: str,
-                 cf: str = "cf1", batch_id: int = 0) -> None:
+                 cf: str = "cf1", batch_id: int | None = None) -> None:
         """S4 intent: distinct (key,value) records → one cell each
         (HbaseWriter.scala:42-74), null keys → sentinel row."""
         rows = (
@@ -130,4 +144,6 @@ class KeyedUpsertSink:
             )
             .dropDuplicates()
         )
-        self.write_batch(rows, batch_id)
+        self.write_batch(
+            rows, self._next_batch_id() if batch_id is None else batch_id
+        )

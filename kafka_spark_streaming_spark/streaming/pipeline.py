@@ -48,6 +48,13 @@ class StreamerConfig:
 
 class StreamerPipeline:
     def __init__(self, spark: SparkSession, cfg: StreamerConfig):
+        if bool(cfg.output_topic) != bool(cfg.brokers):
+            raise ValueError(
+                "output_topic and brokers must be set together — with only "
+                f"one of them (output_topic={cfg.output_topic!r}, "
+                f"brokers={cfg.brokers!r}) the Kafka write would be "
+                "silently skipped every batch"
+            )
         self.spark = spark
         self.cfg = cfg
         self.sink = (
@@ -71,11 +78,16 @@ class StreamerPipeline:
 
             self.summaries.append((batch_id, n, n_distinct, summary))
             if self.cfg.summary_path:
+                # one deterministic subdir per batch, overwritten on a
+                # foreachBatch retry — append would duplicate the row
+                # and break the exactly-once summary contract
                 self.spark.createDataFrame(
                     [(batch_id, n, n_distinct, date_str, summary)],
                     "batch_id long, n_messages long, n_distinct long,"
                     " batch_date string, summary string",
-                ).write.mode("append").parquet(self.cfg.summary_path)
+                ).write.mode("overwrite").parquet(
+                    f"{self.cfg.summary_path}/batch={batch_id}"
+                )
 
             if self.cfg.output_topic and self.cfg.brokers:
                 write_batch_to_kafka(

@@ -66,8 +66,14 @@ def _update_user_stats(
         n, s, t = 0, 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        s += int(pdf["cents4"].sum())
-        t = max(t, int(pdf["epoch"].max()))
+        # nullable columns arrive as float64 with NaN through the Arrow
+        # hop; drop nulls before the integer fold so an all-null batch
+        # can't raise int(NaN) and the sum stays exact int64
+        cents = pdf["cents4"].dropna()
+        s += int(cents.astype("int64").sum())
+        epochs = pdf["epoch"].dropna()
+        if len(epochs):
+            t = max(t, int(epochs.max()))
     state.update((n, s, t))
     yield pd.DataFrame(
         {
@@ -126,10 +132,22 @@ def multi_batch_events_stream(
         f"kss_split_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{n_batches}_{fixture_fingerprint(sf_dir, 'events')}",
     )
+    # Lock-free cross-process publish: build in a process-unique tmp dir
+    # and atomically rename into place; a concurrent builder that loses
+    # the race discards its copy and uses the winner's. (Same pattern as
+    # operators/streaming_queries._docs_ordered_batches — kept separate
+    # because the two split mechanics differ; unify if a third appears.)
     if not os.path.exists(os.path.join(split_dir, "_SUCCESS")):
+        tmp = f"{split_dir}.build{os.getpid()}"
         events.repartitionByRange(n_batches, "ts").write.mode(
             "overwrite"
-        ).parquet(split_dir)
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, split_dir)
+        except OSError:  # another process won the race
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     # Deterministic arrival order. The file source orders files by
     # modification time; the N range-partition files are committed by
     # parallel tasks and can land with IDENTICAL mtimes (observed: equal

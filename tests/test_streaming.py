@@ -530,3 +530,16 @@ def test_incremental_rollup_retry_cannot_double_count(spark, sf_smoke):
     assert [tuple(r) for r in refolded.collect()] == [
         tuple(r) for r in expect.collect()
     ]
+
+
+def test_put_single_default_preserves_prior_cells(spark, tmp_path):
+    """Convenience-API landmine fixed: put_single with no explicit
+    batch_id must auto-advance past the last committed version —
+    a fixed default id would make write_batch treat every later call
+    as a replay of that id and drop all other cells."""
+    sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    sink.put_single("r1", "q", "v1")
+    sink.put_single("r2", "q", "v2")
+    sink.put_single("r1", "q", "v1b")  # overwrite same cell
+    state = {r.rowkey: r.value for r in sink.current().collect()}
+    assert state == {"r1": "v1b", "r2": "v2"}
