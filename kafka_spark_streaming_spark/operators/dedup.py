@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kafka_spark_streaming_spark.functions import cosine_similarity
+from kafka_spark_streaming_spark.operators.similarity import _q9
 from kafka_spark_streaming_spark.operators.registry import register
 from kafka_spark_streaming_spark.tables import session_checkpoint, table
 
@@ -38,13 +39,15 @@ JACCARD_THRESHOLD = 0.8
 N_PERM = 32
 N_BANDS = 16  # × 2 rows/band = 32 perms
 
+# position spine driven by each doc's own token count (a hard cap
+# would silently truncate shingles of a longer future fixture while the
+# Spark side stays unbounded); len-2 <= 0 yields an empty series.
 _SHINGLES_SQL = """
   SELECT DISTINCT doc_id, s FROM (
     SELECT t.doc_id,
-           t.toks[i.i] || ' ' || t.toks[i.i+1] || ' ' || t.toks[i.i+2] AS s
+           t.toks[u.i] || ' ' || t.toks[u.i+1] || ' ' || t.toks[u.i+2] AS s
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
-         (SELECT unnest(range(1, 500)) AS i) i
-    WHERE i.i + 2 <= len(t.toks))
+         unnest(generate_series(1, len(t.toks) - 2)) AS u(i))
 """
 
 _JACCARD_PAIRS_SQL = f"""
@@ -79,12 +82,20 @@ def shingles_of(docs: DataFrame, n: int = 3) -> DataFrame:
       signature aggregation runs shuffle-free on top of this.
     """
     toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
+    # guard BEFORE building the sequence: for a doc with < n tokens,
+    # sequence(1, size-(n-1)) has start > stop, which Spark fills with a
+    # DESCENDING range ([1, 0, ...]) — element_at(toks, 0) then aborts
+    # the whole job under ANSI mode. when() keeps such docs at zero
+    # shingles, exactly like the oracle's i + (n-1) <= len predicate.
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     par = docs.sparkSession.sparkContext.defaultParallelism
     return docs.repartition(par, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("s")
@@ -382,10 +393,14 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+           round(floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5) / 1e9,
+                 6) AS cos_sim
     FROM e a, e b
     WHERE a.vec_id < b.vec_id
-      AND list_cosine_similarity(a.v, b.v) >= 0.45
+      -- floor-quantize before the threshold compare (same _q9 pattern
+      -- as similarity.py): a cosine within float-sum noise of 0.45
+      -- must land the same side in both engines
+      AND floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5) / 1e9 >= 0.45
     """,
 )
 def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,7 +410,7 @@ def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine_similarity(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim_raw", cos)
+        .withColumn("cos_sim_raw", _q9(cos))
         .filter(F.col("cos_sim_raw") >= 0.45)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
@@ -445,7 +460,7 @@ def _emb_lsh_verified(
         _emb_lsh_candidates(spark, sf_dir)
         .join(a, "vec_a")
         .join(b, "vec_b")
-        .withColumn("cos_raw", cos)
+        .withColumn("cos_raw", _q9(cos))
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
@@ -467,11 +482,13 @@ def _emb_lsh_sql(threshold: float, extra: str = "") -> str:
     ),
     verified AS (
       SELECT cand.vec_a, cand.vec_b,
-             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+             round(floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5)
+                   / 1e9, 6) AS cos_sim
       FROM cand
       JOIN e a ON a.vec_id = cand.vec_a
       JOIN e b ON b.vec_id = cand.vec_b
-      WHERE list_cosine_similarity(a.v, b.v) >= {threshold})
+      WHERE floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5) / 1e9
+            >= {threshold})
     {extra if extra else "SELECT * FROM verified"}
     """
 
@@ -666,9 +683,11 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     sem AS (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-             round(list_cosine_similarity(a.v, b.v), 6) AS cos
+             round(floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5)
+                   / 1e9, 6) AS cos
       FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.v, b.v) >= 0.25)
+      WHERE floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5) / 1e9
+            >= 0.25)
     SELECT sem.doc_a, sem.doc_b, cos
     FROM sem LEFT JOIN lex
       ON sem.doc_a = lex.doc_a AND sem.doc_b = lex.doc_b
@@ -683,7 +702,7 @@ def d_semantic_only_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine_similarity(F.col("va"), F.col("vb"))
     sem = (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cos_raw", cos)
+        .withColumn("cos_raw", _q9(cos))
         .filter(F.col("cos_raw") >= 0.25)
         .select("doc_a", "doc_b", F.round("cos_raw", 6).alias("cos"))
     )

@@ -82,13 +82,14 @@ def p_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_sql(n: int) -> str:
     """DuckDB distinct word n-gram shingles (mirrors shingles(n))."""
     terms = " || ' ' || ".join(f"t.toks[i.i+{j}]" for j in range(n))
+    # spine driven by each doc's token count — no silent truncation of
+    # longer future fixtures (len-(n-1) <= 0 yields an empty series)
     return f"""
       SELECT DISTINCT doc_id, s FROM (
         SELECT t.doc_id, {terms} AS s
         FROM (SELECT doc_id, string_split(text, ' ') AS toks
               FROM documents) t,
-             (SELECT unnest(range(1, 500)) AS i) i
-        WHERE i.i + {n - 1} <= len(t.toks))
+             unnest(generate_series(1, len(t.toks) - {n - 1})) AS i(i))
     """
 
 

@@ -439,7 +439,6 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str,
     import numpy as np
 
     e = table(spark, sf_dir, "embeddings")
-    dim = 64
 
     # deterministic init: evenly-strided vec_ids (seedless, reproducible)
     n_total = e.count()
@@ -508,7 +507,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str,
     q = e.filter(F.col("vec_id") < N_QUERIES).collect()
     qmat = np.array([list(r.embedding) for r in q], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    probes = np.argsort(-(qmat @ cmat2.T), axis=1)[:, :n_probe]
+    # stable sort: on an exact dot-product tie the oracle ranks
+    # 'dot DESC, cell ASC'; default argsort (quicksort) breaks ties
+    # arbitrarily and could probe different cells
+    probes = np.argsort(-(qmat @ cmat2.T), axis=1, kind="stable")[:, :n_probe]
     probe_rows = [
         (int(r.vec_id), list(r.embedding), [int(c) for c in probes[i]])
         for i, r in enumerate(q)
@@ -545,7 +547,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str,
     ex AS (
       SELECT lang, i.i - 1 AS pos, v[i.i] AS x
       FROM ed, (SELECT unnest(range(1, 9)) AS i) i)
-    SELECT lang, pos, round(AVG(x), 6) AS centroid_x, COUNT(*) AS n_vecs
+    -- floor-quantize the mean before the 6-digit round (same _q9
+    -- pattern as the ranking paths): partial-aggregation order differs
+    -- between engines by ~1e-13
+    SELECT lang, pos,
+           round(floor(AVG(x) * 1e9 + 0.5) / 1e9, 6) AS centroid_x,
+           COUNT(*) AS n_vecs
     FROM ex GROUP BY lang, pos
     """,
 )
@@ -559,7 +566,7 @@ def sim_lang_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.posexplode("v").alias("pos", "x")
     ).select("lang", "pos", F.col("x").cast("double").alias("x"))
     return ex.groupBy("lang", "pos").agg(
-        F.round(F.avg("x"), 6).alias("centroid_x"),
+        F.round(_q9(F.avg("x")), 6).alias("centroid_x"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
 

@@ -290,3 +290,20 @@ def test_tfidf_top_terms_shape(spark, sf_correct):
             ordered[i].tfidf >= ordered[i + 1].tfidf
             for i in range(len(ordered) - 1)
         )
+
+
+def test_shingles_of_short_docs_yield_zero_shingles(spark):
+    """Docs with fewer than n tokens must produce ZERO shingles, not
+    crash: sequence(1, size-(n-1)) with start > stop builds a
+    DESCENDING range and element_at(toks, 0) aborts the job under ANSI
+    mode (confirmed live before the guard). The oracle's
+    `i + (n-1) <= len` predicate yields zero rows for the same docs."""
+    from kafka_spark_streaming_spark.operators.dedup import shingles_of
+
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "two words"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    rows = shingles_of(docs, n=3).groupBy("doc_id").count().collect()
+    counts = {r.doc_id: r["count"] for r in rows}
+    assert counts == {3: 3}  # 5 tokens -> 3 trigrams; short docs absent
