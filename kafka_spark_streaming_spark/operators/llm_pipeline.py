@@ -160,8 +160,15 @@ def exclusive_prefix_sum(
     on the order key, per-partition running sum (window partitioned by
     pid — never global over the data), then per-partition totals
     (~n_parts rows) cumulated and broadcast back as offsets."""
-    ranked = d.repartitionByRange(n_parts, F.asc(order_col)).withColumn(
-        "pid", F.spark_partition_id()
+    # localCheckpoint pins pid assignments: both consumers below must
+    # see the SAME range partitioning, and range bounds come from
+    # sampling seeded per physical exchange — without materialization,
+    # correctness would hinge on exchange-reuse deduplicating the two
+    # branches (an optimizer rule, not a contract)
+    ranked = (
+        d.repartitionByRange(n_parts, F.asc(order_col))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     wloc = (
         W.partitionBy("pid")

@@ -151,15 +151,18 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_fingerprint",
     """
     SELECT doc_id,
-           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
-           substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 8)
-               AS fp_short
+           md5(lower(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS fp,
+           substr(md5(lower(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))),
+                  1, 8) AS fp_short
     FROM documents
     """,
 )
 def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    # explicit class, not \s: Java regex counts \x0B as whitespace,
+    # DuckDB's RE2 does not — a vertical tab would fingerprint
+    # differently per engine
+    norm = F.lower(F.regexp_replace("text", r"[ \t\n\f\r]+", " "))
     fp = F.md5(F.encode(norm, "UTF-8"))
     return d.select(
         "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_short")
@@ -216,7 +219,8 @@ def t_source_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # numbers, punctuation runs — as one regexp_extract_all, JVM-side.
 # (A real BPE merge table is model-specific; counting pre-tokens is the
 # pipeline-relevant cost/length signal.)
-_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# explicit whitespace class, not \s: Java vs RE2 disagree on \x0B
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]+"
 
 
 @register(
@@ -259,7 +263,13 @@ def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             tf.tf * ln(n.n * 1.0 / dfreq.df) AS score
+             -- floor-quantized before ranking: tf*ln(N/df) can be
+             -- mathematically equal for different (tf, df) pairs, and
+             -- each engine's libm may round the two expressions apart
+             -- by an ulp — the 'term ASC' tie-break only fires on
+             -- exact equality
+             floor(tf.tf * ln(n.n * 1.0 / dfreq.df) * 1e9 + 0.5) / 1e9
+               AS score
       FROM tf JOIN dfreq USING (term), n)
     SELECT doc_id, term, round(score, 6) AS tfidf, rn
     FROM (SELECT *, ROW_NUMBER() OVER (
@@ -285,9 +295,14 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            (F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df"))).alias(
-                "score"
-            ),
+            # floor-quantize before rank (see oracle comment)
+            (
+                F.floor(
+                    F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")) * 1e9
+                    + F.lit(0.5)
+                )
+                / 1e9
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
