@@ -332,6 +332,69 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(out, "append").orderBy("purchase_id", "click_id")
 
 
+# --- S5: per-record executor-side sink, drained and read back ------------
+# The reference's pom main class writes every record from inside
+# foreachPartition on executors (KafkaStreamerToHbase.scala:156-160:
+# y.foreach(record => insertOneLineToHbase(rowkey, "messages",
+# record.toString(), "cf1", table))). Structured-Streaming shape:
+# writeStream.foreach(ForeachWriter) — open(partition, epoch) is the
+# connection hook, process(row) the per-record put. This query drives
+# the REAL writer (sinks/foreach.py) over a real stream drain, then
+# reads the committed TSV cells back deterministically so the driver's
+# DuckDB oracle hash-gates the executor-side write path end-to-end.
+# Wall-clock rowkeys are replaced by the data-derived key (same
+# determinism rule as every r_* batch variant); record.toString() for a
+# Scala (k, v) tuple is "(k,v)", nulls printed as "null".
+@register(
+    "s_foreach_record_sink",
+    f"""
+    {_M}
+    SELECT COALESCE(key, 'kafka empty message') AS rowkey,
+           'cf1' AS cf,
+           'messages' AS qualifier,
+           '(' || COALESCE(key, 'null') || ',' || value || ')' AS value,
+           COUNT(*) AS n
+    FROM messages
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def s_foreach_record_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_spark_streaming_spark.sinks.foreach import (
+        RecordForeachWriter,
+        read_sink,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="kss_s5_") + "/cells"
+    msgs = file_stream_messages(spark, _events_path(sf_dir))
+    records = msgs.select(
+        F.coalesce(F.col("key"), F.lit("kafka empty message")).alias(
+            "rowkey"
+        ),
+        F.lit("messages").alias("qualifier"),
+        F.concat(
+            F.lit("("),
+            F.coalesce(F.col("key"), F.lit("null")),
+            F.lit(","),
+            F.col("value"),
+            F.lit(")"),
+        ).alias("value"),
+    )
+    q = (
+        records.writeStream.foreach(RecordForeachWriter(out_dir))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss_s5ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # fold per-file rows to a partitioning-independent multiset view;
+    # multiplicities survive (idempotent per (epoch, partition) files)
+    return (
+        read_sink(spark, out_dir)
+        .groupBy("rowkey", "cf", "qualifier", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # --- incremental materialized rollup (foreachBatch ETL) ------------------
 # Maintains a daily rollup incrementally: each micro-batch appends its
 # per-day PARTIAL aggregate stamped with batch_id; the read side

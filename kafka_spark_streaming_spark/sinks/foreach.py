@@ -16,6 +16,7 @@ at-least-once-at-best story, SURVEY.md §4 fault tolerance row).
 
 from __future__ import annotations
 
+import glob
 import os
 
 
@@ -44,6 +45,16 @@ class RecordForeachWriter:
         # run concurrently — a shared tmp path would let the loser write
         # through the winner's renamed inode
         self._tmp = f"{self._final}.inprogress.{os.getpid()}-{id(self)}"
+        # an attempt killed without close() (zombie executor) strands its
+        # .inprogress file forever; the retry owns this (epoch, partition)
+        # now, so best-effort-unlink siblings. A still-RUNNING concurrent
+        # attempt may lose its tmp here — it then crashes at its own
+        # close() and never commits, which is the correct loser outcome.
+        for stale in glob.glob(f"{self._final}.inprogress.*"):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         self._fh = open(self._tmp, "w", encoding="utf-8")
         return True
 
@@ -61,3 +72,18 @@ class RecordForeachWriter:
                 os.replace(self._tmp, self._final)
             else:
                 os.remove(self._tmp)
+
+
+TSV_SCHEMA = "rowkey string, cf string, qualifier string, value string"
+
+
+def read_sink(spark, out_dir: str):
+    """Committed sink rows only — *.tsv; `.inprogress.*` attempt files
+    (live writers, or zombies not yet reclaimed by a retry's open()) are
+    excluded by the glob so a consumer never sees a partial file."""
+    return (
+        spark.read.schema(TSV_SCHEMA)
+        .option("sep", "\t")
+        .option("pathGlobFilter", "*.tsv")
+        .csv(out_dir)
+    )

@@ -122,6 +122,32 @@ def test_foreach_writer_per_record(spark, sf_smoke, tmp_path):
     assert n_lines == 1000
 
 
+def test_foreach_writer_reclaims_zombie_inprogress(tmp_path):
+    """A zombie attempt killed without close() strands its .inprogress
+    file; the retry's open() must reclaim it, and read_sink must never
+    surface uncommitted attempt files (ADVICE r6 foreach.py:46)."""
+    from kafka_spark_streaming_spark.sinks.foreach import RecordForeachWriter
+
+    out_dir = str(tmp_path / "records")
+    os.makedirs(out_dir)
+    final = os.path.join(out_dir, "epoch=00000003-part=00007.tsv")
+    zombie = f"{final}.inprogress.99999-12345"
+    with open(zombie, "w") as fh:
+        fh.write("partial\tcf1\tq\ttruncated")  # no trailing newline: mid-write
+
+    class Row:
+        rowkey, qualifier, value = "k", "q", "v"
+
+    w = RecordForeachWriter(out_dir)
+    assert w.open(partition_id=7, epoch_id=3)
+    assert not os.path.exists(zombie), "stale .inprogress not reclaimed"
+    w.process(Row())
+    w.close(None)
+    assert os.path.exists(final)
+    leftovers = glob.glob(os.path.join(out_dir, "*.inprogress.*"))
+    assert leftovers == []
+
+
 def test_upsert_sink_idempotent_replay(spark, tmp_path):
     sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
     df1 = spark.createDataFrame(
