@@ -60,7 +60,21 @@ def _mg_candidates(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    """Exploded token stream, parallelized by spreading the DOCUMENTS.
+
+    The MG candidate fold needs every core working, but the fixture is
+    one parquet file = one input partition. Repartitioning the exploded
+    tokens would shuffle every token just to spread the fold (the r6
+    perf flag: at 100 TB that is a full-corpus exchange); instead the
+    narrow document rows are spread BEFORE the explode — |docs| rows
+    moved, not |tokens| — and only when the scan actually arrives
+    under-partitioned. A real multi-file corpus skips the exchange
+    entirely (MG is valid under any partitioning; pass 2 recounts
+    candidates exactly)."""
+    d = table(spark, sf_dir, "documents").select("text")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     return d.select(
         F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
@@ -82,13 +96,7 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sk_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(spark, sf_dir)
-    # the fixture is one parquet file = one input partition; repartition
-    # so the MG candidate fold runs on every core (MG is valid under any
-    # partitioning — pass 2 recounts candidates exactly)
-    par = spark.sparkContext.defaultParallelism
-    candidates = (
-        toks.repartition(par).mapInPandas(_mg_candidates, _CAND_SCHEMA).distinct()
-    )
+    candidates = toks.mapInPandas(_mg_candidates, _CAND_SCHEMA).distinct()
     total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     return (
         toks.join(F.broadcast(candidates), "tok", "left_semi")

@@ -237,6 +237,36 @@ def test_pack_sequences_no_global_window_over_docs(spark, sf_smoke):
             assert "pid" in ln, f"doc window not partitioned: {ln.strip()}"
 
 
+def test_heavy_hitters_never_repartitions_token_stream(spark, sf_smoke):
+    # the MG fold is parallelized by spreading the narrow DOCUMENT rows
+    # before the explode; a Repartition whose subtree contains the
+    # Generate would shuffle every token of the corpus (r6 perf flag)
+    from kafka_spark_streaming_spark.operators.sketches import (
+        sk_heavy_hitter_tokens,
+    )
+
+    df = sk_heavy_hitter_tokens(spark, sf_smoke)
+
+    def subtree_has_generate(node) -> bool:
+        if "Generate" in node.nodeName():
+            return True
+        return any(
+            subtree_has_generate(node.children().apply(i))
+            for i in range(node.children().size())
+        )
+
+    def check(node) -> None:
+        if "Repartition" in node.nodeName():
+            assert not subtree_has_generate(node), (
+                "repartition sits ABOVE the explode — it shuffles the "
+                "token stream instead of the document rows"
+            )
+        for i in range(node.children().size()):
+            check(node.children().apply(i))
+
+    check(df._jdf.queryExecution().optimizedPlan())
+
+
 def test_incremental_dedup_is_anti_join(spark, sf_smoke):
     plan = plan_of(spark, "p_incremental_dedup", sf_smoke)
     assert "LeftAnti" in plan, "existing-fp filter must be an anti join"
