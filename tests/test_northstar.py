@@ -29,6 +29,57 @@ def test_planted_near_dups_found(exact_pairs):
     assert len(exact_pairs) >= 10
 
 
+def test_prefix_filter_equals_naive_self_join(spark, sf_correct, exact_pairs):
+    # the registered operator is prefix-filtered; the naive O(pairs)
+    # shingle self-join is the ground-truth definition it must equal
+    from kafka_spark_streaming_spark.operators.dedup import (
+        _jaccard_pairs,
+        shingles,
+    )
+
+    naive = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_pairs(shingles(spark, sf_correct)).collect()
+    }
+    assert exact_pairs == naive
+
+
+def test_prefix_filter_kills_boilerplate_skew(spark):
+    # adversarial corpus: every doc shares ONE ubiquitous shingle but is
+    # otherwise unique, and no pair reaches 0.8 Jaccard. The naive
+    # self-join materializes all n*(n-1)/2 pairs through the shared
+    # shingle; df-ordered prefix filtering must emit ZERO candidates
+    # (the boilerplate shingle sorts last and never enters a prefix).
+    from kafka_spark_streaming_spark.operators.dedup import (
+        _jaccard_pairs,
+        prefix_candidates,
+        shingles_of,
+    )
+
+    n = 40
+    boiler = "the quick brown"
+    docs = spark.createDataFrame(
+        [
+            (i, f"{boiler} fox{i} jumps{i} over{i} lazy{i} dog{i} id{i}")
+            for i in range(n)
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles_of(docs)
+    naive_joined = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    assert naive_joined == n * (n - 1) // 2  # the quadratic blow-up
+    assert prefix_candidates(sh).count() == 0
+    assert _jaccard_pairs(sh).count() == 0  # ground truth: no real pair
+
+
 def test_minhash_lsh_equals_exact(spark, sf_correct, exact_pairs):
     lsh = {
         (r.doc_a, r.doc_b)
