@@ -80,6 +80,31 @@ def test_prefix_filter_kills_boilerplate_skew(spark):
     assert _jaccard_pairs(sh).count() == 0  # ground truth: no real pair
 
 
+def test_connected_components_logarithmic_rounds(spark):
+    # adversarially deep duplicate chain: a path graph, where min-label
+    # propagation needs diameter rounds. Large-star/small-star must
+    # finish in ceil(log2(n)) rounds plus the one extra round that
+    # detects the fixpoint (the scalar witness compares equal).
+    import math
+
+    from kafka_spark_streaming_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 128
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    labels, rounds = connected_components(edges)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.label == 0 for r in rows)
+    assert rounds <= math.ceil(math.log2(n)) + 1, (
+        f"CC took {rounds} rounds on a {n}-path — propagation-like, "
+        "not logarithmic"
+    )
+
+
 def test_minhash_lsh_equals_exact(spark, sf_correct, exact_pairs):
     lsh = {
         (r.doc_a, r.doc_b)
