@@ -152,6 +152,17 @@ def p_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_ranked(d: DataFrame, order_col: str, n_parts: int) -> DataFrame:
+    """Pre-checkpoint stage of exclusive_prefix_sum: the range-
+    repartitioned frame with its partition id pinned as `pid`.
+    Factored out so tests assert RangePartitioning on the PRODUCTION
+    plan (the checkpoint in exclusive_prefix_sum hides the exchange
+    from the downstream plan — ADVICE r6 test_plans.py:227)."""
+    return d.repartitionByRange(n_parts, F.asc(order_col)).withColumn(
+        "pid", F.spark_partition_id()
+    )
+
+
 def exclusive_prefix_sum(
     d: DataFrame, order_col: str, value_col: str, n_parts: int
 ) -> DataFrame:
@@ -165,11 +176,7 @@ def exclusive_prefix_sum(
     # sampling seeded per physical exchange — without materialization,
     # correctness would hinge on exchange-reuse deduplicating the two
     # branches (an optimizer rule, not a contract)
-    ranked = (
-        d.repartitionByRange(n_parts, F.asc(order_col))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    ranked = range_ranked(d, order_col, n_parts).localCheckpoint(eager=True)
     wloc = (
         W.partitionBy("pid")
         .orderBy(order_col)

@@ -42,14 +42,33 @@ def _tag(sf_dir: str) -> str:
     return f"{base}_{fixture_fingerprint(sf_dir)}"
 
 
-def _prune_stale(prefix: str, keep_tag: str) -> None:
+def _prune_stale(prefix: str, keep_tag: str, min_age_s: float = 1800) -> None:
     """Remove sibling layout dirs built under older fingerprints —
-    each regeneration would otherwise strand a full table copy."""
+    each regeneration would otherwise strand a full table copy.
+
+    Only dirs older than min_age_s are removed: a concurrent process
+    still running against the pre-regeneration fixture may be
+    mid-query over its layout, and a 30-min threshold outlives any
+    single query here while still reclaiming the space (ADVICE r6
+    physical.py:46). Legacy pre-fingerprint dirs (no `_<hex12>`
+    suffix) are matched too — they used to leak forever."""
     import shutil
+    import time
 
     base = re.sub(r"_[0-9a-f]{12}$", "", keep_tag)
-    for d in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_{base}_*")):
-        if not d.endswith(keep_tag):
+    tmp = tempfile.gettempdir()
+    candidates = glob.glob(os.path.join(tmp, f"{prefix}_{base}_*")) + glob.glob(
+        os.path.join(tmp, f"{prefix}_{base}")
+    )
+    now = time.time()
+    for d in candidates:
+        if d.endswith(keep_tag):
+            continue
+        try:
+            age = now - os.path.getmtime(d)
+        except OSError:
+            continue
+        if age >= min_age_s:
             shutil.rmtree(d, ignore_errors=True)
 
 

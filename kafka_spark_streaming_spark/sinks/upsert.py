@@ -101,8 +101,28 @@ class KeyedUpsertSink:
         self._prune(keep=2)
 
     def _prune(self, keep: int) -> None:
-        for stale in self._versions()[:-keep]:
+        versions = self._versions()
+        for stale in versions[:-keep]:
             shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
+        # crash-leftover build dirs: a v_N.tmp at or below the committed
+        # head can never be renamed into place (a replay of batch N
+        # rewrites it from scratch first), so each one strands a full
+        # state copy until the exact batch_id is retried (ADVICE r6
+        # upsert.py:103). Future-id tmp dirs are left alone — their
+        # batch is still in flight or will rewrite on retry.
+        if versions:
+            head = int(versions[-1][2:])
+            for d in os.listdir(self.path):
+                if not (d.startswith("v_") and d.endswith(".tmp")):
+                    continue
+                try:
+                    n = int(d[2:-4])
+                except ValueError:
+                    continue
+                if n <= head:
+                    shutil.rmtree(
+                        os.path.join(self.path, d), ignore_errors=True
+                    )
 
     # -- convenience: the reference's two write shapes --------------------
     def _next_batch_id(self) -> int:

@@ -45,7 +45,16 @@ def file_stream_events(
     except AnalysisException:
         # empty landing directory (files arrive later — the normal
         # streaming posture): fall back to the fixture contract's
-        # post-normalization events schema instead of refusing to start
+        # post-normalization events schema instead of refusing to start.
+        # KNOWN LIMITATION (ADVICE r6): this pins ts to `timestamp`, so
+        # a LATE-ARRIVING file in one of the contract's legacy ts
+        # encodings (INT64-nanos bigint / timestamp_ntz) is read under
+        # the wrong schema — the file source fails loudly on the type
+        # mismatch rather than mis-decoding, but it does not
+        # auto-normalize the way a probed start does. Operationally:
+        # start the stream after at least one file has landed (every
+        # harness path does), or restart it once files exist so the
+        # footer probe sees the real encoding.
         cols = ", ".join(f"{c} {t}" for c, t in EXPECTED_DTYPES["events"].items())
         schema = spark.createDataFrame([], cols).schema
     reader = spark.readStream.schema(schema)

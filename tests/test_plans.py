@@ -218,15 +218,20 @@ def test_pack_sequences_no_global_window_over_docs(spark, sf_smoke):
     # localCheckpointed (pid assignments must be pinned, not dependent
     # on exchange reuse), so the downstream plan shows the checkpoint
     # scan instead of the RangePartitioning exchange — assert the
-    # range repartition on the helper's own pre-checkpoint plan.
+    # range repartition on the PRODUCTION pre-checkpoint stage
+    # (range_ranked is exactly what exclusive_prefix_sum checkpoints,
+    # so dropping repartitionByRange from the helper fails here).
     from pyspark.sql import functions as F
 
+    from kafka_spark_streaming_spark.operators.llm_pipeline import (
+        range_ranked,
+    )
     from kafka_spark_streaming_spark.tables import table as _table
 
     d = _table(spark, sf_smoke, "documents").select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
     )
-    pre = d.repartitionByRange(8, F.asc("doc_id"))
+    pre = range_ranked(d, "doc_id", 8)
     assert (
         "rangepartitioning" in pre._jdf.queryExecution().toString().lower()
     ), "range repartition missing from the pre-checkpoint stage"
@@ -265,6 +270,36 @@ def test_heavy_hitters_never_repartitions_token_stream(spark, sf_smoke):
             check(node.children().apply(i))
 
     check(df._jdf.queryExecution().optimizedPlan())
+
+
+def test_prune_stale_age_threshold_and_legacy_names(tmp_path, monkeypatch):
+    # stale-layout pruning must (a) spare dirs younger than the age
+    # threshold — a concurrent process may be mid-query over its
+    # pre-regeneration layout — and (b) finally match legacy
+    # unfingerprinted dirs, which used to leak forever (ADVICE r6
+    # physical.py:46)
+    import os
+    import tempfile as _tf
+    import time
+
+    from kafka_spark_streaming_spark.operators import physical
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    keep = "sf0_01_abcdefabcdef"
+    fresh_old_fp = tmp_path / "kss_bucketed_sf0_01_111111111111"
+    aged_old_fp = tmp_path / "kss_bucketed_sf0_01_222222222222"
+    legacy = tmp_path / "kss_bucketed_sf0_01"
+    current = tmp_path / f"kss_bucketed_{keep}"
+    for d in (fresh_old_fp, aged_old_fp, legacy, current):
+        d.mkdir()
+    old = time.time() - 3600
+    os.utime(aged_old_fp, (old, old))
+    os.utime(legacy, (old, old))
+    physical._prune_stale("kss_bucketed", keep)
+    assert current.exists()
+    assert fresh_old_fp.exists(), "young sibling pruned under a live run"
+    assert not aged_old_fp.exists(), "aged stale fingerprint kept"
+    assert not legacy.exists(), "legacy unfingerprinted dir still leaks"
 
 
 def test_incremental_dedup_is_anti_join(spark, sf_smoke):

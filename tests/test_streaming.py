@@ -148,6 +148,27 @@ def test_foreach_writer_reclaims_zombie_inprogress(tmp_path):
     assert leftovers == []
 
 
+def test_upsert_prune_reclaims_crash_leftover_tmp(spark, tmp_path):
+    """A crash between the tmp write and the rename strands v_N.tmp
+    holding a full state copy; the next successful write_batch must
+    reclaim any tmp at or below the committed head while leaving
+    future-id tmps (in-flight batches) alone (ADVICE r6 upsert.py:103)."""
+    sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    df = spark.createDataFrame(
+        [("k1", "cf1", "q", "v1")],
+        "rowkey string, cf string, qualifier string, value string",
+    )
+    sink.write_batch(df, 1)
+    stale = tmp_path / "cells" / "v_000000000001.tmp"
+    future = tmp_path / "cells" / "v_000000000099.tmp"
+    stale.mkdir()
+    future.mkdir()
+    sink.write_batch(df, 2)
+    assert not stale.exists(), "committed-range tmp not reclaimed"
+    assert future.exists(), "future-batch tmp must be left alone"
+    assert {r.rowkey for r in sink.current().collect()} == {"k1"}
+
+
 def test_upsert_sink_idempotent_replay(spark, tmp_path):
     sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
     df1 = spark.createDataFrame(
