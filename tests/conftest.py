@@ -7,6 +7,14 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "kafka_integration: live-broker round-trip (auto-skips without "
+        "KSS_KAFKA_BROKERS / a reachable broker / the connector jar)",
+    )
+
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
