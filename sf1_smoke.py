@@ -1,0 +1,155 @@
+"""sf1 smoke harness (VERDICT r6 next-round #7): run the heavy headline
+queries once at ~10x the bench scale to surface anything that only
+bites past sf0.1 — LSH candidate-set growth, state-store growth,
+prefix-sum/window behavior — before a real cluster does.
+
+No sf1 fixture exists in /root/testdata (TESTDATA.md ships sf0.001 /
+0.01 / 0.1), so the smoke DERIVES one by replicating sf0.1 K times
+with key-column offsets (foreign keys preserved: o_custkey etc. stay
+in the original dim ranges). This is a SCALE STRESS, not a
+correctness fixture: replicated documents are exact duplicates, which
+deliberately floods the near-dup path with K-sized duplicate clusters
+(every replica pair is a true Jaccard-1.0 pair) — the adversarial
+load for candidate generation and verification.
+
+Usage:  python sf1_smoke.py          # writes BENCH_r07_sf1.json
+Env:    KSS_SF1_FACTOR (default 10), SPARK_GRAFT_SF_DIR (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+K = int(os.environ.get("KSS_SF1_FACTOR", "10"))
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(
+    tempfile.gettempdir(), f"kss_sf1_{K}x_{os.path.basename(os.path.normpath(SRC))}"
+)
+
+# tables replicated with per-replica key offsets (key, offset base =
+# max(key)+1 so replicas never collide); everything else copied as-is
+OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY = ["region", "nation", "customer", "supplier", "part"]
+
+# the heavy hitters of the headline set: scan-agg, 3-way join w/ HAVING,
+# LSH dedup, GEMM top-k, sketch, text agg, distributed prefix sum,
+# stateful streaming
+SMOKE = [
+    "q1_pricing_summary",
+    "q18_large_volume_customers",
+    "d_minhash_lsh_pairs",
+    "sim_topk_blocked",
+    "sk_heavy_hitter_tokens",
+    "t_token_stats",
+    "p_pack_sequences",
+    "s_stateful_user_stats",
+]
+
+
+def build(spark) -> None:
+    if os.path.exists(os.path.join(OUT, "_DONE")):
+        return
+    t0 = time.perf_counter()
+    for name in COPY:
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{OUT}/{name}.parquet")
+    for name, keys in OFFSETS.items():
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        dtypes = dict(df.dtypes)
+        base = {
+            c: int(df.agg(F.max(F.col(c)).cast("long")).collect()[0][0]) + 1
+            for c in keys
+        }
+        reps = []
+        for i in range(K):
+            p = df
+            for c in keys:
+                p = p.withColumn(
+                    c, (F.col(c) + F.lit(i * base[c])).cast(dtypes[c])
+                )
+            reps.append(p)
+        functools.reduce(DataFrame.unionByName, reps).write.mode(
+            "overwrite"
+        ).parquet(f"{OUT}/{name}.parquet")
+    with open(os.path.join(OUT, "_DONE"), "w"):
+        pass
+    print(f"# built {OUT} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+
+def main() -> None:
+    from kafka_spark_streaming_spark import tables as _tables
+    from kafka_spark_streaming_spark.operators import QUERIES
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        s_stateful_user_stats,
+    )
+    from kafka_spark_streaming_spark.session import get_spark
+
+    spark = get_spark(app_name="kss-sf1-smoke")
+    build(spark)
+
+    fns = dict(QUERIES)
+    # same 2-batch override bench.py uses: the timing should reflect the
+    # operator + state growth, not the forced micro-batch count
+    fns["s_stateful_user_stats"] = lambda s, d: s_stateful_user_stats(
+        s, d, n_batches=2
+    )
+
+    results: dict[str, dict] = {}
+    for name in SMOKE:
+        t0 = time.perf_counter()
+        try:
+            df = fns[name](spark, OUT)
+            n = df.count()
+            results[name] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "rows": n,
+            }
+        except Exception as exc:  # noqa: BLE001 — the smoke must report, not die
+            results[name] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "error": f"{type(exc).__name__}: {str(exc)[:300]}",
+            }
+    derived = {
+        k.split(":", 1)[0]: v
+        for k, v in _tables.DERIVED_BUILD_SEC.items()
+        if OUT in k
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_smoke",
+                "factor": K,
+                "source_sf": SRC,
+                "derived_dir": OUT,
+                "queries": results,
+                "derived_build_sec": derived,
+                "note": (
+                    "scale stress on a K-replicated sf0.1 (exact-duplicate "
+                    "documents = adversarial near-dup load); untimed gate — "
+                    "completion + sane row counts are the pass criteria"
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
