@@ -274,6 +274,116 @@ def p_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bloom-guarded incremental dedup -------------------------------------
+# p_incremental_dedup's docstring promises "at 100 TB a bloom filter of
+# existing fps pre-filters the probe side"; this operator makes that
+# posture real, entirely in Catalyst (Spark's bloom_filter_agg is not
+# in the public function registry). The filter is a DENSE bitset:
+# m = 2^18 bits packed into 64-bit words via bit_or aggregation,
+# shipped as ONE broadcast row holding map<word_ix, word> — fixed size
+# (m/64 entries, 32 KiB of bits) no matter how many keys went in, which
+# is what makes it broadcastable when `existing` is 100 TB. k = 3
+# seeded xxhash64 probes per key.
+#
+# Correctness by construction: might_contain == false ⇒ the key is
+# DEFINITELY unseen (a bloom filter has no false negatives), so those
+# rows skip the anti-join shuffle entirely; possible-hits (true
+# matches + ~eps false positives) still go through the exact anti-join.
+# The final result is therefore bit-identical to p_incremental_dedup —
+# same oracle SQL, and tests assert frame equality + zero false
+# negatives on the fixture.
+_BLOOM_BITS = 1 << 18
+_BLOOM_K = 3
+
+
+def _bloom_positions(key):  # k seeded hash positions in [0, m)
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_K)
+        ]
+    )
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """1-row frame holding the dense bloom bitset as map<word_ix, word>."""
+    pos = keys.select(F.explode(_bloom_positions(F.col(key_col))).alias("p"))
+    words = (
+        pos.select(
+            F.floor(F.col("p") / 64).alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod("p", F.lit(64)).cast("int"),
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias(
+            "bloom"
+        )
+    )
+
+
+def bloom_might_contain(key, bloom):
+    """Column predicate: every probe bit of `key` is set in `bloom`."""
+    return F.forall(
+        _bloom_positions(key),
+        lambda p: F.coalesce(
+            F.element_at(bloom, F.floor(p / 64)), F.lit(0).cast("long")
+        ).bitwiseAND(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(p, F.lit(64)).cast("int"),
+            )
+        )
+        != 0,
+    )
+
+
+@register(
+    "p_incremental_dedup_bloom",
+    """
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
+    inc AS (
+      SELECT md5(text) AS fp, doc_id FROM documents WHERE doc_id >= 250)
+    SELECT i.fp, CAST(MIN(i.doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM inc i
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp = i.fp)
+    GROUP BY i.fp
+    """,
+)
+def p_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("fp")
+    )
+    existing = d.filter(F.col("doc_id") < 250).select("fp").distinct()
+    inc = d.filter(F.col("doc_id") >= 250)
+    bloom = bloom_build(existing, "fp")
+    probed = inc.crossJoin(F.broadcast(bloom)).withColumn(
+        "maybe_seen", bloom_might_contain(F.col("fp"), F.col("bloom"))
+    )
+    definite_new = probed.filter(~F.col("maybe_seen")).select("doc_id", "fp")
+    survivors = (
+        probed.filter(F.col("maybe_seen"))
+        .select("doc_id", "fp")
+        .join(existing, "fp", "left_anti")
+    )
+    return (
+        definite_new.unionByName(survivors)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 # --- text normalization --------------------------------------------------
 # The canonicalization pass run before fingerprinting/dedup: lowercase,
 # strip non-alphanumerics, collapse whitespace. Emitting the cleaned

@@ -80,6 +80,46 @@ def test_prefix_filter_kills_boilerplate_skew(spark):
     assert _jaccard_pairs(sh).count() == 0  # ground truth: no real pair
 
 
+def test_bloom_dedup_equals_exact_and_no_false_negatives(spark, sf_correct):
+    # the bloom pass is a pruning step, never a decision: result must be
+    # bit-identical to the exact anti-join, and every key that went INTO
+    # the filter must probe positive (a bloom filter has no false
+    # negatives — that property is what makes the shuffle-skip sound)
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators.llm_pipeline import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    exact = {
+        tuple(r)
+        for r in QUERIES["p_incremental_dedup"](spark, sf_correct).collect()
+    }
+    bloomed = {
+        tuple(r)
+        for r in QUERIES["p_incremental_dedup_bloom"](
+            spark, sf_correct
+        ).collect()
+    }
+    assert bloomed == exact
+
+    existing = (
+        table(spark, sf_correct, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select(F.md5(F.encode("text", "UTF-8")).alias("fp"))
+        .distinct()
+    )
+    bloom = bloom_build(existing, "fp")
+    misses = (
+        existing.crossJoin(F.broadcast(bloom))
+        .filter(~bloom_might_contain(F.col("fp"), F.col("bloom")))
+        .count()
+    )
+    assert misses == 0, "bloom filter produced a false negative"
+
+
 def test_connected_components_logarithmic_rounds(spark):
     # adversarially deep duplicate chain: a path graph, where min-label
     # propagation needs diameter rounds. Large-star/small-star must
