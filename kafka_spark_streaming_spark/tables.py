@@ -276,7 +276,13 @@ def session_checkpoint(spark, key: str, build, sf_dir: str | None = None) -> Dat
 
     t0 = time.perf_counter()
     df = build().localCheckpoint(eager=True)
-    DERIVED_BUILD_SEC[base_key] = round(time.perf_counter() - t0, 3)
+    dt = round(time.perf_counter() - t0, 3)
+    # keep the MIN across rebuilds of the same artifact: the shared-host
+    # VM swings whole-run throughput 1.5-4x, and a one-shot build sample
+    # would report the noise, not the plan (bench.py deliberately
+    # rebuilds once more after its timed passes to get a second sample)
+    prev = DERIVED_BUILD_SEC.get(base_key)
+    DERIVED_BUILD_SEC[base_key] = dt if prev is None else min(prev, dt)
     _DERIVED_CACHE[k] = df
     return df
 
