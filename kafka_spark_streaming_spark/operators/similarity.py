@@ -530,6 +530,194 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str,
     return _topk(scored)
 
 
+# --- 5: Product Quantization ANN (PQ codes + ADC scan) -------------------
+# The memory-compressed ANN tier (Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", TPAMI'11): split the 64-dim space into
+# M=8 subspaces of 8 dims, learn K=8 codewords per subspace (strided
+# init + one Lloyd step — same deterministic construction recipe as
+# sim_ann_ivf), encode every vector as 8 small codes, and answer
+# queries by Asymmetric Distance Computation: the query precomputes a
+# (M×K) lookup table of exact subspace distances, and each candidate's
+# approximate distance is just the sum of M table entries for its
+# codes.
+#
+# 100 TB posture: the codes table IS the index — M bytes per vector
+# (~500 GB for 64-byte codes over a trillion vectors vs 256 TB of raw
+# floats), scanned with a broadcast LUT join + sum; raw vectors are
+# never touched at query time. Training runs on a sample at scale
+# (here: the whole fixture). Unlike sim_ann_ivf, even the codebook
+# refinement stays distributed — cb0/cb1 are DataFrames end to end,
+# the only driver scalar is the init stride (count(), k-means-standard).
+#
+# Determinism contract (what makes it exactly oracle-able): strided
+# init, ties broken k ASC, every distance floor-quantized to 9 digits
+# (_q9) BEFORE any argmin/rank decision on BOTH engines, recentered
+# codewords derived relationally in both engines (cross-engine avg
+# noise ~1e-15 vs 0.5e-9 quantization cells).
+_PQ_M, _PQ_DSUB, _PQ_K = 8, 8, 8
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT GREATEST(COUNT(*) // {_PQ_K}, 1) AS stride FROM e),
+    sub AS (
+      SELECT vec_id, CAST((gs.i - 1) // {_PQ_DSUB} AS INT) AS m,
+             CAST((gs.i - 1) % {_PQ_DSUB} AS INT) AS pos, v[gs.i] AS x
+      FROM e CROSS JOIN generate_series(1, {_PQ_M * _PQ_DSUB}) AS gs(i)),
+    cb0 AS (
+      SELECT s.m, CAST(s.vec_id // p.stride AS INT) AS k, s.pos, s.x AS c
+      FROM sub s, p
+      WHERE s.vec_id % p.stride = 0 AND s.vec_id < p.stride * {_PQ_K}),
+    d0 AS (
+      SELECT s.vec_id, s.m, c.k,
+             floor(SUM((s.x - c.c) * (s.x - c.c)) * 1e9 + 0.5) / 1e9 AS d2
+      FROM sub s JOIN cb0 c ON c.m = s.m AND c.pos = s.pos
+      GROUP BY s.vec_id, s.m, c.k),
+    a0 AS (
+      SELECT vec_id, m, k FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                   ORDER BY d2 ASC, k ASC) AS rn FROM d0) WHERE rn = 1),
+    cb1 AS (
+      SELECT c0.m, c0.k, c0.pos, COALESCE(r.c, c0.c) AS c
+      FROM cb0 c0 LEFT JOIN (
+        SELECT s.m, a.k, s.pos, AVG(s.x) AS c
+        FROM sub s JOIN a0 a ON a.vec_id = s.vec_id AND a.m = s.m
+        GROUP BY s.m, a.k, s.pos) r
+        ON r.m = c0.m AND r.k = c0.k AND r.pos = c0.pos),
+    d1 AS (
+      SELECT s.vec_id, s.m, c.k,
+             floor(SUM((s.x - c.c) * (s.x - c.c)) * 1e9 + 0.5) / 1e9 AS d2
+      FROM sub s JOIN cb1 c ON c.m = s.m AND c.pos = s.pos
+      GROUP BY s.vec_id, s.m, c.k),
+    codes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                   ORDER BY d2 ASC, k ASC) AS rn FROM d1) WHERE rn = 1),
+    qtab AS (
+      SELECT vec_id AS query_id, m, k, d2
+      FROM d1 WHERE vec_id < {N_QUERIES}),
+    adc AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             floor(SUM(q.d2) * 1e9 + 0.5) / 1e9 AS d
+      FROM codes c JOIN qtab q ON q.m = c.m AND q.k = c.k
+      WHERE q.query_id <> c.vec_id
+      GROUP BY q.query_id, c.vec_id)
+    SELECT query_id, neighbor_id, round(d, 6) AS adc_dist, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY d ASC, neighbor_id ASC) AS rn
+          FROM adc)
+    WHERE rn <= {TOP_K}
+    """
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, m, pos, x): every vector exploded into its M subspace
+    coordinates."""
+    return e.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "i", "x"
+        ),
+    ).select(
+        "vec_id",
+        F.floor(F.col("i") / _PQ_DSUB).cast("int").alias("m"),
+        F.pmod("i", F.lit(_PQ_DSUB)).cast("int").alias("pos"),
+        "x",
+    )
+
+
+def _pq_subspace_dists(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Quantized squared L2 of every (vector, subspace, codeword)."""
+    return (
+        sub.join(F.broadcast(cb), ["m", "pos"])
+        .groupBy("vec_id", "m", "k")
+        .agg(
+            _q9(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            ).alias("d2")
+        )
+    )
+
+
+def _pq_argmin_codes(dists: DataFrame) -> DataFrame:
+    w = W.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("k"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "k", "d2")
+    )
+
+
+def pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(cb1, d1): the trained codebook and the per-(vector, subspace,
+    codeword) distance table the query path derives codes/LUTs from —
+    exposed for tests (the ADC triangle-inequality invariant needs the
+    index internals)."""
+    e = table(spark, sf_dir, "embeddings")
+    n_total = e.count()  # bounded scalar: init stride, as in sim_ann_ivf
+    stride = max(n_total // _PQ_K, 1)
+    sub = _pq_subvectors(e)
+    cb0 = sub.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * _PQ_K)
+    ).select(
+        "m",
+        F.floor(F.col("vec_id") / stride).cast("int").alias("k"),
+        "pos",
+        F.col("x").alias("c"),
+    )
+    a0 = _pq_argmin_codes(_pq_subspace_dists(sub, cb0)).select(
+        "vec_id", "m", "k"
+    )
+    recentered = (
+        sub.join(a0, ["vec_id", "m"])
+        .groupBy("m", "k", "pos")
+        .agg(F.avg("x").alias("rc"))
+    )
+    cb1 = (
+        cb0.join(recentered, ["m", "k", "pos"], "left")
+        .select(
+            "m", "k", "pos", F.coalesce("rc", "c").alias("c")
+        )
+        .localCheckpoint(eager=True)  # 512 rows; pins the trained codebook
+    )
+    d1 = _pq_subspace_dists(sub, cb1).localCheckpoint(
+        eager=True
+    )  # the PQ index build
+    return cb1, d1
+
+
+@register("sim_pq_adc_topk", _pq_oracle())
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC top-k — see the block comment above. Every stage
+    is a plain relational plan: explode to (vec_id, m, pos, x), equi-
+    join the (broadcast, M·K·DSUB = 512-row) codebook, hash-aggregate
+    subspace distances, window-argmin the codes."""
+    _cb1, d1 = pq_index(spark, sf_dir)
+    codes = _pq_argmin_codes(d1).select("vec_id", "m", "k")
+    qtab = d1.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "k", F.col("d2").alias("qd")
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["m", "k"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(_q9(F.sum("qd")).alias("d"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("d", 6).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
 # --- per-language embedding centroids (elementwise array aggregate) ------
 # The "average the vectors per group" primitive every embedding
 # pipeline needs (cluster centroids, class prototypes). Expressed as

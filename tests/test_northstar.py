@@ -80,6 +80,63 @@ def test_prefix_filter_kills_boilerplate_skew(spark):
     assert _jaccard_pairs(sh).count() == 0  # ground truth: no real pair
 
 
+def test_pq_adc_triangle_inequality(spark, sf_correct):
+    # The ADC identity: adc(q, x) is the EXACT squared distance from q
+    # to x's reconstruction (subspaces are orthogonal coordinate
+    # blocks), so for every pair the triangle inequality pins it to the
+    # true distance within the vector's own reconstruction error:
+    #   |sqrt(adc) - sqrt(true)| <= sqrt(recon_err_x).
+    # This holds only if codes are genuinely the argmin codewords and
+    # the LUT distances are exact — the whole pipeline's coherence in
+    # one bound, meaningful even on the cluster-free fixture where
+    # recall@k is uninformative (cf. sim_ann_ivf's recall caveat).
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators.similarity import (
+        N_QUERIES,
+        _pq_argmin_codes,
+        pq_index,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    _cb1, d1 = pq_index(spark, sf_correct)
+    codes = _pq_argmin_codes(d1)  # (vec_id, m, k, d2-at-code)
+    recon = {
+        r.vec_id: r.re
+        for r in codes.groupBy("vec_id")
+        .agg(F.sum("d2").alias("re"))
+        .collect()
+    }
+    qtab = d1.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "k", F.col("d2").alias("qd")
+    )
+    adc = {
+        (r.query_id, r.vec_id): r.d
+        for r in codes.select("vec_id", "m", "k")
+        .join(F.broadcast(qtab), ["m", "k"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("d"))
+        .collect()
+    }
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in table(spark, sf_correct, "embeddings").collect()
+    }
+    checked = 0
+    for (q, x), a in adc.items():
+        true_d2 = float(np.sum((emb[q] - emb[x]) ** 2))
+        bound = math.sqrt(recon[x]) + 1e-6
+        assert abs(math.sqrt(a) - math.sqrt(true_d2)) <= bound, (
+            f"ADC broke the triangle bound for pair ({q}, {x})"
+        )
+        checked += 1
+    assert checked == N_QUERIES * (len(emb) - 1)
+
+
 def test_bloom_dedup_equals_exact_and_no_false_negatives(spark, sf_correct):
     # the bloom pass is a pruning step, never a decision: result must be
     # bit-identical to the exact anti-join, and every key that went INTO
