@@ -41,15 +41,18 @@ from kafka_spark_streaming_spark.operators import streaming_queries  # noqa: E40
 #      hash-verifiable queries first.
 _PINNED_CORE = [
     # reference parity flagship (T1-T4+T6+T7+T9 in one query); the other
-    # r_* queries rotate with everything else — r6 just re-proved all of
-    # them, so pinning them would spend 5 of the ~50 window slots
+    # r_* and s_* queries rotate with everything else — r6 just
+    # re-proved them, so pinning more would spend ~50-window slots
     # re-checking the freshest evidence while 44 queries wait on
-    # pre-fixture-regeneration rows (VERDICT r6 next-round #1)
+    # pre-fixture-regeneration rows (VERDICT r6 next-round #1: with 3
+    # new r7 queries in the unchecked tier, 3 pinned + 3 new + 44 stale
+    # fills the 50-slot window exactly)
     "r_batch_summary",
     # flagship TPC-H analog (entry() query)
     "q1_pricing_summary",
-    # streaming semantics that must never lose coverage
-    "s_stream_value_counts", "s_stateful_user_stats", "s_stream_stream_join",
+    # the one streaming shape that must never lose coverage (custom
+    # state store; the other s_* queries have r6-fresh evidence)
+    "s_stateful_user_stats",
 ]
 
 
