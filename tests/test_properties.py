@@ -63,6 +63,103 @@ def test_ngrams_equal_python_reference(spark, toks, n):
     assert got == want
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "boil"]),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_candidates_cover_every_true_pair(spark, docs):
+    """The prefix-filter NO-FALSE-NEGATIVES guarantee, on arbitrary
+    corpora: every pair reaching the Jaccard threshold via the naive
+    all-shingle self-join must survive prefix-filtered candidate
+    generation. (The proof is in prefix_candidates' docstring; this
+    hunts for counterexamples the fixture can't produce — heavy shingle
+    skew via the 'boil' token, tiny docs at the ceil boundary.)"""
+    from kafka_spark_streaming_spark.operators.dedup import (
+        _jaccard_pairs,
+        prefix_candidates,
+        shingles_of,
+    )
+
+    d = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    sh = shingles_of(d)
+    true_pairs = {
+        (r.doc_a, r.doc_b) for r in _jaccard_pairs(sh).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b) for r in prefix_candidates(sh).collect()
+    }
+    assert true_pairs <= cand, (
+        f"prefix filter missed true pairs: {true_pairs - cand}"
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_equal_union_find(spark, edges):
+    """Large-star/small-star labels == driver union-find ground truth on
+    arbitrary graphs (self-loops, parallel edges, multiple components,
+    stars, chains — shapes the fixture's shallow dup clusters never
+    exercise)."""
+    from kafka_spark_streaming_spark.operators.dedup import (
+        connected_components,
+    )
+
+    clean = [(u, v) for u, v in edges if u != v]
+    if not clean:
+        return
+    d = spark.createDataFrame(clean, "u long, v long")
+    labels, _rounds = connected_components(d)
+    got = {r.id: r.label for r in labels.collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in clean:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comps: dict[int, list[int]] = {}
+    nodes = {x for e in clean for x in e}
+    for x in nodes:
+        comps.setdefault(find(x), []).append(x)
+    want = {x: min(mem) for mem in comps.values() for x in mem}
+    assert got == want
+
+
 def test_pagerank_mass_conserved(spark, sf_smoke):
     # every rank in (0,1); total mass ≤ 1 (dangling-node mass may leak
     # by design) and ≥ the pure-teleport floor (1-d) = 0.15
