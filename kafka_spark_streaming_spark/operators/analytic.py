@@ -1002,3 +1002,78 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform_values(m, lambda k, v: v * 2), "qty"
         ).alias("qty_doubled"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --- conversion funnel: view -> click -> purchase ------------------------
+# The event-analytics staple a training-data/telemetry pipeline reports
+# daily: how many users progressed through an ordered event sequence
+# with a bounded gap between steps (here 24 h — sized so every stage
+# carries signal on the month-long sparse fixture). Each stage is one keyed
+# aggregate + one equi-join against the previous stage's (user, t)
+# qualifier table — per stage exactly one shuffle on user_id (stage
+# tables are |users|-sized; Catalyst broadcasts them when stats allow,
+# otherwise it is a co-partitioned shuffle join — both correct at
+# 100 TB, neither a cross product). Exact MIN(ts) timestamps and
+# integer counts make the result engine-exact; no floats anywhere.
+@register(
+    "time_funnel_stages",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+      SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+    ORDER BY stage
+    """,
+)
+def time_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    hour = F.expr("INTERVAL 24 HOUR")
+    v = (
+        ev.filter((F.col("event_type") == "view") & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+        .orderBy("stage")
+    )
