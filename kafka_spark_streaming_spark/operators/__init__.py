@@ -44,12 +44,11 @@ _PINNED_CORE = [
     # r_* and s_* queries rotate with everything else — r6 just
     # re-proved them, so pinning more would spend ~50-window slots
     # re-checking the freshest evidence while 44 queries wait on
-    # pre-fixture-regeneration rows (VERDICT r6 next-round #1: with 3
-    # new r7 queries in the unchecked tier, 3 pinned + 3 new + 44 stale
-    # fills the 50-slot window exactly)
+    # pre-fixture-regeneration rows (VERDICT r6 next-round #1: with 4
+    # new r7 queries in the unchecked tier, 2 pinned + 4 new + 44 stale
+    # fills the 50-slot window exactly; q1 is separately smoke-checked
+    # every round through entry(), so its pin was redundant)
     "r_batch_summary",
-    # flagship TPC-H analog (entry() query)
-    "q1_pricing_summary",
     # the one streaming shape that must never lose coverage (custom
     # state store; the other s_* queries have r6-fresh evidence)
     "s_stateful_user_stats",
