@@ -265,11 +265,14 @@ def s_stateful_user_stats(
     stream = multi_batch_events_stream(spark, sf_dir, n_batches=n_batches)
     # State-store count is fixed at stream start from
     # spark.sql.shuffle.partitions and never AQE-coalesced; per-batch
-    # cost has a fixed floor per store (task + commit + Arrow hop).  On
-    # a cluster you size this to executors; for the local micro-batch
-    # drain, 8 stores cuts 4×32 tiny state tasks to 4×8.
+    # cost has a fixed floor per store (task + commit + Arrow hop) but
+    # stores also ARE the parallelism of the Python state workers. On a
+    # cluster you size this to executors; locally the measured sweet
+    # spot is 16 (A/B at sf0.1, min-of-4: 4→2.75s, 8→2.03s, 16→1.79s,
+    # 24→2.27s, 32→2.07s — Arrow-worker parallelism beats per-store
+    # commit overhead up to half the cores, then task churn wins).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         snapshots = _drain_to_memory(user_lifetime_stats(stream), "update")
     finally:
