@@ -300,11 +300,17 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical to the naive all-shingle self-join (the DuckDB oracle
     runs that plan), but nothing quadratic-on-skew is ever built:
     the r6 O(pairs) self-join is demoted to test-only machinery
-    (_jaccard_pairs)."""
-    sh = shingles(spark, sf_dir)
-    return verified_pairs(
-        prefix_candidates(sh), session_profile(spark, sf_dir)
+    (_jaccard_pairs).  The candidate set is memoized per (session,
+    corpus) like the signature profile — it IS the one-time index-build
+    pass prefix_candidates describes, so repeat calls pay only the
+    verify join."""
+    cand = session_checkpoint(
+        spark,
+        f"prefix_candidates:{sf_dir}",
+        lambda: prefix_candidates(shingles(spark, sf_dir)),
+        sf_dir=sf_dir,
     )
+    return verified_pairs(cand, session_profile(spark, sf_dir))
 
 
 # --- MinHash + LSH banding (the scale path; verified ⇒ same oracle) ------

@@ -12,9 +12,12 @@ into the pipeline (epoch 1700000000 → 2023/11/14 22:13 UTC).
 
 from __future__ import annotations
 
+import glob
 import itertools
 import os
+import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +43,37 @@ from kafka_spark_streaming_spark.tables import MESSAGES_ORACLE_SQL, table
 _M = f"WITH messages AS ({MESSAGES_ORACLE_SQL})"
 _seq = itertools.count()
 
+# every prefix a _scratch_dir() caller uses — transient per-invocation
+# dirs only; persistent cross-process caches (kss_split_*, kss_docsplit_*,
+# bucketed/partitioned layouts) have their own fingerprint-based pruning
+# and must NOT be matched here
+_SCRATCH_PREFIXES = (
+    "kss_ckpt_", "kss_pipe_", "kss_rollup_", "kss_rck_", "kss_topk_",
+    "kss_tck_", "kss_hll_", "kss_hck_", "kss_increddup_", "kss_s5_",
+    "kss_s5ck_",
+)
+
+
+def _scratch_dir(prefix: str, min_age_s: float = 1800) -> str:
+    """mkdtemp plus reclamation: every streaming query creates fresh
+    drain-output/checkpoint dirs per call (bench alone = 3 timed passes
+    + warmup) and nothing else ever deletes them, so /tmp would grow by
+    several corpus copies per round. Before allocating, best-effort-
+    remove any transient sibling older than min_age_s — age-gated so a
+    concurrent session's live drain is never touched (same threshold
+    rationale as physical._prune_stale)."""
+    assert prefix in _SCRATCH_PREFIXES, f"unregistered scratch prefix {prefix}"
+    now = time.time()
+    tmp = tempfile.gettempdir()
+    for pref in _SCRATCH_PREFIXES:
+        for d in glob.glob(os.path.join(tmp, pref + "*")):
+            try:
+                if now - os.path.getmtime(d) >= min_age_s:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
+    return tempfile.mkdtemp(prefix=prefix)
+
 
 def _events_path(sf_dir: str) -> str:
     return os.path.join(sf_dir, "events.parquet")
@@ -49,7 +83,7 @@ def _drain_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming DF to completion into a memory sink; return the
     final table."""
     name = f"kss_mem_{os.getpid()}_{next(_seq)}"
-    ckpt = tempfile.mkdtemp(prefix="kss_ckpt_")
+    ckpt = _scratch_dir("kss_ckpt_")
     q = (
         stream_df.writeStream.outputMode(mode)
         .format("memory")
@@ -231,7 +265,7 @@ def s_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s_pipeline_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = tempfile.mkdtemp(prefix="kss_pipe_")
+    work = _scratch_dir("kss_pipe_")
     cfg = StreamerConfig(
         table_path=os.path.join(work, "cells"),
         bulk=True,
@@ -367,7 +401,7 @@ def s_foreach_record_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_sink,
     )
 
-    out_dir = tempfile.mkdtemp(prefix="kss_s5_") + "/cells"
+    out_dir = _scratch_dir("kss_s5_") + "/cells"
     msgs = file_stream_messages(spark, _events_path(sf_dir))
     records = msgs.select(
         F.coalesce(F.col("key"), F.lit("kafka empty message")).alias(
@@ -384,7 +418,7 @@ def s_foreach_record_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         records.writeStream.foreach(RecordForeachWriter(out_dir))
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss_s5ck_"))
+        .option("checkpointLocation", _scratch_dir("kss_s5ck_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -417,7 +451,7 @@ def s_foreach_record_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="kss_rollup_") + "/partials"
+    out = _scratch_dir("kss_rollup_") + "/partials"
     stream = multi_batch_events_stream(spark, sf_dir, n_batches=4)
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -436,7 +470,7 @@ def s_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         stream.writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss_rck_"))
+        .option("checkpointLocation", _scratch_dir("kss_rck_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -556,7 +590,7 @@ def s_incremental_near_dedup(
     )
 
     stream = _docs_ordered_batches(spark, sf_dir, n_batches)
-    run_dir = tempfile.mkdtemp(prefix="kss_increddup_")
+    run_dir = _scratch_dir("kss_increddup_")
     store_dir = os.path.join(run_dir, "store")
     kept_dir = os.path.join(run_dir, "kept")
 
@@ -641,7 +675,7 @@ def s_incremental_near_dedup(
     """,
 )
 def s_stream_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="kss_topk_") + "/partials"
+    out = _scratch_dir("kss_topk_") + "/partials"
     stream = _docs_ordered_batches(spark, sf_dir, n_batches=3)
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -658,7 +692,7 @@ def s_stream_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         stream.writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss_tck_"))
+        .option("checkpointLocation", _scratch_dir("kss_tck_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -691,7 +725,7 @@ def s_stream_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = tempfile.mkdtemp(prefix="kss_hll_") + "/partials"
+    out = _scratch_dir("kss_hll_") + "/partials"
     stream = multi_batch_events_stream(spark, sf_dir, n_batches=3)
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -705,7 +739,7 @@ def s_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         stream.writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kss_hck_"))
+        .option("checkpointLocation", _scratch_dir("kss_hck_"))
         .trigger(availableNow=True)
         .start()
     )

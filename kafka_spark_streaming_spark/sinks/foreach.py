@@ -71,7 +71,13 @@ class RecordForeachWriter:
             if error is None:
                 os.replace(self._tmp, self._final)
             else:
-                os.remove(self._tmp)
+                # best-effort: a concurrent retry's open() may already
+                # have reclaimed this tmp — the task is failing anyway,
+                # and a FileNotFoundError here would mask the real error
+                try:
+                    os.remove(self._tmp)
+                except OSError:
+                    pass
 
 
 TSV_SCHEMA = "rowkey string, cf string, qualifier string, value string"
@@ -85,5 +91,11 @@ def read_sink(spark, out_dir: str):
         spark.read.schema(TSV_SCHEMA)
         .option("sep", "\t")
         .option("pathGlobFilter", "*.tsv")
+        # CSV's default nullValue is "" — that would round-trip an
+        # empty-string field (process() writes "" for None AND for "")
+        # back as NULL, silently diverging from any oracle that groups
+        # under ''. A NUL sentinel never occurs in the data, so empty
+        # fields read back as '' exactly as written.
+        .option("nullValue", "\x00")
         .csv(out_dir)
     )

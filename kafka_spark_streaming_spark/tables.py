@@ -247,6 +247,8 @@ _DERIVED_CACHE: dict[tuple[str, str], DataFrame] = {}
 # derived_build_sec so a build-time regression can't hide behind the
 # cache (ADVICE r4 #2).
 DERIVED_BUILD_SEC: dict[str, float] = {}
+# base_key -> full memo key its recorded min was measured under
+_DERIVED_BUILD_ID: dict[str, str] = {}
 
 
 def session_checkpoint(spark, key: str, build, sf_dir: str | None = None) -> DataFrame:
@@ -280,8 +282,16 @@ def session_checkpoint(spark, key: str, build, sf_dir: str | None = None) -> Dat
     # keep the MIN across rebuilds of the same artifact: the shared-host
     # VM swings whole-run throughput 1.5-4x, and a one-shot build sample
     # would report the noise, not the plan (bench.py deliberately
-    # rebuilds once more after its timed passes to get a second sample)
-    prev = DERIVED_BUILD_SEC.get(base_key)
+    # rebuilds once more after its timed passes to get a second sample).
+    # Identity is the FULL memo key (fingerprint included): a mid-session
+    # fixture regeneration is different data, so its min starts fresh
+    # instead of inheriting the old fixture's faster sample.
+    prev = (
+        DERIVED_BUILD_SEC.get(base_key)
+        if _DERIVED_BUILD_ID.get(base_key) == key
+        else None
+    )
+    _DERIVED_BUILD_ID[base_key] = key
     DERIVED_BUILD_SEC[base_key] = dt if prev is None else min(prev, dt)
     _DERIVED_CACHE[k] = df
     return df

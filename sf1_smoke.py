@@ -36,14 +36,19 @@ OUT = os.path.join(
     tempfile.gettempdir(), f"kss_sf1_{K}x_{os.path.basename(os.path.normpath(SRC))}"
 )
 
-# tables replicated with per-replica key offsets (key, offset base =
-# max(key)+1 so replicas never collide); everything else copied as-is
+# tables replicated with per-replica key offsets; offset bases are
+# computed per KEY DOMAIN (one shared base for every column in the
+# domain), because l_orderkey and o_orderkey must shift by the SAME
+# amount or replica i's lineitems join the wrong/no orders — at sf0.1
+# thousands of orders have no lineitems, so max(l_orderkey) and
+# max(o_orderkey) coinciding is luck, not an invariant. Everything
+# else copied as-is.
 OFFSETS = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "lineitem": [("l_orderkey", "orderkey")],
+    "orders": [("o_orderkey", "orderkey")],
+    "events": [("event_id", "event_id"), ("user_id", "user_id")],
+    "documents": [("doc_id", "doc_id")],
+    "embeddings": [("vec_id", "vec_id")],
 }
 COPY = ["region", "nation", "customer", "supplier", "part"]
 
@@ -70,19 +75,27 @@ def build(spark) -> None:
         spark.read.parquet(f"{SRC}/{name}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{OUT}/{name}.parquet")
+    # pass 1: one shared offset base per key DOMAIN = max over every
+    # column mapped to that domain, across all its tables, + 1
+    domain_base: dict[str, int] = {}
+    for name, keys in OFFSETS.items():
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        for col, domain in keys:
+            mx = int(df.agg(F.max(F.col(col)).cast("long")).collect()[0][0])
+            domain_base[domain] = max(domain_base.get(domain, 0), mx + 1)
+    # pass 2: replicate with the shared bases
     for name, keys in OFFSETS.items():
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
         dtypes = dict(df.dtypes)
-        base = {
-            c: int(df.agg(F.max(F.col(c)).cast("long")).collect()[0][0]) + 1
-            for c in keys
-        }
         reps = []
         for i in range(K):
             p = df
-            for c in keys:
+            for col, domain in keys:
                 p = p.withColumn(
-                    c, (F.col(c) + F.lit(i * base[c])).cast(dtypes[c])
+                    col,
+                    (F.col(col) + F.lit(i * domain_base[domain])).cast(
+                        dtypes[col]
+                    ),
                 )
             reps.append(p)
         functools.reduce(DataFrame.unionByName, reps).write.mode(
