@@ -445,28 +445,12 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 16)
         .select("doc_a", "doc_b")
     )
-    # exact verification against the shingle profile (candidates only)
-    profile = shingles(spark, sf_dir).groupBy("doc_id").agg(
-        F.collect_set("s").alias("ss"), F.count(F.lit(1)).alias("n")
-    )
-    a = profile.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("ss").alias("ss_a"),
-        F.col("n").alias("na"),
-    )
-    b = profile.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("ss").alias("ss_b"),
-        F.col("n").alias("nb"),
-    )
-    inter = F.size(F.array_intersect("ss_a", "ss_b"))
-    jac = inter / (F.col("na") + F.col("nb") - inter)
-    return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    # exact verification of candidates only, against the shared
+    # hashed-long signature profile — the same memoized artifact and
+    # verify join the MinHash and prefix-filter paths use (a private
+    # collect_set-of-strings profile here was ~4x the bytes and a
+    # second corpus shingle pass)
+    return verified_pairs(candidates, session_profile(spark, sf_dir))
 
 
 # --- embedding-cosine near-dup -------------------------------------------
