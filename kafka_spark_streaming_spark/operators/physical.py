@@ -17,7 +17,6 @@ the queries themselves are ordinary declarative DataFrame plans.
 
 from __future__ import annotations
 
-import glob
 import os
 import re
 import tempfile
@@ -46,30 +45,13 @@ def _prune_stale(prefix: str, keep_tag: str, min_age_s: float = 1800) -> None:
     """Remove sibling layout dirs built under older fingerprints —
     each regeneration would otherwise strand a full table copy.
 
-    Only dirs older than min_age_s are removed: a concurrent process
-    still running against the pre-regeneration fixture may be
-    mid-query over its layout, and a 30-min threshold outlives any
-    single query here while still reclaiming the space (ADVICE r6
-    physical.py:46). Legacy pre-fingerprint dirs (no `_<hex12>`
-    suffix) are matched too — they used to leak forever."""
-    import shutil
-    import time
+    Age-gated (a concurrent process may still be mid-query over its
+    pre-regeneration layout — ADVICE r6 physical.py:46) and matching
+    legacy unfingerprinted names; shared with the streaming split
+    caches via tables.prune_stale_siblings."""
+    from kafka_spark_streaming_spark.tables import prune_stale_siblings
 
-    base = re.sub(r"_[0-9a-f]{12}$", "", keep_tag)
-    tmp = tempfile.gettempdir()
-    candidates = glob.glob(os.path.join(tmp, f"{prefix}_{base}_*")) + glob.glob(
-        os.path.join(tmp, f"{prefix}_{base}")
-    )
-    now = time.time()
-    for d in candidates:
-        if d.endswith(keep_tag):
-            continue
-        try:
-            age = now - os.path.getmtime(d)
-        except OSError:
-            continue
-        if age >= min_age_s:
-            shutil.rmtree(d, ignore_errors=True)
+    prune_stale_siblings(prefix, keep_tag, min_age_s)
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -516,11 +516,15 @@ def _docs_ordered_batches(
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     # fixture fingerprint in the cache key: a regenerated
     # documents.parquet must invalidate the split (round-5 drift class)
-    split_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"kss_docsplit_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{n_batches}_{fixture_fingerprint(sf_dir, 'documents')}",
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n_batches}_{fixture_fingerprint(sf_dir, 'documents')}"
     )
+    split_dir = os.path.join(tempfile.gettempdir(), f"kss_docsplit_{tag}")
+    # drop the old fingerprint's stranded split copy on regeneration
+    from kafka_spark_streaming_spark.tables import prune_stale_siblings
+
+    prune_stale_siblings("kss_docsplit", tag)
     if not os.path.exists(os.path.join(split_dir, "_DONE")):
         # build in a process-unique dir, atomically rename into place:
         # two concurrent harness processes must not interleave writes

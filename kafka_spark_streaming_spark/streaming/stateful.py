@@ -127,11 +127,16 @@ def multi_batch_events_stream(
     # The source fixture's mtime+size is part of the key — a regenerated
     # fixture must invalidate the split, or Spark streams old data while
     # the oracle reads new (the round-5 drift class).
-    split_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"kss_split_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{n_batches}_{fixture_fingerprint(sf_dir, 'events')}",
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n_batches}_{fixture_fingerprint(sf_dir, 'events')}"
     )
+    split_dir = os.path.join(tempfile.gettempdir(), f"kss_split_{tag}")
+    # a regenerated fixture strands the old fingerprint's full split
+    # copy otherwise — same leak class as the physical layouts
+    from kafka_spark_streaming_spark.tables import prune_stale_siblings
+
+    prune_stale_siblings("kss_split", tag)
     # Lock-free cross-process publish: build in a process-unique tmp dir
     # and atomically rename into place; a concurrent builder that loses
     # the race discards its copy and uses the winner's. (Same pattern as

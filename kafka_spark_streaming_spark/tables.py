@@ -13,6 +13,8 @@ bulk sink's sentinel routing, HbaseWriter.scala:54-66) and ≥2 topics
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -249,6 +251,39 @@ _DERIVED_CACHE: dict[tuple[str, str], DataFrame] = {}
 DERIVED_BUILD_SEC: dict[str, float] = {}
 # base_key -> full memo key its recorded min was measured under
 _DERIVED_BUILD_ID: dict[str, str] = {}
+
+
+def prune_stale_siblings(
+    prefix: str, keep_tag: str, min_age_s: float = 1800
+) -> None:
+    """Remove /tmp cache dirs named `{prefix}_{base}[_...]` whose
+    fingerprint differs from keep_tag's — every fixture regeneration
+    (or derived-input rebuild) would otherwise strand a full data copy
+    per cache. Only dirs older than min_age_s go (a concurrent process
+    may still be mid-read on the pre-regeneration copy); legacy
+    unfingerprinted names (`{prefix}_{base}`, no trailing `_<hex12>`)
+    are matched too. keep_tag must end with the 12-hex fingerprint."""
+    import glob as _glob
+    import re as _re
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    base = _re.sub(r"_[0-9a-f]{12}$", "", keep_tag)
+    tmp = _tempfile.gettempdir()
+    candidates = _glob.glob(
+        os.path.join(tmp, f"{prefix}_{base}_*")
+    ) + _glob.glob(os.path.join(tmp, f"{prefix}_{base}"))
+    now = _time.time()
+    for d in candidates:
+        if d.endswith(keep_tag):
+            continue
+        try:
+            age = now - os.path.getmtime(d)
+        except OSError:
+            continue
+        if age >= min_age_s:
+            _shutil.rmtree(d, ignore_errors=True)
 
 
 def session_checkpoint(spark, key: str, build, sf_dir: str | None = None) -> DataFrame:
