@@ -97,7 +97,14 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sk_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(spark, sf_dir)
     candidates = toks.mapInPandas(_mg_candidates, _CAND_SCHEMA).distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # corpus token total WITHOUT a third explode of the token stream:
+    # count tokens per document at the scan (size of the split array)
+    # and sum — same number, one narrow pass over the documents
+    total = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(F.split(F.col("text"), " ")).alias("nt"))
+        .agg(F.sum("nt").alias("n_total"))
+    )
     return (
         toks.join(F.broadcast(candidates), "tok", "left_semi")
         .groupBy("tok")
