@@ -50,7 +50,71 @@ def build_parser() -> argparse.ArgumentParser:
         help="drain pending input then exit (test/backfill mode)",
     )
     p.add_argument("--summary-path", dest="summary_path")
+    p.add_argument(
+        "--per-record",
+        dest="per_record",
+        action="store_true",
+        help=(
+            "entry-point-2 parity (KafkaStreamerToHbase.scala:87-160, the"
+            " pom main class): every record written from the executors via"
+            " ForeachWriter into -table as (rowkey, cf, qualifier, value)"
+            " TSV cells, instead of the per-batch Streamer summary"
+        ),
+    )
     return p
+
+
+def _run_per_record(spark, args) -> int:
+    """Entry point 2 (the reference's pom main class): all work on the
+    executors, one put per record — KafkaStreamerToHbase.scala:156-160's
+    `y.foreach(record => insertOneLineToHbase(rowkey, "messages",
+    record.toString(), "cf1", table))`, as a ForeachWriter. Wall-clock
+    rowkeys become the data-derived key (determinism rule shared with
+    s_foreach_record_sink); record.toString() for a (k, v) tuple is
+    "(k,v)" with nulls printed as "null"."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.sinks.foreach import RecordForeachWriter
+
+    if not args.table:
+        print("--per-record needs -table (sink directory)", file=sys.stderr)
+        return 2
+    if args.brokers:
+        from kafka_spark_streaming_spark.sources.kafka import (
+            kafka_stream_reader,
+        )
+
+        messages = kafka_stream_reader(spark, args.brokers, args.input_topics)
+    else:
+        from kafka_spark_streaming_spark.sources.files import (
+            file_stream_messages,
+        )
+
+        messages = file_stream_messages(spark, args.source_parquet)
+    records = messages.select(
+        F.coalesce(F.col("key"), F.lit("kafka empty message")).alias("rowkey"),
+        F.lit("messages").alias("qualifier"),
+        F.concat(
+            F.lit("("),
+            F.coalesce(F.col("key"), F.lit("null")),
+            F.lit(","),
+            F.col("value"),
+            F.lit(")"),
+        ).alias("value"),
+    )
+    writer = records.writeStream.foreach(RecordForeachWriter(args.table))
+    writer = writer.option(
+        "checkpointLocation",
+        args.checkpoint or tempfile.mkdtemp(prefix="kss_cli_ckpt_"),
+    )
+    if args.available_now or not args.brokers:
+        writer = writer.trigger(availableNow=True)
+    else:
+        # reference cadence: Seconds(1), KafkaStreamerToHbase.scala:56
+        writer = writer.trigger(processingTime="1 second")
+    q = writer.start()
+    q.awaitTermination()
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -69,6 +133,10 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     spark = get_spark(app_name="kss-streamer")
+
+    if args.per_record:
+        return _run_per_record(spark, args)
+
     cfg = StreamerConfig(
         table_path=args.table,
         bulk=args.bulk,

@@ -400,6 +400,35 @@ def test_cli_streamer_end_to_end(spark, sf_smoke, tmp_path_factory):
     assert cells.filter(F.col("qualifier") == "content").count() >= 1
 
 
+def test_cli_per_record_end_to_end(spark, sf_smoke, tmp_path_factory):
+    """--per-record = entry point 2 (the reference's pom main class):
+    every record lands in the sink dir as one TSV cell via the
+    executor-side ForeachWriter."""
+    from kafka_spark_streaming_spark.__main__ import main
+    from kafka_spark_streaming_spark.sinks.foreach import read_sink
+
+    base = tmp_path_factory.mktemp("cli_pr")
+    sink = str(base / "cells")
+    rc = main(
+        [
+            "--source-parquet",
+            os.path.join(sf_smoke, "events.parquet"),
+            "-table",
+            sink,
+            "--per-record",
+            "--checkpoint",
+            str(base / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    rows = read_sink(spark, sink)
+    assert rows.count() == 1000  # one cell per record at sf0.001
+    assert rows.filter(F.col("qualifier") != "messages").count() == 0
+    assert (
+        rows.filter(F.col("rowkey") == "kafka empty message").count() > 0
+    )  # null keys routed to the sentinel
+
+
 def test_compaction_preserves_rows(spark, sf_smoke, tmp_path):
     """Fragment events into many tiny files, compact, assert identical
     content and a bounded file count."""
