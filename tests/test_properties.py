@@ -160,6 +160,68 @@ def test_connected_components_equal_union_find(spark, edges):
     assert got == want
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdef0123456789", min_size=1, max_size=12),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_bloom_filter_never_false_negative(spark, keys):
+    """The property the shuffle-skip rests on: EVERY key inserted into
+    the dense bloom bitset must probe positive, for arbitrary key sets
+    (hypothesis explores hash-position collisions the fixture's 250
+    fps cannot)."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators.llm_pipeline import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    d = spark.createDataFrame([(k,) for k in keys], "fp string")
+    bloom = bloom_build(d, "fp")
+    misses = (
+        d.crossJoin(F.broadcast(bloom))
+        .filter(~bloom_might_contain(F.col("fp"), F.col("bloom")))
+        .count()
+    )
+    assert misses == 0
+
+
+def test_scratch_dir_prunes_only_aged_transients(tmp_path, monkeypatch):
+    """_scratch_dir must reclaim aged transient dirs, spare young ones
+    (possibly a live drain), and never touch persistent caches."""
+    import os
+    import tempfile as _tf
+    import time
+
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _scratch_dir,
+    )
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    aged = tmp_path / "kss_s5_old"
+    young = tmp_path / "kss_s5_fresh"
+    cache = tmp_path / "kss_split_sf0.01_4_abcdefabcdef"
+    for d in (aged, young, cache):
+        d.mkdir()
+    old = time.time() - 3600
+    os.utime(aged, (old, old))
+    os.utime(cache, (old, old))
+    new_dir = _scratch_dir("kss_s5_")
+    assert not aged.exists(), "aged transient dir not reclaimed"
+    assert young.exists(), "young transient dir must survive"
+    assert cache.exists(), "persistent split cache must never be touched"
+    assert os.path.isdir(new_dir)
+
+
 def test_pagerank_mass_conserved(spark, sf_smoke):
     # every rank in (0,1); total mass ≤ 1 (dangling-node mass may leak
     # by design) and ≥ the pure-teleport floor (1-d) = 0.15
