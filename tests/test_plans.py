@@ -272,6 +272,26 @@ def test_heavy_hitters_never_repartitions_token_stream(spark, sf_smoke):
     check(df._jdf.queryExecution().optimizedPlan())
 
 
+def test_pq_codebook_joins_broadcast(spark, sf_smoke):
+    # the 512-row codebook must broadcast into the exploded subvector
+    # stream (a shuffle join keyed on (m, pos) would repartition the
+    # corpus x 64 to apply a constant-size table), and the ADC LUT join
+    # likewise; argmin windows are per-(vector, subspace) — no global
+    plan = plan_of(spark, "sim_pq_adc_topk", sf_smoke)
+    assert "BroadcastHashJoin" in plan, "codebook/LUT not broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_dedup_broadcasts_filter_and_stays_anti_join(spark, sf_smoke):
+    # the bloom bitset rides a 1-row broadcast; survivors still go
+    # through the exact LeftAnti join — both halves of the design must
+    # be visible in the plan
+    plan = plan_of(spark, "p_incremental_dedup_bloom", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan, "bloom row not broadcast"
+    assert "LeftAnti" in plan, "exact anti-join verification missing"
+    assert "CartesianProduct" not in plan
+
+
 def test_prune_stale_age_threshold_and_legacy_names(tmp_path, monkeypatch):
     # stale-layout pruning must (a) spare dirs younger than the age
     # threshold — a concurrent process may be mid-query over its
