@@ -278,12 +278,18 @@ def p_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # p_incremental_dedup's docstring promises "at 100 TB a bloom filter of
 # existing fps pre-filters the probe side"; this operator makes that
 # posture real, entirely in Catalyst (Spark's bloom_filter_agg is not
-# in the public function registry). The filter is a DENSE bitset:
-# m = 2^18 bits packed into 64-bit words via bit_or aggregation,
-# shipped as ONE broadcast row holding map<word_ix, word> — fixed size
-# (m/64 entries, 32 KiB of bits) no matter how many keys went in, which
-# is what makes it broadcastable when `existing` is 100 TB. k = 3
-# seeded xxhash64 probes per key.
+# in the public function registry). The filter is a DENSE bitset
+# packed into 64-bit words via bit_or aggregation, shipped as ONE
+# broadcast row holding (map<word_ix, word>, m). m is sized from the
+# key count at ~10 bits/key (k = 3 seeded xxhash64 probes → ε ≈ 1.7%),
+# rounded up to a power of two and clamped to
+# [_BLOOM_MIN_BITS, _BLOOM_MAX_BITS]. The ceiling keeps the broadcast
+# bounded (2^27 bits → ≤2M map words ≈ 32 MB serialized, comfortably
+# under Spark's broadcast comfort zone); beyond ~13M distinct keys the
+# clamp makes ε degrade gracefully — output stays bit-identical (the
+# exact anti-join still backstops every possible-hit), only the
+# shuffle-skip fraction shrinks. The probe reads m from the broadcast
+# row itself, so build and probe can never disagree on the modulus.
 #
 # Correctness by construction: might_contain == false ⇒ the key is
 # DEFINITELY unseen (a bloom filter has no false negatives), so those
@@ -291,23 +297,46 @@ def p_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # matches + ~eps false positives) still go through the exact anti-join.
 # The final result is therefore bit-identical to p_incremental_dedup —
 # same oracle SQL, and tests assert frame equality + zero false
-# negatives on the fixture.
-_BLOOM_BITS = 1 << 18
+# negatives on the fixture + bounded ε at 10× fixture keys.
+_BLOOM_MIN_BITS = 1 << 13  # 1 KiB of bits — spreads tiny key sets
+_BLOOM_MAX_BITS = 1 << 27  # broadcast ceiling; ε degrades past ~13M keys
+_BLOOM_BITS_PER_KEY = 10
 _BLOOM_K = 3
 
 
-def _bloom_positions(key):  # k seeded hash positions in [0, m)
+def _bloom_size_bits(n_keys: int) -> int:
+    """Power-of-two m for n keys at ~10 bits/key, clamped to the
+    documented [min, max] broadcast envelope."""
+    want = max(1, n_keys) * _BLOOM_BITS_PER_KEY
+    m = _BLOOM_MIN_BITS
+    while m < want and m < _BLOOM_MAX_BITS:
+        m <<= 1
+    return m
+
+
+def _bloom_positions(key, m_bits):  # k seeded hash positions in [0, m)
+    m = F.lit(m_bits) if isinstance(m_bits, int) else m_bits
     return F.array(
-        *[
-            F.pmod(F.xxhash64(F.lit(i), key), F.lit(_BLOOM_BITS))
-            for i in range(_BLOOM_K)
-        ]
+        *[F.pmod(F.xxhash64(F.lit(i), key), m) for i in range(_BLOOM_K)]
     )
 
 
-def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
-    """1-row frame holding the dense bloom bitset as map<word_ix, word>."""
-    pos = keys.select(F.explode(_bloom_positions(F.col(key_col))).alias("p"))
+def bloom_build(
+    keys: DataFrame, key_col: str, n_keys: int | None = None
+) -> DataFrame:
+    """1-row frame (bloom: map<word_ix, word>, m: long) — the dense
+    bitset plus the modulus it was built with.
+
+    n_keys sizes the filter; when omitted it is computed with one
+    count() job over `keys` (at scale the snapshot's key count is
+    usually already known — pass it to skip the extra job).
+    """
+    if n_keys is None:
+        n_keys = keys.count()
+    m_bits = _bloom_size_bits(n_keys)
+    pos = keys.select(
+        F.explode(_bloom_positions(F.col(key_col), m_bits)).alias("p")
+    )
     words = (
         pos.select(
             F.floor(F.col("p") / 64).alias("w"),
@@ -323,14 +352,22 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
     return words.agg(
         F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias(
             "bloom"
-        )
+        ),
+        F.lit(m_bits).cast("long").alias("m"),
     )
 
 
-def bloom_might_contain(key, bloom):
-    """Column predicate: every probe bit of `key` is set in `bloom`."""
+def bloom_might_contain(key, bloom, m=None):
+    """Column predicate: every probe bit of `key` is set in `bloom`.
+
+    `m` is the modulus column carried in the bloom row (defaults to
+    F.col("m"), the name bloom_build emits) — reading it from the
+    broadcast row keeps probe and build in lockstep by construction.
+    """
+    if m is None:
+        m = F.col("m")
     return F.forall(
-        _bloom_positions(key),
+        _bloom_positions(key, m),
         lambda p: F.coalesce(
             F.element_at(bloom, F.floor(p / 64)), F.lit(0).cast("long")
         ).bitwiseAND(
