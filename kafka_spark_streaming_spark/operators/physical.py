@@ -41,7 +41,7 @@ def _tag(sf_dir: str) -> str:
     return f"{base}_{fixture_fingerprint(sf_dir)}"
 
 
-def _prune_stale(prefix: str, keep_tag: str, min_age_s: float = 1800) -> None:
+def _prune_stale(prefix: str, keep_tag: str, min_age_s: float = 7200) -> None:
     """Remove sibling layout dirs built under older fingerprints —
     each regeneration would otherwise strand a full table copy.
 

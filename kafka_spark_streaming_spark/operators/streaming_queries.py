@@ -54,21 +54,40 @@ _SCRATCH_PREFIXES = (
 )
 
 
+def _newest_mtime_shallow(d: str) -> float:
+    """Newest mtime across the dir and its direct children (ADVICE r7
+    streaming_queries.py:79): a live streaming query's top-level
+    checkpoint dir mtime freezes once offsets/ and commits/ exist, but
+    every micro-batch write lands a file INSIDE those children and
+    advances the child dir's mtime — so a >30-min drain stays visibly
+    live to the age gate without needing a full recursive walk."""
+    newest = os.path.getmtime(d)
+    with os.scandir(d) as entries:
+        for e in entries:
+            try:
+                newest = max(newest, e.stat().st_mtime)
+            except OSError:
+                pass
+    return newest
+
+
 def _scratch_dir(prefix: str, min_age_s: float = 1800) -> str:
     """mkdtemp plus reclamation: every streaming query creates fresh
     drain-output/checkpoint dirs per call (bench alone = 3 timed passes
     + warmup) and nothing else ever deletes them, so /tmp would grow by
     several corpus copies per round. Before allocating, best-effort-
-    remove any transient sibling older than min_age_s — age-gated so a
-    concurrent session's live drain is never touched (same threshold
-    rationale as physical._prune_stale)."""
+    remove any transient sibling whose newest shallow mtime is older
+    than min_age_s — age-gated on activity, not creation, so a
+    concurrent session's live drain (even one running longer than the
+    threshold) is never touched (same threshold rationale as
+    physical._prune_stale)."""
     assert prefix in _SCRATCH_PREFIXES, f"unregistered scratch prefix {prefix}"
     now = time.time()
     tmp = tempfile.gettempdir()
     for pref in _SCRATCH_PREFIXES:
         for d in glob.glob(os.path.join(tmp, pref + "*")):
             try:
-                if now - os.path.getmtime(d) >= min_age_s:
+                if now - _newest_mtime_shallow(d) >= min_age_s:
                     shutil.rmtree(d, ignore_errors=True)
             except OSError:
                 pass

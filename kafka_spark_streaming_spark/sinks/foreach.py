@@ -18,6 +18,36 @@ from __future__ import annotations
 
 import glob
 import os
+import time
+
+# Writer-side field encoding: the sink is tab-separated /
+# newline-terminated, and the reader disables CSV quoting entirely, so
+# the only bytes that can break framing are the separator, record
+# terminators, and the escape introducer itself. Percent-encode exactly
+# those four (%, \t, \n, \r); everything else — quotes, backslashes,
+# arbitrary JSON broker payloads in the --per-record CLI mode — passes
+# through verbatim. decode_sink_field() inverts this in Catalyst.
+_ENC = [("%", "%25"), ("\t", "%09"), ("\n", "%0A"), ("\r", "%0D")]
+
+# With quoting disabled an unquoted empty field parses as NULL (and a
+# row of only separators is dropped as all-null), so empty fields get a
+# whole-field sentinel instead. Unforgeable: user data "%_" encodes to
+# "%25_", never to the bare token.
+_EMPTY_TOK = "%_"
+
+# A retry's open() may only reclaim a sibling .inprogress file this
+# much older than now: a zombie attempt's file has a stale mtime, while
+# a live concurrent racer's (speculation, overlapping retry) is fresh —
+# reclaiming only aged files keeps zombie cleanup without the
+# mutual-destruction window where two racers unlink each other's tmp
+# and both crash at close().
+_RECLAIM_AGE_S = 60.0
+
+
+def _encode_field(s: str) -> str:
+    for raw, enc in _ENC:
+        s = s.replace(raw, enc)
+    return s if s else _EMPTY_TOK
 
 
 class RecordForeachWriter:
@@ -47,22 +77,27 @@ class RecordForeachWriter:
         self._tmp = f"{self._final}.inprogress.{os.getpid()}-{id(self)}"
         # an attempt killed without close() (zombie executor) strands its
         # .inprogress file forever; the retry owns this (epoch, partition)
-        # now, so best-effort-unlink siblings. A still-RUNNING concurrent
-        # attempt may lose its tmp here — it then crashes at its own
-        # close() and never commits, which is the correct loser outcome.
+        # now, so best-effort-unlink AGED siblings only — a live
+        # concurrent attempt's tmp has a fresh mtime and is left alone
+        # (see _RECLAIM_AGE_S).
+        now = time.time()
         for stale in glob.glob(f"{self._final}.inprogress.*"):
             try:
-                os.remove(stale)
+                if now - os.path.getmtime(stale) >= _RECLAIM_AGE_S:
+                    os.remove(stale)
             except OSError:
                 pass
         self._fh = open(self._tmp, "w", encoding="utf-8")
         return True
 
     def process(self, row) -> None:
-        key = "" if row.rowkey is None else str(row.rowkey)
-        val = "" if row.value is None else str(row.value)
-        qual = "" if row.qualifier is None else str(row.qualifier)
-        self._fh.write(f"{key}\t{self.cf}\t{qual}\t{val}\n")
+        key = _encode_field("" if row.rowkey is None else str(row.rowkey))
+        val = _encode_field("" if row.value is None else str(row.value))
+        qual = _encode_field(
+            "" if row.qualifier is None else str(row.qualifier)
+        )
+        cf = _encode_field(self.cf)
+        self._fh.write(f"{key}\t{cf}\t{qual}\t{val}\n")
 
     def close(self, error) -> None:
         if self._fh is not None:
@@ -83,13 +118,40 @@ class RecordForeachWriter:
 TSV_SCHEMA = "rowkey string, cf string, qualifier string, value string"
 
 
+def decode_sink_field(col):
+    """Invert _encode_field in Catalyst. The whole-field empty sentinel
+    is checked against the RAW field first; then decode order matters:
+    the framing bytes first (none of their decoded outputs can create a
+    new %XX sequence consumed by a later step), '%25' → '%' strictly
+    last."""
+    from pyspark.sql import functions as F
+
+    raw = F.col(col) if isinstance(col, str) else col
+    c = raw
+    for plain, enc in (
+        ("\t", "%09"),
+        ("\n", "%0A"),
+        ("\r", "%0D"),
+        ("%", "%25"),
+    ):
+        c = F.call_function("replace", c, F.lit(enc), F.lit(plain))
+    return F.when(raw == F.lit(_EMPTY_TOK), F.lit("")).otherwise(c)
+
+
 def read_sink(spark, out_dir: str):
     """Committed sink rows only — *.tsv; `.inprogress.*` attempt files
     (live writers, or zombies not yet reclaimed by a retry's open()) are
     excluded by the glob so a consumer never sees a partial file."""
-    return (
+    raw = (
         spark.read.schema(TSV_SCHEMA)
         .option("sep", "\t")
+        # the writer percent-encodes the only bytes that can break
+        # framing; CSV quote/escape handling must therefore be OFF, or
+        # a field that merely STARTS with '"' (any JSON broker payload
+        # in the --per-record CLI mode) would be re-interpreted as a
+        # quoted region. NUL never occurs in the encoded data.
+        .option("quote", "\x00")
+        .option("escape", "\x00")
         .option("pathGlobFilter", "*.tsv")
         # CSV's default nullValue is "" — that would round-trip an
         # empty-string field (process() writes "" for None AND for "")
@@ -98,4 +160,7 @@ def read_sink(spark, out_dir: str):
         # fields read back as '' exactly as written.
         .option("nullValue", "\x00")
         .csv(out_dir)
+    )
+    return raw.select(
+        *[decode_sink_field(c).alias(c) for c in raw.columns]
     )

@@ -254,15 +254,20 @@ _DERIVED_BUILD_ID: dict[str, str] = {}
 
 
 def prune_stale_siblings(
-    prefix: str, keep_tag: str, min_age_s: float = 1800
+    prefix: str, keep_tag: str, min_age_s: float = 7200
 ) -> None:
     """Remove /tmp cache dirs named `{prefix}_{base}[_...]` whose
     fingerprint differs from keep_tag's — every fixture regeneration
     (or derived-input rebuild) would otherwise strand a full data copy
-    per cache. Only dirs older than min_age_s go (a concurrent process
-    may still be mid-read on the pre-regeneration copy); legacy
-    unfingerprinted names (`{prefix}_{base}`, no trailing `_<hex12>`)
-    are matched too. keep_tag must end with the 12-hex fingerprint."""
+    per cache. Only dirs older than min_age_s go — and because a
+    concurrent READER of a pre-regeneration layout advances no mtime
+    (ADVICE r7: a long read is invisible to any activity probe), the
+    threshold is sized as a hard upper bound on the longest observed
+    end-to-end read (sf1 smoke's heaviest full pass is minutes; 2 h is
+    ~20× that), trading prompt reclamation for never deleting under a
+    live reader. Legacy unfingerprinted names (`{prefix}_{base}`, no
+    trailing `_<hex12>`) are matched too. keep_tag must end with the
+    12-hex fingerprint."""
     import glob as _glob
     import re as _re
     import shutil as _shutil

@@ -124,28 +124,86 @@ def test_foreach_writer_per_record(spark, sf_smoke, tmp_path):
 
 def test_foreach_writer_reclaims_zombie_inprogress(tmp_path):
     """A zombie attempt killed without close() strands its .inprogress
-    file; the retry's open() must reclaim it, and read_sink must never
-    surface uncommitted attempt files (ADVICE r6 foreach.py:46)."""
-    from kafka_spark_streaming_spark.sinks.foreach import RecordForeachWriter
+    file; the retry's open() must reclaim it ONLY once aged — a fresh
+    sibling is a live concurrent racer (speculation / overlapping
+    retry) and unlinking it would re-open the mutual-destruction window
+    where both attempts crash at close() (ADVICE r6 foreach.py:46 +
+    ADVICE r7 foreach.py:53)."""
+    import time as _time
+
+    from kafka_spark_streaming_spark.sinks.foreach import (
+        _RECLAIM_AGE_S,
+        RecordForeachWriter,
+    )
 
     out_dir = str(tmp_path / "records")
     os.makedirs(out_dir)
     final = os.path.join(out_dir, "epoch=00000003-part=00007.tsv")
     zombie = f"{final}.inprogress.99999-12345"
+    racer = f"{final}.inprogress.99998-54321"
     with open(zombie, "w") as fh:
         fh.write("partial\tcf1\tq\ttruncated")  # no trailing newline: mid-write
+    with open(racer, "w") as fh:
+        fh.write("live\tcf1\tq\tconcurrent")
+    stale_ts = _time.time() - _RECLAIM_AGE_S - 5
+    os.utime(zombie, (stale_ts, stale_ts))  # aged = zombie; racer stays fresh
 
     class Row:
         rowkey, qualifier, value = "k", "q", "v"
 
     w = RecordForeachWriter(out_dir)
     assert w.open(partition_id=7, epoch_id=3)
-    assert not os.path.exists(zombie), "stale .inprogress not reclaimed"
+    assert not os.path.exists(zombie), "aged .inprogress not reclaimed"
+    assert os.path.exists(racer), "fresh racer tmp must not be unlinked"
     w.process(Row())
     w.close(None)
     assert os.path.exists(final)
+    os.remove(racer)
     leftovers = glob.glob(os.path.join(out_dir, "*.inprogress.*"))
     assert leftovers == []
+
+
+def test_foreach_sink_roundtrips_hostile_payloads(spark, tmp_path):
+    """ADVICE r7 medium (foreach.py:65): tabs, newlines, CRs, leading
+    double-quotes, backslashes, percent signs — any JSON broker payload
+    in the --per-record CLI mode — must round-trip byte-exact through
+    the TSV sink, one sink line per record."""
+    from kafka_spark_streaming_spark.sinks.foreach import (
+        RecordForeachWriter,
+        read_sink,
+    )
+
+    hostile = [
+        ("tab\tin\tkey", "q1", "plain"),
+        ("nl", "q\n2", "line1\nline2"),
+        ("cr", "q3", "a\rb"),
+        ("json", "q4", '{"k": "v",\n "t": "x\ty"}'),
+        ('"leading-quote', 'mid"quote', 'trail\\'),
+        ("pct", "100%", "%09 literal %25 %"),
+        ("", "", ""),  # empty fields stay '' (not NULL) on read-back
+    ]
+
+    class Row:
+        def __init__(self, k, q, v):
+            self.rowkey, self.qualifier, self.value = k, q, v
+
+    out_dir = str(tmp_path / "records")
+    w = RecordForeachWriter(out_dir)
+    assert w.open(partition_id=0, epoch_id=0)
+    for k, q, v in hostile:
+        w.process(Row(k, q, v))
+    w.close(None)
+
+    sink_file = glob.glob(os.path.join(out_dir, "*.tsv"))
+    assert len(sink_file) == 1
+    n_lines = sum(1 for _ in open(sink_file[0]))
+    assert n_lines == len(hostile), "a field byte broke record framing"
+
+    got = {
+        (r.rowkey, r.qualifier, r.value)
+        for r in read_sink(spark, out_dir).collect()
+    }
+    assert got == set(hostile)
 
 
 def test_upsert_prune_reclaims_crash_leftover_tmp(spark, tmp_path):
