@@ -453,10 +453,14 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs(candidates, session_profile(spark, sf_dir))
 
 
-# --- embedding-cosine near-dup -------------------------------------------
-@register(
-    "d_embedding_near_dup",
-    """
+# --- embedding-cosine near-dup (brute = TEST-ONLY oracle machinery) ------
+# NOT registered (ADVICE r7 #4, same demotion r7 applied to
+# _jaccard_pairs): the all-pairs theta-join is the semantic DEFINITION
+# the LSH primary is measured against — O(n²) by construction, so a
+# registered 100× operator surface must never contain it. Tests
+# (test_embedding_lsh_recall_vs_brute, test_brute_pair_oracles_match)
+# keep it honest; d_embedding_near_dup_lsh is the scale path.
+EMB_NEAR_DUP_BRUTE_SQL = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -468,8 +472,9 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- as similarity.py): a cosine within float-sum noise of 0.45
       -- must land the same side in both engines
       AND floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5) / 1e9 >= 0.45
-    """,
-)
+    """
+
+
 def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
@@ -782,13 +787,11 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-table composition (embeddings.vec_id == documents.doc_id):
 # pairs whose embeddings agree (cosine >= 0.25 on the near-uniform
 # fixture) but whose texts do NOT share >=0.8 Jaccard — the "semantic
-# dup the lexical pass misses" slice a dedup pipeline reports. The
-# pair generator is the (fixed-size) embedding self-join; at corpus
-# scale swap it for the ANN candidates (similarity.py) exactly like
-# LSH replaces the shingle self-join.
-@register(
-    "d_semantic_only_pairs",
-    f"""
+# dup the lexical pass misses" slice a dedup pipeline reports.
+# BRUTE VARIANT = TEST-ONLY oracle machinery, NOT registered (ADVICE
+# r7 #4): the embedding self-join is O(n²); the registered scale
+# primary is d_semantic_only_pairs_lsh (equi-join candidates).
+SEMANTIC_ONLY_BRUTE_SQL = f"""
     WITH lex AS ({_JACCARD_PAIRS_SQL}),
     emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     sem AS (
@@ -803,8 +806,9 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON sem.doc_a = lex.doc_a AND sem.doc_b = lex.doc_b
     WHERE lex.doc_a IS NULL
     ORDER BY sem.doc_a, sem.doc_b
-    """,
-)
+    """
+
+
 def d_semantic_only_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))

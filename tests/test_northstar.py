@@ -282,9 +282,13 @@ def test_embedding_lsh_recall_vs_brute(spark, sf_correct):
     (verification is exact, so no false positives) with recall matching
     the sign-LSH collision model: p = (1-θ/π)^4 per table, miss =
     (1-p)^8 over 8 tables → ≥ ~0.8 expected at cos ≥ 0.45."""
+    from kafka_spark_streaming_spark.operators.dedup import (
+        d_embedding_near_dup,
+    )
+
     brute = {
         (r.vec_a, r.vec_b)
-        for r in QUERIES["d_embedding_near_dup"](spark, sf_correct).collect()
+        for r in d_embedding_near_dup(spark, sf_correct).collect()
     }
     lsh = {
         (r.vec_a, r.vec_b)
@@ -296,6 +300,31 @@ def test_embedding_lsh_recall_vs_brute(spark, sf_correct):
     assert brute, "fixture produced no >=0.45-cosine pairs"
     recall = len(lsh) / len(brute)
     assert recall >= 0.5, f"embedding-LSH recall {recall:.2f}"
+
+
+def test_brute_pair_oracles_match(spark, sf_correct):
+    """The deregistered brute pair generators (r8: test-only oracle
+    machinery, like _jaccard_pairs) still must match their DuckDB SQL
+    exactly — they define the semantics the _lsh primaries are measured
+    against, so drift here silently invalidates the recall tests."""
+    from kafka_spark_streaming_spark.operators.dedup import (
+        EMB_NEAR_DUP_BRUTE_SQL,
+        SEMANTIC_ONLY_BRUTE_SQL,
+        d_embedding_near_dup,
+        d_semantic_only_pairs,
+    )
+    from tests.oracle_check import compare, run_oracle
+
+    for fn, sql in (
+        (d_embedding_near_dup, EMB_NEAR_DUP_BRUTE_SQL),
+        (d_semantic_only_pairs, SEMANTIC_ONLY_BRUTE_SQL),
+    ):
+        df = fn(spark, sf_correct)
+        ora_cols, ora_rows = run_oracle(sql, sf_correct)
+        problems = compare(
+            df.columns, [tuple(r) for r in df.collect()], ora_cols, ora_rows
+        )
+        assert not problems, f"{fn.__name__}: {problems}"
 
 
 def test_media_decode_stub_raises():

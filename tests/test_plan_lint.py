@@ -31,11 +31,10 @@ _BNLJ_OK = {
     "sim_topk_blocked",      # same query side feeding the GEMM variant
     "sim_ann_lsh",           # broadcast hyperplane/query tables
     "sim_ann_ivf",           # broadcast centroids/queries
-    "d_embedding_near_dup",  # brute all-pairs ORACLE CROSS-CHECK only —
-                             # the scale primary is d_embedding_near_dup_lsh
-                             # (equi-join candidates, no BNLJ entry needed)
-    "d_semantic_only_pairs", # brute oracle cross-check — scale primary is
-                             # d_semantic_only_pairs_lsh (equi-join)
+    # (r8: the brute d_embedding_near_dup / d_semantic_only_pairs pair
+    # generators were DEREGISTERED — test-only oracle machinery now,
+    # like _jaccard_pairs — so no registered query carries an all-pairs
+    # BNLJ anymore; remaining entries are bounded-side broadcasts only)
     "t_tfidf_top_terms",     # 1-row corpus count broadcast
     "t_unigram_logprob",     # 1-row token total broadcast
     "pipe_quality_filter",   # 1-row percentile cutoffs broadcast
