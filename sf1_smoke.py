@@ -1,7 +1,12 @@
-"""sf1 smoke harness (VERDICT r6 next-round #7): run the heavy headline
-queries once at ~10x the bench scale to surface anything that only
-bites past sf0.1 — LSH candidate-set growth, state-store growth,
-prefix-sum/window behavior — before a real cluster does.
+"""sf1 smoke harness (VERDICT r6 next-round #7; timed + gated since r8,
+VERDICT r7 next-round #5): run the heavy headline queries at ~10x the
+bench scale to surface anything that only bites past sf0.1 — LSH
+candidate-set growth, state-store growth, prefix-sum/window behavior —
+before a real cluster does. Per-query time = min of 2 timed passes
+(same shared-host noise rationale as bench.py's min-of-3); each query
+is gated at 1.5x vs the latest committed BENCH_r*_sf1.json, so an
+sf1-only regression (e.g. candidate blow-up) surfaces the round it
+happens.
 
 No sf1 fixture exists in /root/testdata (TESTDATA.md ships sf0.001 /
 0.01 / 0.1), so the smoke DERIVES one by replicating sf0.1 K times
@@ -106,7 +111,35 @@ def build(spark) -> None:
     print(f"# built {OUT} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
 
+def _prev_sf1() -> dict[str, float]:
+    """Per-query sf1 timings from the latest committed BENCH_r*_sf1.json
+    (same latest-real-round selection as bench._prev_bench)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_q = -1, {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*_sf1.json")):
+        m = re.search(r"BENCH_r(\d+)_sf1\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        q = {
+            k: v.get("sec")
+            for k, v in (doc.get("queries") or {}).items()
+            if isinstance(v, dict) and "error" not in v and v.get("sec")
+        }
+        if int(m.group(1)) > best_n and q:
+            best_n, best_q = int(m.group(1)), q
+    return best_q
+
+
 def main() -> None:
+    from bench import regressions
     from kafka_spark_streaming_spark import tables as _tables
     from kafka_spark_streaming_spark.operators import QUERIES
     from kafka_spark_streaming_spark.operators.streaming_queries import (
@@ -125,24 +158,29 @@ def main() -> None:
     )
 
     results: dict[str, dict] = {}
-    for name in SMOKE:
-        t0 = time.perf_counter()
-        try:
-            df = fns[name](spark, OUT)
-            n = df.count()
-            results[name] = {
-                "sec": round(time.perf_counter() - t0, 3),
-                "rows": n,
-            }
-        except Exception as exc:  # noqa: BLE001 — the smoke must report, not die
-            results[name] = {
-                "sec": round(time.perf_counter() - t0, 3),
-                "error": f"{type(exc).__name__}: {str(exc)[:300]}",
-            }
+    for _pass in range(2):  # min-of-2: these are 5-10 s queries
+        for name in SMOKE:
+            t0 = time.perf_counter()
+            try:
+                df = fns[name](spark, OUT)
+                n = df.count()
+                sec = round(time.perf_counter() - t0, 3)
+                prev = results.get(name)
+                if prev is None or "error" in prev or sec < prev["sec"]:
+                    results[name] = {"sec": sec, "rows": n}
+            except Exception as exc:  # noqa: BLE001 — the smoke must report, not die
+                if name not in results:
+                    results[name] = {
+                        "sec": round(time.perf_counter() - t0, 3),
+                        "error": f"{type(exc).__name__}: {str(exc)[:300]}",
+                    }
     derived = {
         k.split(":", 1)[0]: v
         for k, v in _tables.DERIVED_BUILD_SEC.items()
         if OUT in k
+    }
+    timings = {
+        k: v["sec"] for k, v in results.items() if "error" not in v
     }
     print(
         json.dumps(
@@ -153,10 +191,14 @@ def main() -> None:
                 "derived_dir": OUT,
                 "queries": results,
                 "derived_build_sec": derived,
+                "regressions": regressions(timings, _prev_sf1()),
                 "note": (
                     "scale stress on a K-replicated sf0.1 (exact-duplicate "
-                    "documents = adversarial near-dup load); untimed gate — "
-                    "completion + sane row counts are the pass criteria"
+                    "documents = adversarial near-dup load); per-query sec "
+                    "= min of 2 passes, gated at 1.5x vs the latest "
+                    "committed BENCH_r*_sf1.json (r7's numbers were "
+                    "single-pass, so the first gated comparison is "
+                    "conservative)"
                 ),
             }
         )
