@@ -59,6 +59,15 @@ def _mg_candidates(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     yield pd.DataFrame({"tok": list(counters.keys())})
 
 
+def _spread_tokens(d: DataFrame, par: int) -> DataFrame:
+    """Explode text → tokens, spreading the narrow DOCUMENT rows first
+    iff the input arrives under-partitioned (plan shape pinned by
+    tests/test_plans.py::test_heavy_hitter_doc_spread_is_conditional)."""
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded token stream, parallelized by spreading the DOCUMENTS.
 
@@ -72,12 +81,7 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely (MG is valid under any partitioning; pass 2 recounts
     candidates exactly)."""
     d = table(spark, sf_dir, "documents").select("text")
-    par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
-    return d.select(
-        F.explode(F.split(F.col("text"), " ")).alias("tok")
-    )
+    return _spread_tokens(d, spark.sparkContext.defaultParallelism)
 
 
 @register(

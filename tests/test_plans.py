@@ -272,7 +272,33 @@ def test_heavy_hitters_never_repartitions_token_stream(spark, sf_smoke):
     check(df._jdf.queryExecution().optimizedPlan())
 
 
-def test_pq_codebook_joins_broadcast(spark, sf_smoke):
+def test_heavy_hitter_doc_spread_is_conditional(spark, sf_smoke):
+    # VERDICT r7 next-round #6: the doc-spread Exchange may appear ONLY
+    # when the scan arrives under-partitioned. A well-partitioned
+    # corpus (the real multi-file case) must explode with NO
+    # Repartition anywhere in the plan; an under-partitioned one gets
+    # exactly the narrow pre-explode spread.
+    from kafka_spark_streaming_spark.operators.sketches import (
+        _spread_tokens,
+    )
+    from kafka_spark_streaming_spark.tables import table as _table
+
+    docs = _table(spark, sf_smoke, "documents").select("text")
+    par = spark.sparkContext.defaultParallelism
+
+    spread = _spread_tokens(docs.repartition(par), par)
+    well = spread._jdf.queryExecution().optimizedPlan().toString()
+    # one Repartition: the explicit test-side .repartition(par); the
+    # helper must not add a second
+    assert well.count("Repartition") == 1, well
+
+    narrow = _spread_tokens(docs.coalesce(1), par)
+    plan = narrow._jdf.queryExecution().optimizedPlan().toString()
+    # coalesce(1) itself renders as `Repartition 1, false`; the spread
+    # must add the SHUFFLE repartition to defaultParallelism
+    assert f"Repartition {par}, true" in plan, (
+        f"under-partitioned input not spread:\n{plan}"
+    )
     # the 512-row codebook must broadcast into the exploded subvector
     # stream (a shuffle join keyed on (m, pos) would repartition the
     # corpus x 64 to apply a constant-size table), and the ADC LUT join
