@@ -208,3 +208,126 @@ def rj_error_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("first_id", "second_id")
     )
+
+
+# --- nearest as-of join: each purchase ↔ closest click within ±10 min ----
+# The bidirectional variant of aj_purchase_last_click (nearest, not
+# latest-prior): pair every purchase with the click closest in time on
+# either side, NULL when none lands within the tolerance. Same
+# scale shape as the backward join — ONE shuffle keyed by user_id,
+# one per-partition sort, and all four carried columns (prev/next
+# click id+ts) ride the SAME window frame sort, so Catalyst plans a
+# single WindowExec pass; the nearest-pick is a row-local CASE.
+# Tie (equidistant prev and next) breaks to the PRIOR click.
+# Microsecond integer deltas keep both engines bit-identical.
+_AJ_TOL_US = 600_000_000  # ±10 minutes
+
+
+@register(
+    "aj_nearest_click",
+    f"""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+      SELECT *,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_id,
+             last_value(click_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_us,
+             first_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_id,
+             first_value(click_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_us
+      FROM tagged
+    ),
+    scored AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN prev_us IS NOT NULL
+                   AND epoch_us(ts) - prev_us <= {_AJ_TOL_US}
+                  THEN epoch_us(ts) - prev_us END AS d_prev,
+             CASE WHEN next_us IS NOT NULL
+                   AND next_us - epoch_us(ts) <= {_AJ_TOL_US}
+                  THEN next_us - epoch_us(ts) END AS d_next,
+             prev_id, next_id
+      FROM carried WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN d_prev IS NOT NULL
+                 AND (d_next IS NULL OR d_prev <= d_next) THEN prev_id
+                WHEN d_next IS NOT NULL THEN next_id END AS nearest_click_id,
+           CASE WHEN d_prev IS NOT NULL
+                 AND (d_next IS NULL OR d_prev <= d_next) THEN -d_prev
+                WHEN d_next IS NOT NULL THEN d_next END AS delta_us
+    FROM scored
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def aj_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_click = F.col("event_type") == "click"
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(is_click, F.col("event_id")).alias("click_id"),
+        F.when(is_click, F.unix_micros("ts")).alias("click_us"),
+    )
+    base = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = base.rowsBetween(W.unboundedPreceding, -1)
+    wn = base.rowsBetween(1, W.unboundedFollowing)
+    us = F.unix_micros("ts")
+    carried = (
+        tagged.withColumn("prev_id", F.last("click_id", True).over(wp))
+        .withColumn("prev_us", F.last("click_us", True).over(wp))
+        .withColumn("next_id", F.first("click_id", True).over(wn))
+        .withColumn("next_us", F.first("click_us", True).over(wn))
+        .filter(F.col("event_type") == "purchase")
+    )
+    d_prev = F.when(
+        F.col("prev_us").isNotNull()
+        & ((us - F.col("prev_us")) <= _AJ_TOL_US),
+        us - F.col("prev_us"),
+    )
+    d_next = F.when(
+        F.col("next_us").isNotNull()
+        & ((F.col("next_us") - us) <= _AJ_TOL_US),
+        F.col("next_us") - us,
+    )
+    scored = carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        d_prev.alias("d_prev"),
+        d_next.alias("d_next"),
+        "prev_id",
+        "next_id",
+    )
+    prev_wins = F.col("d_prev").isNotNull() & (
+        F.col("d_next").isNull() | (F.col("d_prev") <= F.col("d_next"))
+    )
+    return scored.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(prev_wins, F.col("prev_id"))
+        .when(F.col("d_next").isNotNull(), F.col("next_id"))
+        .alias("nearest_click_id"),
+        F.when(prev_wins, -F.col("d_prev"))
+        .when(F.col("d_next").isNotNull(), F.col("d_next"))
+        .alias("delta_us"),
+    ).orderBy("user_id", "ts", "event_id")

@@ -885,3 +885,99 @@ def d_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 16)
     )
+
+
+# --- containment near-dup (small-doc-inside-big-doc) ---------------------
+# Jaccard under-weights asymmetric duplication: a short doc fully
+# quoted inside a long one has tiny union-normalized similarity but
+# containment |A∩B| / min(|A|,|B|) ≈ 1 — the boilerplate-inclusion /
+# quote-expansion case a corpus cleaner must catch separately. EXACT
+# candidate generation via the containment form of prefix filtering:
+# containment >= t means the SMALLER set S shares >= ceil(t·|S|) of its
+# elements, so it misses at most |S| - ceil(t·|S|) — its df-ordered
+# prefix of length |S| - ceil(t·|S|) + 1 must intersect the other
+# doc's FULL set (pigeonhole, same argument as prefix_candidates but
+# one-sided). Every doc's prefix is therefore joined against the full
+# (doc, shingle-key) index — prefix-vs-full instead of
+# prefix-vs-prefix — which covers the pair whichever side is smaller.
+# Cost at 100 TB: prefixes are ~(1-t)·|d| keys on the df-RAREST
+# shingles, so posting lists stay short on exactly the skewed
+# boilerplate keys that kill naive self-joins; verification is the
+# same hashed-profile array_intersect as the Jaccard paths.
+CONTAINMENT_T = 0.9
+
+_CONTAINMENT_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / least(ca.n, cb.n), 6) AS containment
+    FROM common
+    JOIN card ca ON ca.doc_id = doc_a
+    JOIN card cb ON cb.doc_id = doc_b
+    WHERE c * 1.0 / least(ca.n, cb.n) >= {CONTAINMENT_T}
+"""
+
+
+@register("d_containment_pairs", _CONTAINMENT_SQL)
+def containment_candidates(
+    sh: DataFrame, threshold: float = CONTAINMENT_T
+) -> DataFrame:
+    """EXACT containment candidates (no false negatives): every doc's
+    df-ordered prefix of length |d| - ceil(t·|d|) + 1 joined against
+    the FULL (doc, shingle-key) index — see the block comment above for
+    the one-sided pigeonhole argument. Factored out so property tests
+    can drive adversarial corpora through it directly."""
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    keyed = sh.join(dfreq, "s").select(
+        "doc_id",
+        F.struct(F.col("df"), F.xxhash64("s").alias("h")).alias("k"),
+    )
+    per_doc = keyed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("k")).alias("ks")
+    )
+    n = F.size("ks")
+    plen = n - F.ceil(n * F.lit(threshold)).cast("int") + F.lit(1)
+    pref = per_doc.select(
+        "doc_id", F.explode(F.slice("ks", F.lit(1), plen)).alias("k")
+    )
+    return (
+        pref.alias("x")
+        .join(
+            keyed.alias("y"),
+            (F.col("x.k") == F.col("y.k"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+
+
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spark, sf_dir)
+    cand = containment_candidates(sh)
+    prof = session_profile(spark, sf_dir)
+    a = prof.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    b = prof.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    cont = inter / F.least("na", "nb")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(cont >= CONTAINMENT_T)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )

@@ -155,3 +155,64 @@ def g_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("n_name", F.round("pr", 6).alias("pagerank"))
+
+
+# --- triangle enumeration over the trade graph ---------------------------
+# The second classic distributed-graph primitive (after the fixed-point
+# iteration above): enumerate triangles in the undirected
+# above-average-trade graph. Same two-phase 100 TB posture as
+# PageRank: ONE corpus-proportional relational pass distills the edge
+# list (reused via the session-checkpointed artifact), then the
+# triangle join runs on the entity-sized graph. The canonical
+# orientation trick (join only a<b edges) keeps each triangle counted
+# once and caps the self-join fan-out; the mean-weight cut makes the
+# graph sparse enough that the two-hop join is bounded by the heavy
+# subgraph, not nations².
+@register(
+    "g_triangle_trade",
+    f"""
+    WITH edges AS ({_EDGES_SQL}),
+    cut AS (SELECT AVG(w) AS mean_w FROM edges),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges, cut
+      WHERE src <> dst AND w >= cut.mean_w),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT a, b, c FROM tri ORDER BY a, b, c
+    """,
+)
+def g_triangle_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = session_checkpoint(
+        spark,
+        f"trade_edges:{sf_dir}",
+        lambda: _trade_edges(spark, sf_dir),
+        sf_dir=sf_dir,
+    )
+    # mean over exact integer counts stored as doubles: both engines
+    # sum <2^53 integers exactly, so the >= cut is bit-identical
+    cut = edges.agg(F.avg("w").alias("mean_w"))
+    und = (
+        edges.crossJoin(F.broadcast(cut))
+        .filter((F.col("src") != F.col("dst")) & (F.col("w") >= F.col("mean_w")))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    return (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+        .orderBy("a", "b", "c")
+    )

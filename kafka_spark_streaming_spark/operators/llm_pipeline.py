@@ -588,3 +588,51 @@ def pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+# --- dataset manifest (the "dataset card" aggregate) ---------------------
+# The per-(lang, source) summary table a training-data release ships:
+# document/token/char volumes plus exact median length. One wide
+# groupBy over a narrow projection — partial-aggregated map-side, the
+# single shuffle carries (langs × sources) groups; the exact median
+# (percentile == DuckDB quantile_cont, linear interpolation) is
+# computed inside the same aggregation, so at 100 TB this is one pass
+# over the corpus manifest columns.
+@register(
+    "p_dataset_manifest",
+    """
+    WITH m AS (
+      SELECT lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(AVG(n_tokens * 1.0), 6) AS avg_tokens,
+           round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens
+    FROM m GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def p_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    return (
+        m.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg(F.col("n_tokens") * 1.0), 6).alias("avg_tokens"),
+            F.round(
+                F.expr("percentile(n_tokens, 0.5)"), 6
+            ).alias("p50_tokens"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -809,3 +809,134 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("qv", zero, lambda a, v: a + v).alias("q_sum"),
         F.aggregate("qv", zero, lambda a, v: a + F.abs(v)).alias("q_l1"),
     )
+
+
+# --- k-means corpus clustering (full-vector Lloyd, fully relational) -----
+# The corpus-partitioning primitive (semantic sharding, curriculum
+# binning, cluster-balanced sampling): k=8 centroids, deterministic
+# stride init (the same seeding sim_ann_ivf and the PQ codebook use),
+# ONE Lloyd update, final assignment → per-cluster sizes + inertia.
+# Identical relational machinery to the PQ codebook but over the FULL
+# vector (PQ's m-subspace Lloyd with M=1): posexplode to (vec_id, pos,
+# x), equi-join the broadcast (k·D = 512-row) centroid table, hash-agg
+# the squared distances (_q9-quantized so both engines rank
+# identically), window-argmin per vector, recenter by plain AVG.
+# Inertia is summed in exact integer micro-units (floor(d2·1e6+0.5) as
+# BIGINT) — integer addition is order-independent, so the cross-engine
+# sum is bit-identical regardless of partial-aggregation order.
+# At 100 TB: centroids are always k·D rows (broadcast), every pass is
+# one scan + one groupBy, the argmin window partitions by vec_id (never
+# global), and more Lloyd rounds = more unrolled stages, not a driver
+# loop.
+_KM_K = 8
+
+
+def _kmeans_oracle() -> str:
+    def dist_cte(name: str, cb: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT pts.vec_id, c.k,
+             floor(SUM((pts.x - c.c) * (pts.x - c.c)) * 1e9 + 0.5) / 1e9
+               AS d2
+      FROM pts JOIN {cb} c ON c.pos = pts.pos
+      GROUP BY pts.vec_id, c.k)"""
+
+    def argmin_cte(name: str, d: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT vec_id, k, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, k ASC) AS rn FROM {d}) WHERE rn = 1)"""
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (SELECT GREATEST(COUNT(*) // {_KM_K}, 1) AS stride FROM e),
+    pts AS (
+      SELECT vec_id, CAST(gs.i - 1 AS INT) AS pos, v[gs.i] AS x
+      FROM e, unnest(generate_series(1, len(e.v))) AS gs(i)),
+    c0 AS (
+      SELECT CAST(pts.vec_id // p.stride AS INT) AS k, pos, x AS c
+      FROM pts, p
+      WHERE pts.vec_id % p.stride = 0 AND pts.vec_id < p.stride * {_KM_K}),
+    {dist_cte('d0', 'c0')},
+    {argmin_cte('a0', 'd0')},
+    rec AS (
+      SELECT a.k, pts.pos, AVG(pts.x) AS rc
+      FROM pts JOIN a0 a ON a.vec_id = pts.vec_id
+      GROUP BY a.k, pts.pos),
+    c1 AS (
+      SELECT c0.k, c0.pos, COALESCE(r.rc, c0.c) AS c
+      FROM c0 LEFT JOIN rec r ON r.k = c0.k AND r.pos = c0.pos),
+    {dist_cte('d1', 'c1')},
+    {argmin_cte('a1', 'd1')}
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(SUM(CAST(floor(d2 * 1e6 + 0.5) AS BIGINT)) / 1000000.0, 6)
+             AS inertia
+    FROM a1 GROUP BY k ORDER BY k
+    """
+
+
+def _km_dists(pts: DataFrame, cb: DataFrame) -> DataFrame:
+    return (
+        pts.join(F.broadcast(cb), "pos")
+        .groupBy("vec_id", "k")
+        .agg(
+            _q9(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            ).alias("d2")
+        )
+    )
+
+
+def _km_argmin(dists: DataFrame) -> DataFrame:
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("k"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "k", "d2")
+    )
+
+
+@register("sim_kmeans_clusters", _kmeans_oracle())
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    n_total = e.count()  # bounded scalar: stride init, as in pq_index
+    stride = max(n_total // _KM_K, 1)
+    pts = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda v: v.cast("double"))
+        ).alias("pos", "x"),
+    )
+    c0 = pts.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * _KM_K)
+    ).select(
+        F.floor(F.col("vec_id") / stride).cast("int").alias("k"),
+        "pos",
+        F.col("x").alias("c"),
+    )
+    a0 = _km_argmin(_km_dists(pts, c0)).select("vec_id", "k")
+    rec = (
+        pts.join(a0, "vec_id").groupBy("k", "pos").agg(F.avg("x").alias("rc"))
+    )
+    c1 = (
+        c0.join(rec, ["k", "pos"], "left")
+        .select("k", "pos", F.coalesce("rc", "c").alias("c"))
+        .localCheckpoint(eager=True)  # k·D rows; pins the trained centroids
+    )
+    a1 = _km_argmin(_km_dists(pts, c1))
+    return (
+        a1.select(
+            "k",
+            F.floor(F.col("d2") * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("d2q"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.sum("d2q") / 1000000.0, 6).alias("inertia"),
+        )
+        .orderBy("k")
+    )

@@ -569,3 +569,102 @@ def t_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.asc("prefix"))
     )
+
+
+# --- bigram language-model scoring ---------------------------------------
+# The conditional-probability upgrade of t_unigram_logprob: score every
+# document by the average ln p(w2|w1) under the corpus's own bigram
+# counts — the perplexity-proxy quality signal a training pipeline uses
+# to rank fluency. Scale shape: bigram extraction is a per-doc array
+# zip (no shuffle), the count tables are one groupBy each, and the
+# probability lookup is a broadcast hash join of the (vocabulary²-
+# bounded) bigram table against the exploded stream — identical
+# topology to the unigram path, which partial-aggregates map-side.
+@register(
+    "t_bigram_logprob",
+    """
+    WITH bg AS (
+      SELECT t.doc_id, t.toks[u.i] AS w1, t.toks[u.i + 1] AS w2
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+           unnest(generate_series(1, len(t.toks) - 1)) AS u(i)),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c2) AS c1 FROM cnt GROUP BY w1)
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(AVG(ln(cnt.c2 * 1.0 / ctx.c1)), 6) AS avg_logprob
+    FROM bg b JOIN cnt ON cnt.w1 = b.w1 AND cnt.w2 = b.w2
+    JOIN ctx ON ctx.w1 = b.w1
+    GROUP BY b.doc_id
+    """,
+)
+def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    # adjacent-pair zip, guarded like shingles_of: a sub-2-token doc
+    # yields zero bigrams (sequence(1, 0) would descend under ANSI)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = cnt.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        bg.join(F.broadcast(cnt), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c2") * 1.0 / F.col("c1"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# --- sequence-length histogram (dataset-card style) ----------------------
+# Token-length distribution per language in fixed 64-token-wide bins —
+# the length histogram every dataset card reports, and the input to
+# choosing p_pack_sequences' max_len. Integer bucket math (floor
+# division) keeps both engines bit-identical; one groupBy, partial-
+# aggregated map-side, output cardinality = langs × buckets.
+@register(
+    "t_seq_len_histogram",
+    """
+    WITH lens AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT lang, CAST(n_tokens // 64 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM lens GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+)
+def t_seq_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    lens = d.select("lang", F.size(_toks()).alias("n_tokens"))
+    return (
+        lens.select(
+            "lang",
+            "n_tokens",
+            F.floor(F.col("n_tokens") / 64).cast("bigint").alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("lang", "bucket")
+    )

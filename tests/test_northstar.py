@@ -548,3 +548,88 @@ def test_shingles_of_short_docs_yield_zero_shingles(spark):
     rows = shingles_of(docs, n=3).groupBy("doc_id").count().collect()
     counts = {r.doc_id: r["count"] for r in rows}
     assert counts == {3: 3}  # 5 tokens -> 3 trigrams; short docs absent
+
+
+def test_containment_catches_asymmetric_pair_jaccard_misses(spark):
+    """The semantics d_containment_pairs exists for: a short doc fully
+    contained in a long one has containment 1.0 but Jaccard far below
+    0.8 — the Jaccard verify must reject it, the containment verify
+    must keep it."""
+    from kafka_spark_streaming_spark.operators.dedup import (
+        CONTAINMENT_T,
+        JACCARD_THRESHOLD,
+        containment_candidates,
+        minhash_profile,
+        shingles_of,
+        verified_pairs,
+    )
+
+    small = "w1 w2 w3 w4 w5 w6"
+    big = small + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    d = spark.createDataFrame(
+        [(0, small), (1, big), (2, "u1 u2 u3 u4 u5 u6 u7")],
+        "doc_id long, text string",
+    )
+    sh = shingles_of(d)
+    prof = minhash_profile(sh)
+    cand = containment_candidates(sh)
+    a = prof.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    b = prof.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    cont = inter / F.least("na", "nb")
+    contained = {
+        (r.doc_a, r.doc_b)
+        for r in cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(cont >= CONTAINMENT_T)
+        .collect()
+    }
+    assert contained == {(0, 1)}
+    # the same pair's Jaccard: 4 shared shingles / (4 + 16 - 4) < 0.8
+    jacc = {
+        (r.doc_a, r.doc_b)
+        for r in verified_pairs(cand, prof).collect()
+        if r.jaccard >= JACCARD_THRESHOLD
+    }
+    assert (0, 1) not in jacc, "pair is NOT a Jaccard near-dup by design"
+
+
+def test_kmeans_partitions_corpus_exactly(spark, sf_correct):
+    """Cluster sizes must partition the embedding table (every vector
+    assigned exactly once) and inertia must be non-negative."""
+    rows = QUERIES["sim_kmeans_clusters"](spark, sf_correct).collect()
+    from kafka_spark_streaming_spark.tables import table as _table
+
+    n_total = _table(spark, sf_correct, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_total
+    assert all(r.inertia >= 0 for r in rows)
+    assert 1 <= len(rows) <= 8
+
+
+def test_triangles_are_canonical_and_closed(spark, sf_correct):
+    """Every emitted triangle is strictly ordered (counted once) and
+    all three edges exist in the thresholded undirected graph."""
+    tri = QUERIES["g_triangle_trade"](spark, sf_correct).collect()
+    assert tri, "fixture trade graph produced no triangles"
+    for r in tri:
+        assert r.a < r.b < r.c
+    # closure: rebuild the edge set the query derives and check edges
+    from kafka_spark_streaming_spark.operators.graph import _trade_edges
+
+    edges = _trade_edges(spark, sf_correct)
+    mean_w = edges.agg(F.avg("w")).collect()[0][0]
+    und = {
+        tuple(sorted((r.src, r.dst)))
+        for r in edges.collect()
+        if r.src != r.dst and r.w >= mean_w
+    }
+    for r in tri:
+        assert {(r.a, r.b), (r.b, r.c), (r.a, r.c)} <= und

@@ -47,6 +47,7 @@ _BNLJ_OK = {
     "time_gapfill_daily",       # broadcast day-spine bounds (1 row)
     "w_revenue_deciles",        # 1-row decile-cutpoints broadcast
     "p_incremental_dedup_bloom",  # 1-row dense-bloom-bitset broadcast
+    "g_triangle_trade",      # 1-row mean-edge-weight cut broadcast
 }
 
 

@@ -109,6 +109,62 @@ def test_prefix_filter_candidates_cover_every_true_pair(spark, docs):
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "boil"]),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_containment_candidates_cover_every_true_pair(spark, docs):
+    """The one-sided (prefix-vs-full) pigeonhole guarantee for the
+    containment join: every pair with |A∩B| / min(|A|,|B|) >= t under
+    the brute shingle self-join must survive containment_candidates —
+    including the asymmetric small-doc-inside-big-doc pairs whose
+    Jaccard is far below the prefix_candidates threshold."""
+    from kafka_spark_streaming_spark.operators.dedup import (
+        CONTAINMENT_T,
+        containment_candidates,
+        shingles_of,
+    )
+
+    d = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    sets = {
+        i: {
+            " ".join(toks[j : j + 3])
+            for j in range(len(toks) - 2)
+        }
+        for i, toks in enumerate(docs)
+    }
+    true_pairs = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b and sets[a] and sets[b]
+        and len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b]))
+        >= CONTAINMENT_T
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in containment_candidates(shingles_of(d)).collect()
+    }
+    assert true_pairs <= cand, (
+        f"containment filter missed true pairs: {true_pairs - cand}"
+    )
+
+
+@settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
