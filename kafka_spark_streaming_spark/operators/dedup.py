@@ -922,7 +922,6 @@ _CONTAINMENT_SQL = f"""
 """
 
 
-@register("d_containment_pairs", _CONTAINMENT_SQL)
 def containment_candidates(
     sh: DataFrame, threshold: float = CONTAINMENT_T
 ) -> DataFrame:
@@ -959,6 +958,7 @@ def containment_candidates(
     )
 
 
+@register("d_containment_pairs", _CONTAINMENT_SQL)
 def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(spark, sf_dir)
     cand = containment_candidates(sh)
