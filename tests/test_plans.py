@@ -338,7 +338,14 @@ def test_prune_stale_age_threshold_and_legacy_names(tmp_path, monkeypatch):
     current = tmp_path / f"kss_bucketed_{keep}"
     for d in (fresh_old_fp, aged_old_fp, legacy, current):
         d.mkdir()
-    old = time.time() - 3600
+    # past the 2h default (r8: raised because layout READERS advance no
+    # mtime, so the gate must out-wait the longest plausible read)
+    import inspect
+
+    threshold = inspect.signature(
+        physical._prune_stale
+    ).parameters["min_age_s"].default
+    old = time.time() - threshold - 60
     os.utime(aged_old_fp, (old, old))
     os.utime(legacy, (old, old))
     physical._prune_stale("kss_bucketed", keep)
