@@ -633,3 +633,54 @@ def test_triangles_are_canonical_and_closed(spark, sf_correct):
     }
     for r in tri:
         assert {(r.a, r.b), (r.b, r.c), (r.a, r.c)} <= und
+
+
+def test_nearest_asof_tiebreak_and_tolerance(spark, tmp_path):
+    """Pinned semantics the fixture can't isolate: an equidistant
+    prev/next pair breaks to the PRIOR click (negative delta); clicks
+    outside the ±10-min tolerance yield NULL; a forward-only match
+    pairs with positive delta."""
+    import datetime as dt
+
+    from kafka_spark_streaming_spark.operators.asof import (
+        aj_nearest_click,
+    )
+
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+
+    def r(eid, sec_off, uid, etype):
+        return (
+            eid,
+            t0 + dt.timedelta(seconds=sec_off),
+            uid,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # user 1: equidistant clicks ±5 s around the purchase
+        r(10, -5, 1, "click"),
+        r(11, 0, 1, "purchase"),
+        r(12, 5, 1, "click"),
+        # user 2: nearest click 30 min away — outside tolerance
+        r(20, -1800, 2, "click"),
+        r(21, 0, 2, "purchase"),
+        # user 3: only a following click, 8 min away — inside
+        r(30, 0, 3, "purchase"),
+        r(31, 480, 3, "click"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_id: (r.nearest_click_id, r.delta_us)
+        for r in aj_nearest_click(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        11: (10, -5_000_000),  # tie → prior, signed negative
+        21: (None, None),  # outside ±10 min
+        30: (31, 480_000_000),  # forward-only, positive
+    }

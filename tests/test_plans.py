@@ -455,3 +455,26 @@ def test_rolling_corr_windows_over_days_only(spark, sf_smoke):
     win_pos = plan.find("Window")
     agg_pos = plan.find("HashAggregate", win_pos)
     assert agg_pos != -1, "window must run over the day-level aggregate"
+
+
+def test_kmeans_centroids_broadcast_and_windows_keyed(spark, sf_smoke):
+    # same contract as the PQ test: the k·D centroid table must
+    # broadcast into the exploded coordinate stream (shuffling the
+    # corpus ×D to apply a 512-row table is the anti-pattern), and the
+    # argmin windows must stay keyed per vector — never global.
+    plan = plan_of(spark, "sim_kmeans_clusters", sf_smoke)
+    assert "BroadcastHashJoin" in plan, "centroid table not broadcast"
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln.lower():
+            assert "vec_id" in ln, f"argmin window not vector-keyed: {ln}"
+
+
+def test_containment_join_is_equi_on_shingle_key(spark, sf_smoke):
+    # candidate generation must be an equi-join on the (df, hash)
+    # shingle key — a theta/cartesian fallback would be the all-pairs
+    # plan the prefix filter exists to avoid; verification joins ride
+    # doc ids.
+    plan = plan_of(spark, "d_containment_pairs", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
