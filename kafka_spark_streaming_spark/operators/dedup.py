@@ -960,8 +960,15 @@ def containment_candidates(
 
 @register("d_containment_pairs", _CONTAINMENT_SQL)
 def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(spark, sf_dir)
-    cand = containment_candidates(sh)
+    # candidate index memoized per (session, corpus) exactly like the
+    # Jaccard prefix index — it is the same one-time build pass; repeat
+    # calls pay only the verify join against the shared profile
+    cand = session_checkpoint(
+        spark,
+        f"containment_candidates:{sf_dir}",
+        lambda: containment_candidates(shingles(spark, sf_dir)),
+        sf_dir=sf_dir,
+    )
     prof = session_profile(spark, sf_dir)
     a = prof.select(
         F.col("doc_id").alias("doc_a"),
