@@ -616,6 +616,11 @@ def pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def p_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact `percentile` buffers each group's values — fine for the
+    # manifest cardinality here and required for the exact oracle; on a
+    # corpus where one (lang, source) group holds billions of docs,
+    # swap in percentile_approx (GK sketch, bounded memory) exactly as
+    # sk_value_quantiles demonstrates side-by-side
     d = table(spark, sf_dir, "documents")
     m = d.select(
         "lang",

@@ -616,8 +616,15 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     ctx = cnt.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # no broadcast hint on the BIGRAM table: unlike the unigram count
+    # (vocab-bounded, hinted in t_unigram_logprob), vocab² can outgrow
+    # any broadcast budget on an open-vocabulary corpus — AQE promotes
+    # the join to broadcast at runtime whenever the built side is
+    # actually small (it is, on every fixture), and falls back to a
+    # hash join keyed on (w1, w2) when it is not. The unigram context
+    # table keeps the hint (same boundedness as the unigram path).
     return (
-        bg.join(F.broadcast(cnt), ["w1", "w2"])
+        bg.join(cnt, ["w1", "w2"])
         .join(F.broadcast(ctx), "w1")
         .groupBy("doc_id")
         .agg(
