@@ -862,7 +862,12 @@ def _kmeans_oracle() -> str:
     {dist_cte('d0', 'c0')},
     {argmin_cte('a0', 'd0')},
     rec AS (
-      SELECT a.k, pts.pos, AVG(pts.x) AS rc
+      -- floor-quantize the recentered coordinate itself (same pattern
+      -- as sim_lang_centroid_dims): partial-aggregation order noise is
+      -- absorbed at the CENTROID, so every downstream distance is
+      -- computed from bit-identical inputs in both engines
+      SELECT a.k, pts.pos,
+             floor(AVG(pts.x) * 1e9 + 0.5) / 1e9 AS rc
       FROM pts JOIN a0 a ON a.vec_id = pts.vec_id
       GROUP BY a.k, pts.pos),
     c1 AS (
@@ -918,7 +923,10 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a0 = _km_argmin(_km_dists(pts, c0)).select("vec_id", "k")
     rec = (
-        pts.join(a0, "vec_id").groupBy("k", "pos").agg(F.avg("x").alias("rc"))
+        pts.join(a0, "vec_id")
+        .groupBy("k", "pos")
+        .agg(_q9(F.avg("x")).alias("rc"))  # quantized at the source —
+        # see the oracle's rec CTE comment
     )
     c1 = (
         c0.join(rec, ["k", "pos"], "left")
