@@ -582,7 +582,11 @@ def _pq_oracle() -> str:
     cb1 AS (
       SELECT c0.m, c0.k, c0.pos, COALESCE(r.c, c0.c) AS c
       FROM cb0 c0 LEFT JOIN (
-        SELECT s.m, a.k, s.pos, AVG(s.x) AS c
+        -- r8: floor-quantize the recentered codeword itself (the
+        -- sim_lang_centroid_dims pattern) so d1 is computed from
+        -- bit-identical codebooks in both engines
+        SELECT s.m, a.k, s.pos,
+               floor(AVG(s.x) * 1e9 + 0.5) / 1e9 AS c
         FROM sub s JOIN a0 a ON a.vec_id = s.vec_id AND a.m = s.m
         GROUP BY s.m, a.k, s.pos) r
         ON r.m = c0.m AND r.k = c0.k AND r.pos = c0.pos),
@@ -673,7 +677,8 @@ def pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     recentered = (
         sub.join(a0, ["vec_id", "m"])
         .groupBy("m", "k", "pos")
-        .agg(F.avg("x").alias("rc"))
+        .agg(_q9(F.avg("x")).alias("rc"))  # quantized at the source —
+        # see the oracle's cb1 comment
     )
     cb1 = (
         cb0.join(recentered, ["m", "k", "pos"], "left")
