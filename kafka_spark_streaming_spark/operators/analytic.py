@@ -856,9 +856,7 @@ def time_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from CDC events. All windows are partitioned by user_id — one keyed
 # shuffle, no global window; ties broken by event_id so the interval
 # set is deterministic and engine-independent.
-@register(
-    "scd2_user_state",
-    """
+_SCD2_SQL = """
     WITH ordered AS (
       SELECT user_id, event_type, ts, event_id,
              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -875,8 +873,10 @@ def time_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts, event_id)
              AS valid_to
     FROM changes
-    """,
-)
+    """
+
+
+@register("scd2_user_state", _SCD2_SQL)
 def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -1076,4 +1076,72 @@ def time_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, "2_click"))
         .unionByName(stage(p, "3_purchase"))
         .orderBy("stage")
+    )
+
+
+# --- SCD2 point-in-interval dimension lookup -----------------------------
+# The consumer side of scd2_user_state: route every event to the
+# validity interval that was current at its timestamp — the "join the
+# fact to the dimension version that was true at the time" lookup every
+# temporal warehouse runs. Scale shape: equi-join on user_id (ONE
+# keyed shuffle, co-partitioned with the interval build) with the
+# range predicate as a join residual — a hash join with a filter,
+# never an interval cross-product. Second-granularity string bounds
+# compare lexicographically and identically in both engines; an event
+# in the same second as a state change lands in the newer interval
+# (the older one's [from, to) is empty at that second) —
+# deterministic, boundary behavior pinned by the oracle.
+@register(
+    "aj_scd2_point_lookup",
+    f"""
+    WITH intervals AS ({_SCD2_SQL}),
+    ev AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT i.user_id, i.event_type AS state, i.valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(14,4))) AS DOUBLE) AS sum_value
+    FROM intervals i
+    JOIN ev e
+      ON e.user_id = i.user_id
+     AND e.ts_s >= i.valid_from
+     AND (i.valid_to IS NULL OR e.ts_s < i.valid_to)
+    GROUP BY i.user_id, i.event_type, i.valid_from
+    ORDER BY 1, 3
+    """,
+)
+def aj_scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    intervals = scd2_user_state(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
+        )
+    )
+    return (
+        intervals.join(
+            ev,
+            (intervals.user_id == ev.user_id)
+            & (ev.ts_s >= intervals.valid_from)
+            & (
+                intervals.valid_to.isNull()
+                | (ev.ts_s < intervals.valid_to)
+            ),
+        )
+        .groupBy(intervals.user_id, "state", "valid_from")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("user_id", "valid_from")
     )

@@ -575,3 +575,78 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_price",
         )
     )
+
+
+# --- join-key skew profiler ----------------------------------------------
+# The diagnostic that DECIDES when the salting operators above are
+# needed: per join-key column, the hottest keys with their share and a
+# skew ratio (hot-key count ÷ mean count). One groupBy per column,
+# top-5 via orderBy+limit — TakeOrderedAndProject, a per-partition
+# heap, NEVER a window over the distinct-key stream (billions of keys
+# at 100 TB); the per-column totals are a 1-row broadcast. Integer
+# cross-multiplication (n · n_keys / total) keeps the ratio exact in
+# both engines.
+@register(
+    "q_key_skew_profile",
+    """
+    WITH keys AS (
+      SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS key
+      FROM orders
+      UNION ALL
+      SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem),
+    cnt AS (SELECT col_name, key, COUNT(*) AS n
+            FROM keys GROUP BY col_name, key),
+    stats AS (
+      SELECT col_name, SUM(n) AS total_rows, COUNT(*) AS n_keys
+      FROM cnt GROUP BY col_name),
+    ranked AS (
+      SELECT c.col_name, c.key, c.n,
+             ROW_NUMBER() OVER (PARTITION BY c.col_name
+                                ORDER BY c.n DESC, c.key ASC) AS rank
+      FROM cnt c)
+    SELECT r.col_name, r.key, CAST(r.n AS BIGINT) AS n,
+           CAST(r.rank AS BIGINT) AS rank,
+           CAST(s.total_rows AS BIGINT) AS total_rows,
+           CAST(s.n_keys AS BIGINT) AS n_keys,
+           round(r.n * s.n_keys * 1.0 / s.total_rows, 6) AS skew_ratio
+    FROM ranked r JOIN stats s USING (col_name)
+    WHERE r.rank <= 5
+    ORDER BY col_name, rank
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    def profile(df: DataFrame, col: str) -> DataFrame:
+        cnt = df.groupBy(
+            F.col(col).cast("string").alias("key")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        stats = cnt.agg(
+            F.sum("n").cast("bigint").alias("total_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        )
+        # top-5: orderBy+limit compiles to TakeOrderedAndProject (per-
+        # partition heap); the rank window then runs over the 5-row
+        # result — bounded by construction, never over the key stream
+        top = cnt.orderBy(F.desc("n"), F.asc("key")).limit(5)
+        w = Window.orderBy(F.desc("n"), F.asc("key"))
+        return (
+            top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                F.lit(col).alias("col_name"),
+                "key",
+                F.col("n").cast("bigint").alias("n"),
+                "rank",
+                "total_rows",
+                "n_keys",
+                F.round(
+                    F.col("n") * F.col("n_keys") * 1.0 / F.col("total_rows"),
+                    6,
+                ).alias("skew_ratio"),
+            )
+        )
+
+    o = profile(table(spark, sf_dir, "orders"), "o_custkey")
+    li = profile(table(spark, sf_dir, "lineitem"), "l_suppkey")
+    return o.unionByName(li).orderBy("col_name", "rank")

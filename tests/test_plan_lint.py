@@ -48,6 +48,7 @@ _BNLJ_OK = {
     "w_revenue_deciles",        # 1-row decile-cutpoints broadcast
     "p_incremental_dedup_bloom",  # 1-row dense-bloom-bitset broadcast
     "g_triangle_trade",      # 1-row mean-edge-weight cut broadcast
+    "q_key_skew_profile",    # 1-row per-column totals broadcast
 }
 
 
@@ -65,6 +66,7 @@ _GLOBAL_WINDOW_OK = {
     "w_trailing_7d_revenue",      # trailing window over the daily rollup
     "p_pack_sequences",           # prefix sum over per-chunk offsets
     "t_vocab_encode",             # row_number over the 256-row vocab
+    "q_key_skew_profile",         # rank over a LIMIT-5 frame per column
 }
 
 # Queries allowed to read EVERY column of a fixture table: the operator
