@@ -641,3 +641,63 @@ def p_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --- overlapping document chunking (the RAG/embedding prep step) ---------
+# The splitting counterpart of p_pack_sequences: slice every document
+# into fixed-size token windows with overlap (64-token chunks, stride
+# 48 → 16-token overlap), emitting per-chunk offsets and a content
+# fingerprint — the unit an embedding/RAG pipeline indexes. Pure
+# per-row array math (sequence → slice → explode): pipelines with the
+# scan, zero shuffle, embarrassingly parallel at any scale; all
+# offsets are exact integers and the fingerprint is md5 of the joined
+# slice, so both engines agree bit-for-bit.
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "p_doc_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST((gs.i - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_ix,
+             CAST(gs.i AS BIGINT) AS start_tok,
+             toks[gs.i : least(gs.i + {_CHUNK_LEN - 1}, len(toks))] AS ctoks
+      FROM t, unnest(generate_series(1, len(toks), {_CHUNK_STRIDE}))
+             AS gs(i))
+    SELECT doc_id, chunk_ix, start_tok,
+           CAST(len(ctoks) AS BIGINT) AS n_tokens,
+           md5(array_to_string(ctoks, ' ')) AS chunk_fp
+    FROM chunks
+    """,
+)
+def p_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.size(toks), F.lit(_CHUNK_STRIDE)
+    )
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.cast("bigint").alias("start_tok"),
+                    F.slice(toks, s, _CHUNK_LEN).alias("ctoks"),
+                ),
+            )
+        ).alias("chunk_ix", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_ix").cast("bigint").alias("chunk_ix"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.size("c.ctoks").cast("bigint").alias("n_tokens"),
+        F.md5(F.encode(F.array_join("c.ctoks", " "), "UTF-8")).alias(
+            "chunk_fp"
+        ),
+    )
