@@ -306,3 +306,51 @@ def test_mixture_rebalance_rates_and_counts_consistent(spark, sf_smoke):
         assert 0 <= r.n_kept <= r.n_docs
         if r.rate == 1.0:  # no-downsample sources keep everything
             assert r.n_kept == r.n_docs
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.lists(
+        st.integers(min_value=1, max_value=200), min_size=1, max_size=6
+    )
+)
+def test_doc_chunks_tile_every_document(spark, tmp_path_factory, n_tokens):
+    """Chunking invariants for arbitrary document lengths: starts are
+    the exact stride grid, every token is covered, consecutive chunks
+    overlap by exactly len-stride (except a short tail), and chunk
+    lengths are min(CHUNK_LEN, remaining)."""
+    from kafka_spark_streaming_spark.operators.llm_pipeline import (
+        _CHUNK_LEN,
+        _CHUNK_STRIDE,
+        p_doc_chunks,
+    )
+
+    tmp = tmp_path_factory.mktemp("chunks")
+    docs = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, n in enumerate(n_tokens)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    rows = p_doc_chunks(spark, str(tmp)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, n in enumerate(n_tokens):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_ix)
+        starts = [r.start_tok for r in chunks]
+        want_starts = list(range(1, n + 1, _CHUNK_STRIDE))
+        assert starts == want_starts
+        for r in chunks:
+            assert r.n_tokens == min(_CHUNK_LEN, n - r.start_tok + 1)
+        covered = max(r.start_tok + r.n_tokens - 1 for r in chunks)
+        assert covered == n, "tail tokens dropped"
