@@ -17,7 +17,7 @@ deliberately floods the near-dup path with K-sized duplicate clusters
 (every replica pair is a true Jaccard-1.0 pair) — the adversarial
 load for candidate generation and verification.
 
-Usage:  python sf1_smoke.py          # writes BENCH_r07_sf1.json
+Usage:  python sf1_smoke.py          # one JSON line; commit as BENCH_r{N}_sf1.json
 Env:    KSS_SF1_FACTOR (default 10), SPARK_GRAFT_SF_DIR (default sf0.1)
 """
 
@@ -69,6 +69,12 @@ SMOKE = [
     "t_token_stats",
     "p_pack_sequences",
     "s_stateful_user_stats",
+    # r8 additions: the two heaviest new operators — containment rides
+    # the prefix-vs-full candidate join (the exact-duplicate replicas
+    # are its adversarial load, same as minhash), k-means re-scans the
+    # exploded coordinate stream three times
+    "d_containment_pairs",
+    "sim_kmeans_clusters",
 ]
 
 
