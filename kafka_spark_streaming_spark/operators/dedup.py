@@ -81,7 +81,13 @@ def shingles_of(docs: DataFrame, n: int = 3) -> DataFrame:
       also satisfies every downstream per-doc groupBy, so the minhash
       signature aggregation runs shuffle-free on top of this.
     """
-    toks = F.split(F.col("text"), " ")
+    # materialize the token array BEFORE the lambda references it: a
+    # lambda that closes over the raw split() expression re-evaluates
+    # the split per element (loop-invariant subexpressions are not
+    # hoisted out of higher-order-function bodies), turning an O(L)
+    # shingle pass into O(L²) per document — measured ~8× slower on
+    # the corpus scan (r8; same class as _ngrams' documented trap)
+    toks = F.col("toks")
     # guard BEFORE building the sequence: for a doc with < n tokens,
     # sequence(1, size-(n-1)) has start > stop, which Spark fills with a
     # DESCENDING range ([1, 0, ...]) — element_at(toks, 0) then aborts
@@ -97,8 +103,10 @@ def shingles_of(docs: DataFrame, n: int = 3) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     par = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(par, "doc_id").select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("s")
+    return (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
     )
 
 

@@ -598,7 +598,11 @@ def t_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = _toks()
+    # token array materialized before the lambda references it — a
+    # closure over the raw split() re-evaluates the split per element
+    # (~8× slower, the shingles_of/_ngrams trap)
+    tokd = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
     # adjacent-pair zip, guarded like shingles_of: a sub-2-token doc
     # yields zero bigrams (sequence(1, 0) would descend under ANSI)
     pairs = F.when(
@@ -611,7 +615,7 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+    bg = tokd.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
