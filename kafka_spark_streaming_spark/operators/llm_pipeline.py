@@ -676,11 +676,14 @@ _CHUNK_STRIDE = 48
 )
 def p_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # token array materialized before the lambda slices it (the
+    # shingles_of trap: a closure over raw split() re-splits per chunk)
+    tokd = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
     starts = F.sequence(
         F.lit(1), F.size(toks), F.lit(_CHUNK_STRIDE)
     )
-    chunks = d.select(
+    chunks = tokd.select(
         "doc_id",
         F.posexplode(
             F.transform(
