@@ -390,26 +390,35 @@ def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 2.3× faster at sf0.1), and still a pure map (cheaper
     # than explode+groupBy+join back, which would shuffle every token
     # in the corpus).
-    top_cnt = F.aggregate(
-        F.array_sort(toks),
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    return d.select(
+    def top_cnt_of(toks):
+        return F.aggregate(
+            F.array_sort(toks),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1)
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+    # materialize the token array once: every signal references it
+    # several times, and each reference to the raw split() expression
+    # re-splits the text (~8 O(L) passes per row otherwise)
+    tokd = d.select("doc_id", toks.alias("toks"))
+    toks = F.col("toks")
+    top_cnt = top_cnt_of(toks)
+    return tokd.select(
         "doc_id",
         _dup_frac(toks, 2).alias("dup_bigram_frac"),
         _dup_frac(toks, 3).alias("dup_trigram_frac"),
