@@ -478,3 +478,32 @@ def test_containment_join_is_equi_on_shingle_key(spark, sf_smoke):
     plan = plan_of(spark, "d_containment_pairs", sf_smoke)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["t_bigram_logprob", "p_doc_chunks", "t_repetition_signals"]
+)
+def test_token_array_materialized_before_lambdas(spark, sf_smoke, name):
+    # r8 perf fix pin: a higher-order-fn lambda that closes over the
+    # raw split() re-evaluates the split PER ELEMENT (O(L²)/doc,
+    # measured 8×). The token array must be materialized as a column
+    # first — the optimized plan then contains exactly ONE split of
+    # the text per scan branch.
+    df = QUERIES[name](spark, sf_smoke)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_branches = plan.count("Relation") or 1
+    assert plan.count("split(text") <= n_branches, (
+        f"{name}: split(text) appears {plan.count('split(text')}× for "
+        f"{n_branches} scan branch(es) — a lambda is re-splitting per "
+        "element; materialize the token array before the lambda"
+    )
+
+
+def test_shingles_split_text_once(spark, sf_smoke):
+    # same pin for the shingle builder that feeds every dedup derived
+    # artifact (the fix halved the minhash/shingles8 build times)
+    from kafka_spark_streaming_spark.operators.dedup import shingles
+
+    sh = shingles(spark, sf_smoke)
+    plan = sh._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(text") == 1, plan
