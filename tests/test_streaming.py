@@ -677,3 +677,30 @@ def test_put_single_default_preserves_prior_cells(spark, tmp_path):
     sink.put_single("r1", "q", "v1b")  # overwrite same cell
     state = {r.rowkey: r.value for r in sink.current().collect()}
     assert state == {"r1": "v1b", "r2": "v2"}
+
+
+def test_explain_cli_lists_and_rejects(capsys):
+    """The plan-inspection entry point: --list enumerates the registry
+    in driver-emission order; an unknown name exits 2 with a
+    suggestion and never starts a SparkSession."""
+    from kafka_spark_streaming_spark.explain import main as explain_main
+    from kafka_spark_streaming_spark.operators import ordered_queries
+
+    assert explain_main(["--list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out == list(ordered_queries())
+
+    assert explain_main(["q1_pricing_sumary"]) == 2  # typo
+    err = capsys.readouterr().err
+    assert "q1_pricing_summary" in err, "no did-you-mean suggestion"
+
+
+def test_explain_cli_prints_plan(spark, capsys):
+    """A real query name prints its formatted plan (pushed filters
+    visible — the property the CLI exists to expose)."""
+    from kafka_spark_streaming_spark.explain import main as explain_main
+
+    rc = explain_main(["q6_forecast_revenue", "--sf", "/root/testdata/sf0.001"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PushedFilters" in out
