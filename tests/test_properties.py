@@ -265,15 +265,28 @@ def test_scratch_dir_prunes_only_aged_transients(tmp_path, monkeypatch):
     monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
     aged = tmp_path / "kss_s5_old"
     young = tmp_path / "kss_s5_fresh"
+    live = tmp_path / "kss_ckpt_live_drain"
     cache = tmp_path / "kss_split_sf0.01_4_abcdefabcdef"
-    for d in (aged, young, cache):
+    for d in (aged, young, cache, live):
         d.mkdir()
+    # ADVICE r7 streaming_queries.py:79: a LIVE streaming drain's
+    # top-level checkpoint dir mtime freezes at start (offsets/ and
+    # commits/ are created once), while each micro-batch writes INSIDE
+    # those children — the age gate must key off the newest shallow
+    # mtime, so this dir survives even though its top mtime is ancient
+    (live / "offsets").mkdir()
+    (live / "offsets" / "3").write_text("batch")
     old = time.time() - 3600
     os.utime(aged, (old, old))
     os.utime(cache, (old, old))
+    os.utime(live, (old, old))  # frozen top mtime; offsets/ stays fresh
     new_dir = _scratch_dir("kss_s5_")
     assert not aged.exists(), "aged transient dir not reclaimed"
     assert young.exists(), "young transient dir must survive"
+    assert live.exists(), (
+        "live drain (frozen top mtime, fresh child) was reclaimed — "
+        "the age gate is not reading the shallow walk"
+    )
     assert cache.exists(), "persistent split cache must never be touched"
     assert os.path.isdir(new_dir)
 
