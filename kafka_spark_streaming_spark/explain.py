@@ -68,8 +68,15 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: unknown query {args.query!r}{hint}", file=sys.stderr)
         return 2
 
+    from pyspark.sql import SparkSession
+
     from kafka_spark_streaming_spark.session import get_spark
 
+    # get_spark() is getOrCreate(): when an ambient session already
+    # exists (pytest fixture, notebook) it is returned, not created —
+    # stopping it would kill the caller's session. Only stop what this
+    # CLI itself created.
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"kss-explain-{args.query}")
     try:
         df = queries[args.query](spark, args.sf_dir)
@@ -88,7 +95,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.run:
             print(f"\n# rows: {df.count()}")
     finally:
-        spark.stop()
+        if not pre_existing:
+            spark.stop()
     return 0
 
 

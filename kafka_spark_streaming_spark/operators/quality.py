@@ -583,9 +583,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # skew ratio (hot-key count ÷ mean count). One groupBy per column,
 # top-5 via orderBy+limit — TakeOrderedAndProject, a per-partition
 # heap, NEVER a window over the distinct-key stream (billions of keys
-# at 100 TB); the per-column totals are a 1-row broadcast. Integer
-# cross-multiplication (n · n_keys / total) keeps the ratio exact in
-# both engines.
+# at 100 TB); the per-column totals are a 1-row broadcast. The ratio
+# widens to double BEFORE the n · n_keys product: at this operator's
+# target scale (n ~1e9 hot-key rows × n_keys ~1e10 keys) the BIGINT
+# product overflows int64 — Spark (non-ANSI) would wrap silently while
+# DuckDB raises, so both engines multiply in double (ADVICE r8).
 @register(
     "q_key_skew_profile",
     """
@@ -608,7 +610,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(r.rank AS BIGINT) AS rank,
            CAST(s.total_rows AS BIGINT) AS total_rows,
            CAST(s.n_keys AS BIGINT) AS n_keys,
-           round(r.n * s.n_keys * 1.0 / s.total_rows, 6) AS skew_ratio
+           round(r.n * 1.0 * s.n_keys / s.total_rows, 6) AS skew_ratio
     FROM ranked r JOIN stats s USING (col_name)
     WHERE r.rank <= 5
     ORDER BY col_name, rank
@@ -641,7 +643,7 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_rows",
                 "n_keys",
                 F.round(
-                    F.col("n") * F.col("n_keys") * 1.0 / F.col("total_rows"),
+                    F.col("n") * 1.0 * F.col("n_keys") / F.col("total_rows"),
                     6,
                 ).alias("skew_ratio"),
             )

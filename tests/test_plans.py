@@ -299,6 +299,9 @@ def test_heavy_hitter_doc_spread_is_conditional(spark, sf_smoke):
     assert f"Repartition {par}, true" in plan, (
         f"under-partitioned input not spread:\n{plan}"
     )
+
+
+def test_pq_codebook_joins_broadcast(spark, sf_smoke):
     # the 512-row codebook must broadcast into the exploded subvector
     # stream (a shuffle join keyed on (m, pos) would repartition the
     # corpus x 64 to apply a constant-size table), and the ADC LUT join

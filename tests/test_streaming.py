@@ -704,3 +704,7 @@ def test_explain_cli_prints_plan(spark, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "PushedFilters" in out
+    # ADVICE r8: main() must NOT stop a pre-existing session — it got
+    # it from getOrCreate, it doesn't own it. The fixture session has
+    # to stay usable for every test that runs after this one.
+    assert spark.range(1).count() == 1, "explain CLI stopped the ambient session"
