@@ -679,6 +679,116 @@ def test_put_single_default_preserves_prior_cells(spark, tmp_path):
     assert state == {"r1": "v1b", "r2": "v2"}
 
 
+def _soak(query, done, timeout_sec=90.0):
+    """Run a started continuous-trigger query until done() or timeout,
+    then stop it and return its progress history. The ONLY place the
+    suite runs a processingTime trigger — everything else drains with
+    availableNow for determinism."""
+    import time as _t
+
+    deadline = _t.monotonic() + timeout_sec
+    try:
+        while _t.monotonic() < deadline and not done():
+            _t.sleep(0.2)
+        assert done(), (
+            f"soak did not reach its batch target in {timeout_sec}s; "
+            f"progress={[p['batchId'] for p in query.recentProgress]}"
+        )
+    finally:
+        query.stop()
+        query.awaitTermination()
+    return list(query.recentProgress)
+
+
+def test_processing_time_trigger_pipeline_soak(spark, tmp_path):
+    """The reference runs FOREVER on a 2-second processing-time cadence
+    (Streamer.scala:57) — availableNow drains can't see that semantic.
+    Soak the pipeline on a rate source with trigger(processingTime=
+    '1 second') for >=5 real micro-batches: batch_ids must be strictly
+    monotonic (the restart-safe counter, T9) and the trigger must
+    actually pace batches — near-empty batches fire roughly once per
+    interval instead of spinning as fast as the loop allows."""
+    cfg = StreamerConfig(clock=lambda: 1700000000)
+    pipe = StreamerPipeline(spark, cfg)
+    msgs = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .select(
+            (F.col("value") % 10).cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+            F.lit("page_visits").alias("topic"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    q = pipe.start(
+        msgs,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=False,
+        interval="1 second",
+    )
+    progress = _soak(q, lambda: len(pipe.summaries) >= 5)
+
+    ids = [s[0] for s in pipe.summaries]
+    assert ids == sorted(set(ids)), f"batch_ids not monotonic: {ids}"
+    # cadence: with ~100 tiny rows/batch, execution is far below the
+    # 1 s interval, so firing is trigger-paced. Bound the MEDIAN
+    # inter-batch gap loosely (shared host: individual gaps jitter) —
+    # an unpaced loop would show ~0 s medians, a broken trigger none.
+    stamps = sorted(
+        p["timestamp"] for p in progress if p["numInputRows"] > 0
+    )
+    assert len(stamps) >= 4
+    from datetime import datetime
+
+    ts = [
+        datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
+        for s in stamps
+    ]
+    gaps = sorted(b - a for a, b in zip(ts, ts[1:]))
+    median_gap = gaps[len(gaps) // 2]
+    assert 0.5 <= median_gap <= 5.0, f"cadence off: gaps={gaps}"
+
+
+def test_processing_time_trigger_state_stays_bounded(spark, tmp_path):
+    """Continuous-operation memory contract: a keyed streaming agg over
+    an unbounded rate source must hold state proportional to the KEY
+    domain, not the row count — every progress report's state-store
+    row total stays <= the 10 live keys while input rows grow without
+    bound. This is what lets the reference's forever-loop run forever."""
+    counts = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .groupBy((F.col("value") % 10).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    progress = _soak(
+        q,
+        lambda: sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        >= 5,
+    )
+    fed = [p for p in progress if p["numInputRows"] > 0]
+    assert len(fed) >= 5
+    totals = [
+        op["numRowsTotal"] for p in fed for op in p["stateOperators"]
+    ]
+    assert totals and max(totals) <= 10, (
+        f"state store grew past the key domain: {totals}"
+    )
+    # and input genuinely grew while state didn't — the unbounded half
+    assert sum(p["numInputRows"] for p in fed) > 10 * max(totals)
+
+
 def test_explain_cli_lists_and_rejects(capsys):
     """The plan-inspection entry point: --list enumerates the registry
     in driver-emission order; an unknown name exits 2 with a
