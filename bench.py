@@ -46,6 +46,11 @@ HEADLINE = [
     "m_media_features",
     "p_decontaminate_ngram",
     "p_pack_sequences",
+    # r9: the three slowest r8 additions, gated so they can't regress
+    # silently (VERDICT r8 next #6)
+    "t_bigram_logprob",
+    "sim_kmeans_clusters",
+    "aj_scd2_point_lookup",
     "s_stream_value_counts",
     "s_stateful_user_stats",
 ]
@@ -80,6 +85,14 @@ NOTES = {
         "derived builds sampled twice (memo cleared) with min kept "
         "(shared-host VM shows 1.5-2x whole-run noise between passes, "
         "measured across identical back-to-back runs in r7)"
+    ),
+    "r9_headline_change": (
+        "t_bigram_logprob / sim_kmeans_clusters / aj_scd2_point_lookup "
+        "added to HEADLINE this round (VERDICT r8 next #6) — the TOTAL "
+        "therefore grows by their ~5 s vs BENCH_r08 by construction; "
+        "round-over-round comparability lives in the per-query numbers "
+        "and the regressions gate, which covers every query present in "
+        "both rounds"
     ),
     "derived_tables": (
         "d_minhash_lsh_pairs / g_pagerank_trade / p_decontaminate_ngram "
