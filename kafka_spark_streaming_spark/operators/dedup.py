@@ -832,6 +832,52 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-doc n-gram novelty (third consumer of the shared key index) -----
+# The duplication-pressure signal a corpus curator reads BEFORE running
+# the pairwise dedup passes: per doc, the share of its distinct 3-gram
+# shingles that appear in NO other document (corpus df == 1). Low
+# novelty ⇒ the doc is assembled from corpus-common n-grams (template /
+# boilerplate / near-dup pressure); novelty 1.0 ⇒ all-original text.
+#
+# Zero new corpus work: document frequency already rides inside every
+# element of the df-ordered key arrays (df_ordered_keys) that the
+# Jaccard and containment candidate generators share, so this query is
+# a pure projection over the session-checkpointed artifact — size() and
+# a higher-order filter per row, NO shuffle at any scale. The lambda
+# references only its own struct argument (closure-trap safe).
+#
+# round(,6) boundary safety: novelty = n_unique/n_shingles with
+# n_shingles bounded by doc token count (~50 on the fixture); a/b can
+# only land exactly on a 1e-6 half-boundary if b carries a 2^7 factor
+# (2·10^6 = 2^7·5^6·...), i.e. b >= 128 — impossible here, so the two
+# engines' round() always agree.
+_NOVELTY_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM sh JOIN dfreq USING (s)
+    GROUP BY sh.doc_id
+"""
+
+
+@register("t_ngram_novelty", _NOVELTY_SQL)
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = session_keys(spark, sf_dir)
+    uniq = F.size(F.expr("filter(ks, k -> k.df = 1)"))
+    n = F.size("ks")
+    return keys.select(
+        "doc_id",
+        n.cast("bigint").alias("n_shingles"),
+        uniq.cast("bigint").alias("n_unique"),
+        F.round(uniq * 1.0 / n, 6).alias("novelty"),
+    )
+
+
 # --- semantic-only near-dup: high embedding cosine, low lexical overlap --
 # Cross-table composition (embeddings.vec_id == documents.doc_id):
 # pairs whose embeddings agree (cosine >= 0.25 on the near-uniform

@@ -169,6 +169,88 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- winnowing fingerprints (MOSS scheme) ---------------------------------
+# Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD'03) — the rolling-fingerprint selection the
+# flat t_fingerprint digest can't provide: per doc, hash every word
+# K-gram, slide a window of W hashes, keep the window minimum with the
+# RIGHTMOST tie-break, dedup the (position, hash) selections. Guarantees
+# any shared run of >= K+W-1 tokens between two docs shares at least one
+# selected fingerprint — the partial-overlap detector (plagiarism /
+# quote-inclusion) that whole-doc hashing misses.
+#
+# 100 TB posture: pure per-row higher-order array work (transform /
+# slice / array_min over a ~50-element array) — JVM codegen, zero
+# shuffles until the final distinct, embarrassingly parallel. Window
+# subarrays are bound as the two-arg transform's ELEMENT argument, so
+# nothing re-evaluates per reference (the r8 closure trap).
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 4  # gram hashes per window
+
+_WINNOW_SQL = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (
+      SELECT doc_id, u.i AS i,
+             md5(toks[u.i] || ' ' || toks[u.i+1] || ' ' ||
+                 toks[u.i+2] || ' ' || toks[u.i+3]) AS h
+      FROM t, unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS u(i)),
+    arr AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY doc_id),
+    win AS (
+      SELECT doc_id, u.i AS i, hs[u.i:u.i+{WINNOW_W - 1}] AS sub
+      FROM arr,
+           unnest(generate_series(1, len(hs) - {WINNOW_W - 1})) AS u(i)),
+    sel AS (
+      SELECT doc_id,
+             CAST(i + {WINNOW_W} - list_position(list_reverse(sub),
+                    list_aggregate(sub, 'min')) AS BIGINT) AS pos,
+             list_aggregate(sub, 'min') AS fp
+      FROM win)
+    SELECT DISTINCT doc_id, pos, fp FROM sel
+"""
+
+
+@register("t_winnow_fingerprints", _WINNOW_SQL)
+def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    k, w = WINNOW_K, WINNOW_W
+    # materialize the token array BEFORE any lambda references it
+    # (higher-order closure trap, PERF_NOTES r8)
+    toked = d.select("doc_id", _toks().alias("toks")).filter(
+        # a doc needs >= K+W-1 tokens for one window; shorter docs emit
+        # nothing (and would make the sequence() bounds negative)
+        F.size("toks") >= k + w - 1
+    )
+    hashed = toked.select(
+        "doc_id",
+        F.expr(
+            f"""transform(sequence(1, size(toks) - {k - 1}), i ->
+                  md5(concat_ws(' ', toks[i-1], toks[i], toks[i+1],
+                                toks[i+2])))"""
+        ).alias("hs"),
+    )
+    # two-step: bind each window subarray as an element first, so the
+    # min/reverse/position references hit a materialized 4-array
+    sel = F.expr(
+        f"""transform(
+              transform(sequence(1, size(hs) - {w - 1}),
+                        i -> slice(hs, i, {w})),
+              (sub, j) -> named_struct(
+                -- j is the 0-BASED element index; window start (1-based
+                -- gram pos, matching the oracle) is j+1, so the
+                -- rightmost-argmin position is j+1 + W - position-in-
+                -- reversed-window
+                'pos', CAST(j + {w + 1} - array_position(reverse(sub),
+                             array_min(sub)) AS BIGINT),
+                'fp', array_min(sub)))"""
+    )
+    return (
+        hashed.select("doc_id", F.explode(sel).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+    )
+
+
 # --- corpus-level term frequencies (explode → count → top-k) -------------
 @register(
     "t_top_tokens",

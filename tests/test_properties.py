@@ -367,3 +367,128 @@ def test_doc_chunks_tile_every_document(spark, tmp_path_factory, n_tokens):
             assert r.n_tokens == min(_CHUNK_LEN, n - r.start_tok + 1)
         covered = max(r.start_tok + r.n_tokens - 1 for r in chunks)
         assert covered == n, "tail tokens dropped"
+
+
+def _winnow_ref(tokens: list[str], k: int, w: int) -> set[tuple[int, str]]:
+    """Pure-Python plain winnowing (Schleimer et al. SIGMOD'03 fig. 5):
+    md5 every k-gram, slide a w-window over the hash sequence, select
+    the window min with the RIGHTMOST tie-break, dedup (pos, hash).
+    Positions are 1-based gram indices, matching the operator."""
+    import hashlib
+
+    grams = [
+        " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+    ]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    out = set()
+    for i in range(len(hs) - w + 1):
+        sub = hs[i : i + w]
+        m = min(sub)
+        j = max(p for p, h in enumerate(sub) if h == m)  # rightmost
+        out.add((i + j + 1, m))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny alphabet forces repeated grams → rightmost tie-breaks
+            st.sampled_from(["a", "b", "c"]),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnow_fingerprints_match_python_reference(spark, tmp_path_factory, docs):
+    """The Spark higher-order-function program and the DuckDB oracle
+    both implement plain winnowing; this pins them to an independent
+    sequential reference on adversarial inputs — heavy gram repetition
+    (3-token alphabet) exercising the rightmost tie-break, and docs
+    shorter than one gram/window, which must vanish."""
+    from kafka_spark_streaming_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        t_winnow_fingerprints,
+    )
+
+    tmp = tmp_path_factory.mktemp("winnow")
+    spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in t_winnow_fingerprints(spark, str(tmp)).collect()
+    }
+    want = {
+        (i, pos, fp)
+        for i, toks in enumerate(docs)
+        # note: " ".join then split means empty docs tokenize to [""]
+        # just like the operator's split(text, ' ') sees them
+        for pos, fp in _winnow_ref(" ".join(toks).split(" "), WINNOW_K, WINNOW_W)
+    }
+    assert got == want
+
+
+def test_winnow_shared_run_guarantee(spark, tmp_path_factory):
+    """The MOSS coverage theorem: any shared token run of length >=
+    K + W - 1 between two documents yields at least one shared
+    fingerprint HASH — with the run placed at different offsets and
+    embedded in otherwise-disjoint text (positions differ; hashes must
+    still intersect)."""
+    from kafka_spark_streaming_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        t_winnow_fingerprints,
+    )
+
+    run = [f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1)]
+    doc0 = ["x%d" % i for i in range(11)] + run + ["y%d" % i for i in range(7)]
+    doc1 = ["p%d" % i for i in range(3)] + run + ["q%d" % i for i in range(13)]
+    tmp = tmp_path_factory.mktemp("winnow_run")
+    spark.createDataFrame(
+        [(0, " ".join(doc0)), (1, " ".join(doc1))],
+        "doc_id long, text string",
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    rows = t_winnow_fingerprints(spark, str(tmp)).collect()
+    fps = {0: set(), 1: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fp)
+    assert fps[0] & fps[1], "shared run produced no shared fingerprint"
+
+
+def test_ngram_novelty_extremes(spark, tmp_path_factory):
+    """Duplicated docs score novelty 0 (every shingle has df >= 2); a
+    doc with fully original text scores 1.0; counts are per-doc distinct
+    shingles."""
+    from kafka_spark_streaming_spark.operators.dedup import t_ngram_novelty
+
+    dup = "alpha beta gamma delta epsilon"
+    orig = "one two three four five six"
+    tmp = tmp_path_factory.mktemp("novelty")
+    spark.createDataFrame(
+        [(0, dup), (1, dup), (2, orig)], "doc_id long, text string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    rows = {r.doc_id: r for r in t_ngram_novelty(spark, str(tmp)).collect()}
+    assert rows[0].novelty == 0.0 and rows[1].novelty == 0.0
+    assert rows[2].novelty == 1.0
+    assert rows[2].n_shingles == 4 and rows[2].n_unique == 4
