@@ -75,6 +75,13 @@ SMOKE = [
     # exploded coordinate stream three times
     "d_containment_pairs",
     "sim_kmeans_clusters",
+    # r9 additions: the jaccard pass now shares the df-ordered key
+    # index with containment (VERDICT r8 next #2) — running both here
+    # proves the amortization at the adversarial corpus; winnowing is
+    # the heavier of the two r9 queries (per-doc window scan over every
+    # replica)
+    "d_ngram_jaccard_pairs",
+    "t_winnow_fingerprints",
 ]
 
 
