@@ -299,15 +299,57 @@ def prefix_candidates(
 
     Pass `keys` (a df_ordered_keys frame) to reuse a prebuilt /
     checkpointed index; `sh` is only consulted when keys is None.
+
+    Two further EXACT prunes ride the join as residuals (r9, after the
+    12.1M-candidate / 250.6k-true measurement at the sf1 replica
+    corpus):
+
+    - Length filter (Arasu et al. VLDB'06): J(a,b) >= tau forces
+      min(|a|,|b|) >= tau * max(|a|,|b|) — candidates from similar-key
+      collisions between very different-sized docs can't verify.
+    - Positional filter (PPJoin, Xiao et al. WWW'08): a match at
+      0-based positions (i, j) of the shared global order caps the
+      overlap at min(nx-i, ny-j), and J >= tau needs overlap >=
+      tau/(1+tau) * (nx+ny). The globally-smallest common key's row
+      carries both position floors, so it always survives for a true
+      pair — same argument as the containment variant below.
+
+    Both thresholds are nudged ONE ULP DOWN (math.nextafter) before the
+    float comparison: tau and tau/(1+tau) are not exactly representable
+    and an up-rounded product could exclude a pair sitting EXACTLY on
+    the similarity boundary; under-approximating only admits a few
+    extra candidates, never drops a true pair. The hypothesis property
+    test hunts exactly these boundary corpora.
     """
+    import math
+
     per_doc = df_ordered_keys(sh) if keys is None else keys
-    pref = _prefix_of(per_doc, threshold)
+    n = F.size("ks")
+    plen = n - F.ceil(n * F.lit(threshold)).cast("int") + F.lit(1)
+    pref = per_doc.select(
+        "doc_id",
+        n.alias("n"),
+        F.posexplode(F.slice("ks", F.lit(1), plen)).alias("i", "k"),
+    )
+    tau_lo = math.nextafter(threshold, 0.0)
+    alpha_lo = math.nextafter(threshold / (1.0 + threshold), 0.0)
+    length_ok = (
+        F.col("y.n") >= F.col("x.n") * F.lit(tau_lo)
+    ) & (F.col("x.n") >= F.col("y.n") * F.lit(tau_lo))
+    overlap_cap = F.least(
+        F.col("x.n") - F.col("x.i"), F.col("y.n") - F.col("y.i")
+    )
+    positional_ok = overlap_cap >= (
+        (F.col("x.n") + F.col("y.n")) * F.lit(alpha_lo)
+    )
     return (
         pref.alias("x")
         .join(
             pref.alias("y"),
             (F.col("x.k") == F.col("y.k"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & length_ok
+            & positional_ok,
         )
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
@@ -1045,6 +1087,8 @@ def containment_candidates(
     the requirement and it always survives (hypothesis-hunted in
     tests/test_properties.py). On the 10x-replica sf1 corpus this cuts
     the join output roughly in half before the expensive distinct."""
+    import math
+
     per_doc = df_ordered_keys(sh) if keys is None else keys
     n = F.size("ks")
     plen = n - F.ceil(n * F.lit(threshold)).cast("int") + F.lit(1)
@@ -1059,8 +1103,12 @@ def containment_candidates(
     overlap_cap = F.least(
         F.col("x.n") - F.col("x.i"), F.col("y.n") - F.col("y.j")
     )
-    need = F.ceil(
-        F.least(F.col("x.n"), F.col("y.n")) * F.lit(threshold)
+    # threshold nudged one ulp down before the float product, so a pair
+    # sitting EXACTLY on the containment boundary can't be excluded by
+    # an up-rounded requirement (see prefix_candidates); integer cap vs
+    # under-approximated float bound is >= the exact ceil test
+    need = F.least(F.col("x.n"), F.col("y.n")) * F.lit(
+        math.nextafter(threshold, 0.0)
     )
     return (
         pref.alias("x")

@@ -187,6 +187,19 @@ def main() -> None:
                         "sec": round(time.perf_counter() - t0, 3),
                         "error": f"{type(exc).__name__}: {str(exc)[:300]}",
                     }
+    # A one-shot derived-build sample is noise-roulette on this host
+    # (bench.py's rationale, ported here in r9 after containment's
+    # single-shot sample read 8.1 s vs a 3.7 s min-of-2): clear the
+    # session memo and build every dedup index once more —
+    # session_checkpoint keeps the MIN per artifact across rebuilds.
+    _tables._DERIVED_CACHE.clear()
+    for name in ("d_minhash_lsh_pairs", "d_containment_pairs",
+                 "d_ngram_jaccard_pairs"):
+        if name in SMOKE:
+            try:
+                fns[name](spark, OUT).count()
+            except Exception:  # noqa: BLE001 — second sample is best-effort
+                pass
     derived = {
         k.split(":", 1)[0]: v
         for k, v in _tables.DERIVED_BUILD_SEC.items()
