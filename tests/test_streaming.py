@@ -679,7 +679,7 @@ def test_put_single_default_preserves_prior_cells(spark, tmp_path):
     assert state == {"r1": "v1b", "r2": "v2"}
 
 
-def _soak(query, done, timeout_sec=90.0):
+def _soak(query, done, timeout_sec=240.0):
     """Run a started continuous-trigger query until done() or timeout,
     then stop it and return its progress history. The ONLY place the
     suite runs a processingTime trigger — everything else drains with
@@ -735,6 +735,13 @@ def test_processing_time_trigger_pipeline_soak(spark, tmp_path):
     # 1 s interval, so firing is trigger-paced. Bound the MEDIAN
     # inter-batch gap loosely (shared host: individual gaps jitter) —
     # an unpaced loop would show ~0 s medians, a broken trigger none.
+    # The LOWER bound is the discriminating assertion; the upper bound
+    # only sanity-checks against a total stall and must tolerate a
+    # co-tenant-loaded host where a 1 s-trigger batch can take several
+    # seconds to execute (the trigger still paces: it fires as soon as
+    # the previous batch ends when behind schedule). Measured r9: the
+    # suite run concurrently with bench.py pushed one run past the old
+    # 5 s bound / 90 s deadline; isolated runs sit at ~1 s gaps.
     stamps = sorted(
         p["timestamp"] for p in progress if p["numInputRows"] > 0
     )
@@ -747,7 +754,7 @@ def test_processing_time_trigger_pipeline_soak(spark, tmp_path):
     ]
     gaps = sorted(b - a for a, b in zip(ts, ts[1:]))
     median_gap = gaps[len(gaps) // 2]
-    assert 0.5 <= median_gap <= 5.0, f"cadence off: gaps={gaps}"
+    assert 0.5 <= median_gap <= 20.0, f"cadence off: gaps={gaps}"
 
 
 def test_processing_time_trigger_state_stays_bounded(spark, tmp_path):
