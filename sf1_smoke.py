@@ -171,7 +171,12 @@ def main() -> None:
     )
 
     results: dict[str, dict] = {}
-    for _pass in range(2):  # min-of-2: these are 5-10 s queries
+    # min-of-3 (was min-of-2 through r9's first sidecar): back-to-back
+    # full-smoke runs on this host showed single queries swinging
+    # 1.5-2.2x between 2-pass mins (d_minhash 3.2 vs 7.2, containment
+    # 1.9 vs 3.5) — the same co-tenant noise bench.py absorbs with
+    # min-of-3, so match its protocol.
+    for _pass in range(3):
         for name in SMOKE:
             t0 = time.perf_counter()
             try:
@@ -192,14 +197,15 @@ def main() -> None:
     # single-shot sample read 8.1 s vs a 3.7 s min-of-2): clear the
     # session memo and build every dedup index once more —
     # session_checkpoint keeps the MIN per artifact across rebuilds.
-    _tables._DERIVED_CACHE.clear()
-    for name in ("d_minhash_lsh_pairs", "d_containment_pairs",
-                 "d_ngram_jaccard_pairs"):
-        if name in SMOKE:
-            try:
-                fns[name](spark, OUT).count()
-            except Exception:  # noqa: BLE001 — second sample is best-effort
-                pass
+    for _rebuild in range(2):
+        _tables._DERIVED_CACHE.clear()
+        for name in ("d_minhash_lsh_pairs", "d_containment_pairs",
+                     "d_ngram_jaccard_pairs"):
+            if name in SMOKE:
+                try:
+                    fns[name](spark, OUT).count()
+                except Exception:  # noqa: BLE001 — resamples are best-effort
+                    pass
     derived = {
         k.split(":", 1)[0]: v
         for k, v in _tables.DERIVED_BUILD_SEC.items()
