@@ -483,6 +483,51 @@ def test_containment_join_is_equi_on_shingle_key(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.parametrize("builder", ["prefix", "containment"])
+def test_candidate_joins_carry_ppjoin_residuals(spark, sf_smoke, builder):
+    # r9 perf pin: the length filter (Arasu VLDB'06) and PPJoin
+    # positional filter must ride the shingle-key equi-join as JOIN
+    # residuals — dropped candidates never reach the pair-distinct
+    # shuffle (measured 8× candidate cut at sf1). A refactor that
+    # re-expresses them as a post-join Filter, or loses them entirely,
+    # silently restores the 12M-candidate plan while every value
+    # oracle stays green.
+    from kafka_spark_streaming_spark.operators.dedup import (
+        containment_candidates,
+        prefix_candidates,
+        shingles,
+        shingles_of,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    sh = shingles_of(table(spark, sf_smoke, "documents"), 8)
+    df = (
+        prefix_candidates(sh, 0.8)
+        if builder == "prefix"
+        else containment_candidates(sh, 0.8)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "least(" in ln
+    ]
+    assert join_lines, (
+        f"{builder}: no join carries the positional-filter residual "
+        "(least(...) overlap cap) — candidate pruning lost:\n" + plan
+    )
+    # the same join line must also hold the doc-id pairing residual
+    # (x < y for jaccard; x != y for the symmetric containment join,
+    # canonicalized by least/greatest afterwards) — i.e. the prunes
+    # are residuals of the candidate join itself
+    pairing = "<" if builder == "prefix" else "NOT"
+    assert any(pairing in ln for ln in join_lines), join_lines
+    if builder == "prefix":
+        # both directions of the length filter (n_x >= tau*n_y and
+        # vice versa) appear as two multiplications by the threshold
+        assert join_lines[0].count("* 0.79") >= 2, join_lines[0]
+
+
 @pytest.mark.parametrize(
     "name", ["t_bigram_logprob", "p_doc_chunks", "t_repetition_signals"]
 )
