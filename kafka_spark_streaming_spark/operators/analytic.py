@@ -1111,32 +1111,65 @@ def time_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def aj_scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    intervals = scd2_user_state(spark, sf_dir).select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        "valid_from",
-        "valid_to",
-    )
+    # Merge-scan instead of interval self-join (r9): intervals and
+    # facts come from the SAME events table, so routing each event to
+    # its interval is a window carry, not a join — ONE scan of events
+    # and ONE keyed shuffle (the two windows share the user_id
+    # partitioning; the groupBy is map-side-combined). The join form
+    # scanned events twice and shuffled three times; at 100 TB the
+    # second scan dominates.
+    #
+    # Semantics replicated exactly: the join routed event e to the
+    # interval with the LARGEST valid_from <= e.ts_s (second-granular
+    # strings; a same-second earlier interval is empty at that second
+    # and matches nothing). A RANGE-framed window ordered by ts_s —
+    # whose frame includes ALL peers of the current second — carrying
+    # max(struct(ts, event_id, ...)) over change rows picks exactly
+    # that interval's opening change, full-precision-tie-broken the
+    # same way as scd2_user_state's lead().
+    from pyspark.sql.window import Window
+
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
         .select(
             "user_id",
+            "event_type",
+            "ts",
+            "event_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
             "value",
         )
     )
-    return (
-        intervals.join(
-            ev,
-            (intervals.user_id == ev.user_id)
-            & (ev.ts_s >= intervals.valid_from)
-            & (
-                intervals.valid_to.isNull()
-                | (ev.ts_s < intervals.valid_to)
-            ),
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_carry = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.withColumn(
+        "is_change",
+        F.lag("event_type").over(w_seq).isNull()
+        | (F.lag("event_type").over(w_seq) != F.col("event_type")),
+    )
+    carried = marked.select(
+        "user_id",
+        "value",
+        F.max(
+            F.when(
+                F.col("is_change"),
+                F.struct("ts", "event_id", "event_type", "ts_s"),
+            )
         )
-        .groupBy(intervals.user_id, "state", "valid_from")
+        .over(w_carry)
+        .alias("iv"),
+    )
+    return (
+        carried.groupBy(
+            "user_id",
+            F.col("iv.event_type").alias("state"),
+            F.col("iv.ts_s").alias("valid_from"),
+        )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.sum(F.col("value").cast("decimal(14,4)"))
