@@ -727,7 +727,19 @@ def test_processing_time_trigger_pipeline_soak(spark, tmp_path):
         available_now=False,
         interval="1 second",
     )
-    progress = _soak(q, lambda: len(pipe.summaries) >= 5)
+    # done() counts INPUT-BEARING progress reports, not pipe.summaries:
+    # the rate source's batch 0 is always empty, a delayed first trigger
+    # adds more empty catch-up batches, and the final batch's progress
+    # report races query.stop() — counting summaries made the later
+    # >=4-stamps assertion flaky in full-suite runs (seen twice at r9:
+    # 5 summaries but only 3 input-bearing progress rows survived).
+    progress = _soak(
+        q,
+        lambda: sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+        >= 5,
+    )
 
     ids = [s[0] for s in pipe.summaries]
     assert ids == sorted(set(ids)), f"batch_ids not monotonic: {ids}"
