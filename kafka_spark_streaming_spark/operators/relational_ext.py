@@ -210,24 +210,27 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One lineitem pass (r9): the HAVING aggregate already IS the
+    # query's sum_qty — the final grouping keys include o_orderkey
+    # (unique in orders), so re-joining lineitem and re-summing
+    # reproduces the same per-order total the filter computed. Join
+    # the filtered aggregate straight to orders/customer instead:
+    # lineitem (the 100 TB table) is scanned and shuffled ONCE, and
+    # the surviving side is HAVING-filtered tiny, so AQE picks
+    # broadcast joins for both dimension hops at runtime.
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(MONEY)).alias("q"))
-        .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .filter(F.col("q") > 150)  # HAVING on the exact decimal,
+        # cast after — the oracle's boundary semantics verbatim
+        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
     )
-    orders = table(spark, sf_dir, "orders").join(
-        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
-    )
+    orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy(
-            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
-        )
-        .agg(F.sum(F.col("l_quantity").cast(MONEY)).cast("double").alias("sum_qty"))
         .select(
             "c_custkey",
             "c_name",
