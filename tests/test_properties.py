@@ -164,6 +164,50 @@ def test_containment_candidates_cover_every_true_pair(spark, docs):
     )
 
 
+def test_exact_boundary_pairs_survive_residual_filters(spark):
+    """Deterministic exact-threshold corpora for the r9 length /
+    positional join residuals (hypothesis rarely lands EXACTLY on the
+    boundary): a pair whose similarity equals the threshold double
+    bit-for-bit must be a true pair AND survive candidate generation —
+    this is precisely the case the one-ulp-down nudge in
+    prefix_candidates / containment_candidates protects. Jaccard: two
+    11-token docs differing in the last token share 8 of their 9
+    3-shingles each -> J = 8/10, and float(8/10) == float(0.8) == the
+    threshold literal. Containment: 12-token docs sharing 9 of 10
+    shingles -> 9/10 == float(0.9) == CONTAINMENT_T."""
+    from kafka_spark_streaming_spark.operators.dedup import (
+        CONTAINMENT_T,
+        JACCARD_THRESHOLD,
+        _jaccard_pairs,
+        containment_candidates,
+        prefix_candidates,
+        shingles_of,
+    )
+
+    assert 8 / 10 == JACCARD_THRESHOLD  # the corpus sits ON the literal
+    assert 9 / 10 == CONTAINMENT_T
+
+    toks = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11".split()
+    jac_docs = spark.createDataFrame(
+        [(0, " ".join(toks[:11])), (1, " ".join(toks[:10] + ["X"]))],
+        "doc_id long, text string",
+    )
+    sh = shingles_of(jac_docs)
+    assert {(r.doc_a, r.doc_b, float(r.jaccard))
+            for r in _jaccard_pairs(sh).collect()} == {(0, 1, 0.8)}
+    assert {(r.doc_a, r.doc_b)
+            for r in prefix_candidates(sh).collect()} == {(0, 1)}
+
+    cont_docs = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, " ".join(toks[:11] + ["X"]))],
+        "doc_id long, text string",
+    )
+    assert {
+        (r.doc_a, r.doc_b)
+        for r in containment_candidates(shingles_of(cont_docs)).collect()
+    } == {(0, 1)}
+
+
 @settings(
     max_examples=6,
     deadline=None,
