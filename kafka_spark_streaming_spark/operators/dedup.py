@@ -458,21 +458,30 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same contract as the MinHash path: signature banding generates
 # candidates, exact Jaccard verifies them, so the verified output equals
 # the exact operator's and shares _JACCARD_PAIRS_SQL as its oracle.
-# Banding is 8 bands × 8 bits: by pigeonhole every pair with Hamming ≤ 7
-# collides in some band, and empirically (all three fixtures) every
-# true Jaccard-0.8 pair sits at Hamming ≤ 12 with a colliding band; the
-# Hamming ≤ 16 prune then bounds the verification set. At 100 TB the
-# candidate generator stays an equi-join on (band, 8-bit key) — never
-# an all-pairs product — and verification touches candidates only.
+# Banding is 16 bands × 4 bits: by pigeonhole every pair with
+# Hamming ≤ 15 collides in some band — the prune and the band
+# guarantee coincide, and the empirical radius of true Jaccard-0.8
+# pairs across all three fixtures (max observed 12) fits inside. At
+# 100 TB the candidate generator stays an equi-join on (band, key) —
+# never an all-pairs product — and verification touches candidates
+# only.
+#
+# The SimHash unit MUST be the 3-gram shingle — the same feature set
+# whose Jaccard the operator approximates — not the unigram token
+# (r9 fix): a shared vocabulary makes every doc's unigram simhash
+# cluster (measured at sf0.1: 24% of ALL 12.5M pairs under Hamming 16
+# → a 2.96M-pair verify join, 35-47 s), while shingle diversity
+# decorrelates unrelated docs toward Hamming ~32 (627 candidates for
+# 256 true pairs on the same corpus, 38 s → ~3 s). Hashing the unit
+# you threshold on is also what keeps the Hamming↔Jaccard coupling
+# honest at any scale.
 @register("d_simhash_pairs", _JACCARD_PAIRS_SQL)
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash over token hashes, banded candidates, exact
-    verify. Cited intent: reference has no dedup at all (SURVEY.md
-    §2.3); this is north-star surface."""
+    """64-bit SimHash over 3-gram shingle hashes, banded candidates,
+    exact verify. Cited intent: reference has no dedup at all
+    (SURVEY.md §2.3); this is north-star surface."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
+    toks = shingles_of(d).select("doc_id", F.col("s").alias("tok"))
     h = F.xxhash64("tok")
     # per-bit weights: +1 if bit set else -1, summed per doc
     agg = toks.groupBy("doc_id").agg(
@@ -499,7 +508,21 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
-    # band on 8-bit blocks → candidates → Hamming prune → exact verify
+    # band → candidates → Hamming prune (as a pipelined filter BEFORE
+    # the pair-dedup shuffle) → exact verify.
+    #
+    # 16 bands × 4 bits so the pigeonhole guarantee (h < #bands ⇒
+    # some band error-free) covers the ENTIRE Hamming ≤ 15 prune —
+    # under the old 8×8 layout, pairs at Hamming 8–16 were caught only
+    # by luck (one true pair per small fixture sat at Hamming 10–12
+    # with no colliding 8-bit band once the unit became shingles); the
+    # empirical true-pair radius across fixtures is 12, leaving margin
+    # 3. Width trade at scale: bucket pair-count grows
+    # n²/2^width per band, so wider bands (more signature bits, more
+    # bands of the same width) are the lever when the corpus grows —
+    # never a wider Hamming prune without matching band count.
+    widths = [4] * 16
+    offsets = [sum(widths[:i]) for i in range(len(widths))]
     banded = sim.select(
         "doc_id",
         "simhash",
@@ -508,11 +531,11 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * b)
-                        .bitwiseAND(F.lit(0xFF))
+                        F.shiftright(F.col("simhash"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
                         .alias("bh"),
                     )
-                    for b in range(8)
+                    for b in range(len(widths))
                 ]
             )
         ).alias("b"),
@@ -532,8 +555,13 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
             ).alias("hamming"),
         )
+        # filter FIRST: hamming is identical for every banded copy of a
+        # pair, so the prune is dedup-invariant — and it shrinks the
+        # dropDuplicates shuffle from every raw band collision to the
+        # few hundred surviving candidates (the raw rows stream through
+        # the broadcast join + filter without materializing)
+        .filter(F.col("hamming") <= 15)
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= 16)
         .select("doc_a", "doc_b")
     )
     # exact verification of candidates only, against the shared
