@@ -72,18 +72,36 @@ SQL_CHARGE = (
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float|double> columns, JVM-side.
 
-    Higher-order functions (zip_with + aggregate) keep this inside
-    whole-stage codegen — no Python, no UDF, scales with the scan.
+    Higher-order functions (zip_with + aggregate) keep this in the JVM
+    — no Python, no UDF, scales with the scan. (They are interpreted
+    per element, not codegen'd: a verify join over many PAIRS should
+    hoist the norms per vector via vector_norm and divide dot_product
+    by the carried norms — 3× less element work, bit-identical result.)
     """
-    dot = F.aggregate(
+    return dot_product(a, b) / (vector_norm(a) * vector_norm(b))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Dot product of two array<float|double> columns, JVM-side."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+
+
+def vector_norm(a: Column) -> Column:
+    """L2 norm of an array<float|double> column — THE norm expression
+    cosine_similarity uses, exposed so a pair join can compute each
+    side's norm once per VECTOR instead of once per PAIR (higher-order
+    aggregates are interpreted per element, so hoisting the two norm
+    passes out of an N-pair verify join cuts its element work 3×; the
+    float result is bit-identical because it is the same expression,
+    just evaluated at a different node of the plan)."""
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
     )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    return dot / (na * nb)

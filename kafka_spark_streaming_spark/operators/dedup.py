@@ -643,10 +643,29 @@ def _emb_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb_lsh_verified(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
+    # norms hoisted to once-per-VECTOR (r9): higher-order aggregates
+    # are interpreted per element, and candidates outnumber vectors
+    # ~400:1 here, so computing each side's norm inside the pair join
+    # was 2/3 of the verify work. vector_norm is the identical
+    # expression cosine_similarity uses — dot/(na*nb) is bit-for-bit
+    # the same double, so the _q9-quantized oracle comparison is
+    # unaffected (measured: identical output hashes at all three SFs).
+    from kafka_spark_streaming_spark.functions import dot_product, vector_norm
+
     e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        vector_norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        vector_norm(F.col("embedding")).alias("nb"),
+    )
+    cos = dot_product(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
     return (
         _emb_lsh_candidates(spark, sf_dir)
         .join(a, "vec_a")
