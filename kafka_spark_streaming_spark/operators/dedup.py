@@ -16,9 +16,10 @@ Scale design notes
   (1-j²)¹⁶ < 1e-7, so its verified output equals the exact operator's
   — it shares the same oracle. Everything is Catalyst built-ins
   (xxhash64, explode, min, join); no Python in the path.
-- SimHash: 64-bit signature via per-bit weight sums — a single
-  group-by with 64 conditional sums (all codegen'd), then banded
-  self-join on 16-bit prefixes + bit_count(xor) Hamming filter.
+- SimHash: 64-bit signature over 3-gram shingle hashes via per-bit
+  weight sums — a single group-by with 64 conditional sums (all
+  codegen'd), then a banded self-join on 16 bands × 4 bits (pigeonhole:
+  every Hamming ≤ 15 pair collides) + bit_count(xor) Hamming filter.
 - Embedding near-dup: brute pair cosine over the (fixed-size)
   embedding table; at scale replace the cross join with the LSH
   random-hyperplane bucketing in similarity.py.
