@@ -75,8 +75,14 @@ def main(argv: list[str] | None = None) -> int:
     # get_spark() is getOrCreate(): when an ambient session already
     # exists (pytest fixture, notebook) it is returned, not created —
     # stopping it would kill the caller's session. Only stop what this
-    # CLI itself created.
-    pre_existing = SparkSession.getActiveSession() is not None
+    # CLI itself created. getActiveSession() is THREAD-local, so on its
+    # own it misses a session created by another thread that getOrCreate
+    # would still return — check the process-wide default session too
+    # (ADVICE r9).
+    pre_existing = (
+        SparkSession.getActiveSession() is not None
+        or SparkSession.getDefaultSession() is not None
+    )
     spark = get_spark(app_name=f"kss-explain-{args.query}")
     try:
         df = queries[args.query](spark, args.sf_dir)

@@ -610,7 +610,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(r.rank AS BIGINT) AS rank,
            CAST(s.total_rows AS BIGINT) AS total_rows,
            CAST(s.n_keys AS BIGINT) AS n_keys,
-           round(r.n * 1.0 * s.n_keys / s.total_rows, 6) AS skew_ratio
+           round(CAST(r.n AS DOUBLE) * s.n_keys / s.total_rows, 6)
+             AS skew_ratio
     FROM ranked r JOIN stats s USING (col_name)
     WHERE r.rank <= 5
     ORDER BY col_name, rank

@@ -133,6 +133,86 @@ def lsh_buckets(e: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
 
 
+def lsh_buckets_arrow(e: DataFrame) -> DataFrame:
+    """Arrow/numpy twin of lsh_buckets — identical (vec_id, t, bkt) rows,
+    built with one (batch × 64) @ (64 × 32) matmul per Arrow batch
+    instead of 32 interpreted higher-order dot folds per vector (HOFs
+    are interpreted per ELEMENT, measured 3.2 s for 2000 vectors at
+    sf0.1 vs ~0.1 s here).
+
+    Correctness: buckets depend only on the SIGN of each plane dot.
+    numpy's blocked summation rounds differently from the sequential
+    fold / DuckDB's list_dot_product, but the smallest |dot| across all
+    three fixtures is 2.3e-7 (measured r10) vs reorder noise ~1e-13·‖v‖
+    — six orders of magnitude of margin, the same sign-robustness
+    premise the cross-engine oracle already rests on. A test pins exact
+    frame equality with lsh_buckets at the fixture SFs.
+
+    100 TB posture: mapInArrow streams batches (never a per-row Python
+    hop), the plane matrix is a 16 KB task constant, and output is
+    8 rows/vector — the bucket build scans the corpus once."""
+    import numpy as np
+    import pyarrow as pa
+
+    planes_t = (
+        _lsh_planes()
+        .reshape(_LSH_TABLES * _LSH_PLANES_PER_TABLE, _LSH_DIM)
+        .T.copy()
+    )  # (dim, tables*planes)
+    weights = 1 << np.arange(_LSH_PLANES_PER_TABLE)
+
+    def buckets(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column("embedding")
+            vals = np.asarray(emb.flatten(), dtype=np.float64)
+            if vals.size != n * _LSH_DIM:  # ragged input: contract is
+                raise ValueError("embedding dim != 64")  # fixed-dim
+            signs = (vals.reshape(n, _LSH_DIM) @ planes_t) > 0
+            bkt = (
+                signs.reshape(n, _LSH_TABLES, _LSH_PLANES_PER_TABLE)
+                * weights
+            ).sum(axis=2).astype(np.int32)
+            ids = np.repeat(
+                np.asarray(batch.column("vec_id"), dtype=np.int64),
+                _LSH_TABLES,
+            )
+            ts = np.tile(np.arange(_LSH_TABLES, dtype=np.int32), n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(ts, type=pa.int32()),
+                    pa.array(bkt.reshape(-1), type=pa.int32()),
+                ],
+                names=["vec_id", "t", "bkt"],
+            )
+
+    return e.select("vec_id", "embedding").mapInArrow(
+        buckets, "vec_id bigint, t int, bkt int"
+    )
+
+
+def session_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus' (vec_id, t, bkt) sign-bucket table, built ONCE per
+    (session, corpus) — the persisted-index shape of a production
+    embedding-dedup pipeline. Before r10 both sides of the candidate
+    self-join re-derived the buckets inline (Catalyst does not dedupe
+    identical subplans below a join), so every probe paid the bucket
+    build twice: 6.3 s of an 8.3 s d_semantic_only_pairs_lsh probe at
+    sf0.1 was candidate generation; with the memoized artifact the same
+    join runs in ~1 s."""
+    from kafka_spark_streaming_spark.tables import session_checkpoint, table
+
+    return session_checkpoint(
+        spark,
+        f"emb_lsh_buckets:{sf_dir}",
+        lambda: lsh_buckets_arrow(table(spark, sf_dir, "embeddings")),
+        sf_dir=sf_dir,
+    )
+
+
 def _ann_lsh_oracle() -> str:
     per_table = lsh_bucket_cte()
     return f"""

@@ -187,13 +187,17 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 4  # tokens per gram
 WINNOW_W = 4  # gram hashes per window
 
+# Gram token lists are GENERATED from WINNOW_K in both engines (ADVICE
+# r9): a hardcoded 4-token expression next to K-derived series bounds
+# would silently fingerprint wrong if K ever changed.
+_SQL_GRAM = " || ' ' || ".join(f"toks[u.i+{d}]" for d in range(WINNOW_K))
+
 _WINNOW_SQL = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents),
     g AS (
       SELECT doc_id, u.i AS i,
-             md5(toks[u.i] || ' ' || toks[u.i+1] || ' ' ||
-                 toks[u.i+2] || ' ' || toks[u.i+3]) AS h
+             md5({_SQL_GRAM}) AS h
       FROM t, unnest(generate_series(1, len(toks) - {WINNOW_K - 1})) AS u(i)),
     arr AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY doc_id),
     win AS (
@@ -221,12 +225,14 @@ def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         # nothing (and would make the sequence() bounds negative)
         F.size("toks") >= k + w - 1
     )
+    # 1-based sequence index i → 0-based array accesses i-1 .. i-2+K,
+    # generated from WINNOW_K like the oracle's gram (ADVICE r9)
+    gram = ", ".join(f"toks[i-1+{d}]" for d in range(k))
     hashed = toked.select(
         "doc_id",
         F.expr(
             f"""transform(sequence(1, size(toks) - {k - 1}), i ->
-                  md5(concat_ws(' ', toks[i-1], toks[i], toks[i+1],
-                                toks[i+2])))"""
+                  md5(concat_ws(' ', {gram})))"""
         ).alias("hs"),
     )
     # two-step: bind each window subarray as an element first, so the

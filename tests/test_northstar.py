@@ -277,6 +277,79 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_correct):
     assert hits / total >= 0.4, f"ANN recall@5 = {hits / total:.2f}"
 
 
+def test_lsh_buckets_arrow_equals_catalyst(spark, sf_correct, sf_smoke):
+    """The Arrow/numpy bucket builder must emit EXACTLY the rows the
+    Catalyst HOF version does — buckets depend only on dot SIGNS, whose
+    smallest margin across fixtures (2.3e-7) dwarfs summation-reorder
+    noise (~1e-13), so any mismatch is a real bug, not float residue."""
+    from kafka_spark_streaming_spark.operators.similarity import (
+        lsh_buckets,
+        lsh_buckets_arrow,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    for sf in (sf_correct, sf_smoke):
+        e = table(spark, sf, "embeddings")
+        cat = {tuple(r) for r in lsh_buckets(e).collect()}
+        arr = {tuple(r) for r in lsh_buckets_arrow(e).collect()}
+        assert arr == cat, f"bucket mismatch at {sf}"
+
+
+def test_emb_verify_kernel_bit_identical(spark, sf_correct, sf_smoke):
+    """The Arrow cosine kernel (sequential-in-i accumulation) must give
+    BIT-identical doubles to the higher-order aggregate fold it
+    replaced, over every candidate pair — same intermediate rounding at
+    every step, so this is exact equality, not tolerance."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.functions import (
+        dot_product,
+        vector_norm,
+    )
+    from kafka_spark_streaming_spark.operators.dedup import (
+        _emb_lsh_candidates,
+        _emb_pair_cos,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    for sf in (sf_correct, sf_smoke):
+        e = table(spark, sf, "embeddings")
+        a = e.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("va"),
+            vector_norm(F.col("embedding")).alias("na"),
+        )
+        b = e.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("vb"),
+            vector_norm(F.col("embedding")).alias("nb"),
+        )
+        hof = {
+            (r.vec_a, r.vec_b): r.cos
+            for r in (
+                _emb_lsh_candidates(spark, sf)
+                .join(a, "vec_a")
+                .join(b, "vec_b")
+                .select(
+                    "vec_a",
+                    "vec_b",
+                    (
+                        dot_product(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb"))
+                    ).alias("cos"),
+                )
+                .collect()
+            )
+        }
+        arrow = {
+            (r.vec_a, r.vec_b): r.cos
+            for r in _emb_pair_cos(spark, sf).collect()
+        }
+        assert set(arrow) == set(hof), f"pair-set mismatch at {sf}"
+        diff = [k for k in hof if arrow[k] != hof[k]]
+        assert not diff, f"{len(diff)} non-bit-identical cosines at {sf}"
+
+
 def test_embedding_lsh_recall_vs_brute(spark, sf_correct):
     """The LSH-candidate primary must be a subset of the brute pairs
     (verification is exact, so no false positives) with recall matching
