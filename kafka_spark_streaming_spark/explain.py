@@ -77,11 +77,13 @@ def main(argv: list[str] | None = None) -> int:
     # stopping it would kill the caller's session. Only stop what this
     # CLI itself created. getActiveSession() is THREAD-local, so on its
     # own it misses a session created by another thread that getOrCreate
-    # would still return — check the process-wide default session too
-    # (ADVICE r9).
+    # would still return — also check the process-wide handle. The JVM's
+    # getDefaultSession is NOT exposed to Python (ADVICE r10: calling it
+    # raised AttributeError on every standalone invocation); the Python
+    # process-wide equivalent is SparkSession._instantiatedSession.
     pre_existing = (
         SparkSession.getActiveSession() is not None
-        or SparkSession.getDefaultSession() is not None
+        or SparkSession._instantiatedSession is not None
     )
     spark = get_spark(app_name=f"kss-explain-{args.query}")
     try:

@@ -686,7 +686,12 @@ def _emb_pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    dim = 64
+    from kafka_spark_streaming_spark.operators.similarity import _LSH_DIM
+
+    # Same fixed-dim contract as the sibling Arrow kernel in
+    # similarity.lsh_buckets_arrow — one constant, so the two can't
+    # drift if the embedding dim ever changes (ADVICE r10).
+    dim = _LSH_DIM
 
     def cos_kernel(batches):
         for batch in batches:
@@ -696,7 +701,7 @@ def _emb_pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
             A = np.asarray(batch.column("va").flatten(), dtype=np.float64)
             B = np.asarray(batch.column("vb").flatten(), dtype=np.float64)
             if A.size != n * dim or B.size != n * dim:
-                raise ValueError("embedding dim != 64")
+                raise ValueError(f"embedding dim != {dim}")
             A = A.reshape(n, dim)
             B = B.reshape(n, dim)
             acc = np.zeros(n)

@@ -87,8 +87,15 @@ def lsh_bucket_cte() -> str:
             )
         return " + ".join(cases)
 
+    # Same fail-fast contract as lsh_buckets / lsh_buckets_arrow
+    # (ADVICE r10): a null or ragged embedding is a data error in every
+    # engine, never a silent bucket-0 row.
+    guard = (
+        f"CASE WHEN v IS NULL OR len(v) <> {_LSH_DIM} "
+        f"THEN error('embedding dim != {_LSH_DIM}') ELSE 0 END"
+    )
     return "\n      UNION ALL ".join(
-        f"SELECT vec_id, v, {t} AS t, {bucket_expr(t)} AS bkt FROM e"
+        f"SELECT vec_id, v, {t} AS t, {guard} + {bucket_expr(t)} AS bkt FROM e"
         for t in range(_LSH_TABLES)
     )
 
@@ -99,6 +106,20 @@ def lsh_buckets(e: DataFrame) -> DataFrame:
     seed-42 hyperplanes.  Pure Catalyst (zip_with/aggregate, codegen'd);
     the Spark twin of lsh_bucket_cte()."""
     planes = _lsh_planes()
+
+    # Fail-fast on null/ragged embeddings, matching lsh_buckets_arrow's
+    # ValueError and the oracle CTE's error() (ADVICE r10: the old
+    # otherwise(0) silently bucketed a null embedding as 0 in every
+    # table while the Arrow twin raised — the 'identical rows' contract
+    # diverged on non-fixture data). raise_error stays in codegen.
+    e = e.withColumn(
+        "embedding",
+        F.when(
+            F.col("embedding").isNull()
+            | (F.size("embedding") != _LSH_DIM),
+            F.raise_error(F.lit(f"embedding dim != {_LSH_DIM}")),
+        ).otherwise(F.col("embedding")),
+    )
 
     def dot_plane(t: int, p: int) -> F.Column:
         return F.aggregate(

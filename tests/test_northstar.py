@@ -295,6 +295,39 @@ def test_lsh_buckets_arrow_equals_catalyst(spark, sf_correct, sf_smoke):
         assert arr == cat, f"bucket mismatch at {sf}"
 
 
+def test_lsh_buckets_null_embedding_fails_fast_all_paths(spark):
+    """Null/ragged embeddings are a DATA ERROR in every bucket path —
+    Catalyst, Arrow, and the DuckDB oracle CTE all raise instead of
+    silently bucketing to 0 (ADVICE r10: the Catalyst path's old
+    otherwise(0) fallback diverged from the Arrow twin's ValueError on
+    non-fixture data with nulls)."""
+    import duckdb
+    import pytest as _pytest
+
+    from kafka_spark_streaming_spark.operators.similarity import (
+        _LSH_DIM,
+        lsh_bucket_cte,
+        lsh_buckets,
+        lsh_buckets_arrow,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, [0.5] * _LSH_DIM), (2, None), (3, [0.5] * (_LSH_DIM - 1))],
+        "vec_id bigint, embedding array<double>",
+    )
+    for fn in (lsh_buckets, lsh_buckets_arrow):
+        with _pytest.raises(Exception, match="embedding dim"):
+            fn(bad).collect()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT 1::BIGINT AS vec_id, "
+        "NULL::DOUBLE[] AS v"
+    )
+    with _pytest.raises(Exception, match="embedding dim"):
+        con.execute(f"WITH b AS ({lsh_bucket_cte()}) SELECT * FROM b")
+
+
 def test_emb_verify_kernel_bit_identical(spark, sf_correct, sf_smoke):
     """The Arrow cosine kernel (sequential-in-i accumulation) must give
     BIT-identical doubles to the higher-order aggregate fold it
