@@ -1,0 +1,73 @@
+"""Unit tests for the full-registry sweep gate policy (tools/sweep.py).
+
+The gate functions are pure (no Spark) by design so the policy itself
+is pinned: min-of-history baselines only tighten, the ratio gate is
+dampened by an absolute slack for sub-second jitter, and new queries
+auto-enroll. A drifting host (the r10 uniform ~1.3x) must never loosen
+the gate; a genuine regression (the pre-r9 d_simhash_pairs 13x) must
+always trip it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+from tools.sweep import gate_flags, merged_baseline  # noqa: E402
+
+
+def test_regression_beyond_gate_and_slack_flags():
+    base = {"d_simhash_pairs": {"min_sec": 2.8, "round": "r11"}}
+    flags = gate_flags({"d_simhash_pairs": 36.0}, base, gate=2.0, slack=0.75)
+    assert len(flags) == 1
+    assert flags[0]["query"] == "d_simhash_pairs"
+    assert flags[0]["ratio"] == round(36.0 / 2.8, 2)
+
+
+def test_subsecond_jitter_inside_slack_does_not_flag():
+    # 0.2 s -> 0.55 s is 2.75x but only +0.35 s — scheduler jitter on a
+    # shared host, not a regression worth a round item.
+    base = {"t_quality_score": {"min_sec": 0.2, "round": "r11"}}
+    assert gate_flags({"t_quality_score": 0.55}, base, gate=2.0, slack=0.75) == []
+
+
+def test_host_drift_under_ratio_does_not_flag():
+    # Uniform 1.3x drift (the r10 bench episode) stays under a 2x gate.
+    base = {"q18": {"min_sec": 1.0, "round": "r10"}}
+    assert gate_flags({"q18": 1.3}, base, gate=2.0, slack=0.75) == []
+
+
+def test_unknown_query_is_not_flagged():
+    assert gate_flags({"brand_new": 9.9}, {}, gate=2.0, slack=0.75) == []
+
+
+def test_flags_sorted_worst_first():
+    base = {
+        "a": {"min_sec": 1.0, "round": "r11"},
+        "b": {"min_sec": 1.0, "round": "r11"},
+    }
+    flags = gate_flags({"a": 3.0, "b": 5.0}, base, gate=2.0, slack=0.75)
+    assert [f["query"] for f in flags] == ["b", "a"]
+
+
+def test_baseline_only_tightens():
+    base = {"q1": {"min_sec": 1.0, "round": "r10"}}
+    out = merged_baseline(base, {"q1": 1.4}, "r11")
+    assert out["q1"] == {"min_sec": 1.0, "round": "r10"}  # slower: unchanged
+    out = merged_baseline(base, {"q1": 0.8}, "r11")
+    assert out["q1"] == {"min_sec": 0.8, "round": "r11"}  # faster: tightens
+
+
+def test_new_queries_auto_enroll():
+    out = merged_baseline({}, {"fresh": 2.5}, "r11")
+    assert out["fresh"] == {"min_sec": 2.5, "round": "r11"}
+
+
+def test_merge_does_not_mutate_input():
+    base = {"q1": {"min_sec": 1.0, "round": "r10"}}
+    merged_baseline(base, {"q1": 0.5, "q2": 1.0}, "r11")
+    assert base == {"q1": {"min_sec": 1.0, "round": "r10"}}

@@ -1,0 +1,224 @@
+"""Full-registry timing sweep with a min-of-history gate (VERDICT r9 #1,
+r10 next-round #1).
+
+Why this exists: HEADLINE + sf1_smoke cover ~30 queries; the other ~120
+registered queries had NO timed gate, and d_simhash_pairs proved the
+cost — it sat at 35-47 s warm at sf0.1 for two rounds before the r9
+cold sweep noticed. This tool times EVERY registered query at the bench
+SF and flags anything slower than GATE× its best-ever recorded time.
+
+Gate design (VERDICT r10: "vs a min-of-history to absorb host drift"):
+the baseline (SWEEP_BASELINE.json, committed) keeps the MINIMUM warm
+seconds ever observed per query. A round-over-round gate at 1.5× proved
+too weak on this shared-host VM — r10's uniform ~1.3× co-tenant drift
+consumed most of the headroom — so the sweep compares against the best
+the plan has ever run, with a 2× ratio AND an absolute slack so
+sub-second queries can't flag on scheduler jitter. Baselines only move
+DOWN (a faster pass tightens the gate); a slower pass never loosens it.
+
+Timing protocol:
+  * batch queries: min of 2 consecutive forced passes (pass 1 may pay
+    derived-artifact build + codegen; pass 2 is warm — min reports the
+    warm plan cost).
+  * streaming queries (s_*): ONE pass. Their cost is the micro-batch
+    drain floor (state-store commit + stop tax), not codegen — a second
+    drain doubles sweep wall-time for no extra signal, and the floor is
+    what the baseline should hold anyway.
+
+Every query is forced end-to-end with a noop write (full plan executes,
+nothing collected), same as bench.py.
+
+Usage:
+    python tools/sweep.py             # writes SWEEP_r{N}.json + updates
+                                      # SWEEP_BASELINE.json; rc 1 if any
+                                      # query breaches the gate
+Env:
+    SPARK_GRAFT_SF_DIR   fixture dir (default /root/testdata/sf0.1)
+    KSS_SWEEP_GATE       ratio vs baseline min (default 2.0)
+    KSS_SWEEP_SLACK      absolute slack seconds (default 0.75)
+    KSS_SWEEP_OUT        explicit output path (default SWEEP_r{N}.json,
+                         N = newest CORRECTNESS round + 1)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GATE = float(os.environ.get("KSS_SWEEP_GATE", "2.0"))
+# Sub-second queries swing 2-3x on pure scheduler jitter; the absolute
+# slack keeps the gate meaningful (a 0.2 s query at 0.5 s is noise; a
+# 5 s query at 11 s is a regression).
+SLACK = float(os.environ.get("KSS_SWEEP_SLACK", "0.75"))
+BASELINE_PATH = os.path.join(REPO, "SWEEP_BASELINE.json")
+
+
+def _round_number() -> int:
+    best = 0
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
+
+
+def load_baseline() -> dict[str, dict]:
+    try:
+        with open(BASELINE_PATH) as f:
+            doc = json.load(f)
+        return doc.get("queries", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def gate_flags(
+    timings: dict[str, float],
+    baseline: dict[str, dict],
+    gate: float = GATE,
+    slack: float = SLACK,
+) -> list[dict]:
+    """Queries breaching gate×best-ever + absolute slack. Pure function
+    so the policy is unit-testable without Spark."""
+    out = []
+    for name, sec in timings.items():
+        base = baseline.get(name, {}).get("min_sec")
+        if base is None or base <= 0:
+            continue
+        if sec > gate * base and sec > base + slack:
+            out.append(
+                {
+                    "query": name,
+                    "sec": sec,
+                    "best_sec": base,
+                    "ratio": round(sec / base, 2),
+                }
+            )
+    return sorted(out, key=lambda r: -r["ratio"])
+
+
+def merged_baseline(
+    baseline: dict[str, dict], timings: dict[str, float], round_tag: str
+) -> dict[str, dict]:
+    """Min-only merge: entries tighten or stay; new queries auto-enroll."""
+    out = dict(baseline)
+    for name, sec in timings.items():
+        prev = out.get(name)
+        if prev is None:
+            out[name] = {"min_sec": sec, "round": round_tag}
+        elif sec < prev["min_sec"]:
+            out[name] = {"min_sec": sec, "round": round_tag}
+    return dict(sorted(out.items()))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rnd = _round_number()
+    out_path = os.environ.get(
+        "KSS_SWEEP_OUT", os.path.join(REPO, f"SWEEP_r{rnd:02d}.json")
+    )
+
+    from kafka_spark_streaming_spark import tables as _tables
+    from kafka_spark_streaming_spark.operators import QUERIES
+    from kafka_spark_streaming_spark.session import get_spark
+
+    spark = get_spark(app_name="kss-sweep")
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    t_sweep = time.perf_counter()
+    for i, (name, fn) in enumerate(QUERIES.items(), 1):
+        passes = 1 if name.startswith("s_") else 2
+        try:
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                force(fn(spark, sf_dir))
+                dt = round(time.perf_counter() - t0, 3)
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
+        except Exception as exc:  # noqa: BLE001 — a sweep must finish
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        done = timings.get(name, "ERR")
+        print(f"[{i}/{len(QUERIES)}] {name}: {done}", file=sys.stderr)
+    wall = round(time.perf_counter() - t_sweep, 1)
+
+    baseline = load_baseline()
+    flagged = gate_flags(timings, baseline)
+    new_queries = sorted(set(timings) - set(baseline))
+    round_tag = f"r{rnd:02d}"
+    updated = merged_baseline(baseline, timings, round_tag)
+
+    derived = {
+        k.split(":", 1)[0]: v
+        for k, v in _tables.DERIVED_BUILD_SEC.items()
+        if sf_dir in k
+    }
+    doc = {
+        "metric": "full_registry_sweep",
+        "round": round_tag,
+        "sf_dir": sf_dir,
+        "gate_ratio": GATE,
+        "abs_slack_sec": SLACK,
+        "n_queries": len(QUERIES),
+        "n_timed": len(timings),
+        "wall_sec": wall,
+        "total_warm_sec": round(sum(timings.values()), 3),
+        "flagged": flagged,
+        "errors": errors,
+        "new_in_baseline": new_queries,
+        "derived_build_sec": derived,
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
+        "notes": {
+            "protocol": (
+                "batch = min of 2 consecutive noop-forced passes (warm); "
+                "s_* streaming = 1 pass (micro-batch drain floor); gate "
+                "compares vs min-of-history in SWEEP_BASELINE.json — "
+                "baselines only tighten, so shared-host drift (the r10 "
+                "uniform 1.3x) cannot loosen the gate round over round"
+            ),
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    with open(BASELINE_PATH, "w") as f:
+        json.dump(
+            {
+                "comment": (
+                    "min warm seconds ever observed per registered query "
+                    "at sf0.1 (tools/sweep.py); entries only move down"
+                ),
+                "queries": updated,
+            },
+            f,
+            indent=1,
+        )
+    spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "sweep": out_path,
+                "n_timed": len(timings),
+                "errors": len(errors),
+                "flagged": flagged,
+                "slowest": dict(
+                    sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+                ),
+                "wall_sec": wall,
+            }
+        )
+    )
+    return 1 if (flagged or errors) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
