@@ -350,55 +350,29 @@ def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 3: LSH random-hyperplane ANN ----------------------------------------
 @register("sim_ann_lsh", _ann_lsh_oracle())
-def sim_ann_lsh(spark: SparkSession, sf_dir: str,
-                n_tables: int = _LSH_TABLES,
-                planes_per_table: int = _LSH_PLANES_PER_TABLE,
-                dim: int = _LSH_DIM) -> DataFrame:
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH (the standard recall lever:
     L independent tables of k planes each — P(miss) = (1-p^k)^L).
     Buckets are sign patterns against fixed seed-42 hyperplanes, so
     results are deterministic across runs. Candidates = union over
     tables of same-bucket vectors, exact-cosine reranked.
 
+    Buckets come from the memoized session_lsh_buckets artifact — the
+    same persisted-index shape d_semantic_only_pairs_lsh uses. Before
+    r11 this query re-derived the sign buckets inline with interpreted
+    Catalyst HOFs on BOTH sides of the candidate join (the pre-r10
+    anti-pattern: Catalyst does not dedupe identical subplans below a
+    join), costing 3.2 s warm at sf0.1; the artifact probe runs in
+    well under 1 s.
+
     At 100 TB: per-table bucket sizes stay bounded (add planes as the
     corpus grows), the bucket join is an equi-join Catalyst shuffles on
     (table, bucket), and rerank cost is |candidates| not |corpus|.
     """
-    planes = _lsh_planes()[:n_tables, :planes_per_table, :dim]
     e = table(spark, sf_dir, "embeddings")
-
-    def dot_plane(t: int, p: int) -> F.Column:
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(float(x)) for x in planes[t, p]]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def bucket(t: int) -> F.Column:
-        return sum(
-            [
-                F.when(dot_plane(t, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-                for p in range(planes_per_table)
-            ],
-            F.lit(0),
-        ).cast("int")
-
-    eb = e.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), bucket(t).alias("bkt"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "embedding", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+    # (vec_id, t, bkt) × embedding: equi-join on vec_id — co-partitioned
+    # at scale, broadcast-or-shuffle is AQE's call at fixture size.
+    eb = session_lsh_buckets(spark, sf_dir).join(e, "vec_id")
 
     cand = eb.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -517,6 +491,160 @@ def _ann_ivf_oracle() -> str:
     """
 
 
+def ivf_assign_catalyst(centroids) -> F.Column:
+    """argmax-cosine cell id, pure Catalyst: greatest() over per-centroid
+    dot products of the normalized vector. The HOF dots are interpreted
+    (not codegen'd) and the when-chain re-evaluates them, so this costs
+    ~3.5 s per pass over 2000×16 at sf0.1 — kept ONLY as the exactness
+    twin for ivf_assign_arrow (same role as lsh_buckets vs
+    lsh_buckets_arrow); no registered query executes it."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(float(v)) for v in c]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / norm
+        for c in centroids
+    ]
+    best = F.greatest(*dots)
+    cell = F.lit(0)
+    for i, d in enumerate(dots):
+        cell = F.when(d == best, F.lit(i)).otherwise(cell)
+    return cell
+
+
+def ivf_assign_arrow(e: DataFrame, cmat) -> DataFrame:
+    """(vec_id, embedding, cell): argmax-cosine assignment via one
+    (batch × dim) @ (dim × n_cells) matmul per Arrow batch — the Arrow
+    twin of ivf_assign_catalyst (exact frame equality pinned by test).
+
+    Correctness: the /‖v‖ normalization is a positive per-row scalar,
+    so argmax(dot/‖v‖) == argmax(dot) and the kernel skips the divide.
+    numpy's blocked summation rounds differently from the sequential
+    fold / DuckDB's list_dot_product, but cell-decision margins are
+    ~1e-2 on every fixture vs reorder noise ~1e-13 — the same
+    sign/argmax-robustness premise the cross-engine oracle rests on.
+    Ties break to the HIGHEST cell (oracle: ORDER BY dot DESC, cell
+    DESC), implemented as reversed argmax.
+
+    100 TB posture: mapInArrow streams batches, the centroid matrix is
+    a ~8 KB task constant, output adds one int column — the assignment
+    scans the corpus once and becomes a partition column."""
+    import numpy as np
+    import pyarrow as pa
+
+    cm = np.ascontiguousarray(np.asarray(cmat, dtype=np.float64).T)
+    n_cells = cm.shape[1]
+
+    def assign(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column("embedding")
+            vals = np.asarray(emb.flatten(), dtype=np.float64)
+            if vals.size != n * _IVF_DIM:  # ragged input: contract is
+                raise ValueError(f"embedding dim != {_IVF_DIM}")  # fixed-dim
+            dots = vals.reshape(n, _IVF_DIM) @ cm
+            cell = (n_cells - 1) - np.argmax(dots[:, ::-1], axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    emb,
+                    pa.array(cell.astype(np.int32), type=pa.int32()),
+                ],
+                names=["vec_id", "embedding", "cell"],
+            )
+
+    return e.select("vec_id", "embedding").mapInArrow(
+        assign, "vec_id bigint, embedding array<float>, cell int"
+    )
+
+
+_IVF_CENTROIDS: dict[tuple, "object"] = {}
+
+
+def session_ivf_index(spark: SparkSession, sf_dir: str,
+                      n_cells: int = _IVF_CELLS):
+    """The corpus' IVF index — (vec_id, embedding, cell) rows plus the
+    refined centroid matrix — built ONCE per (session, corpus) via
+    session_checkpoint (fixture-fingerprint-keyed, so regeneration
+    can't serve stale cells). Construction is deterministic given the
+    data: strided init, one Lloyd step (re-center = posexplode →
+    per-(cell,dim) avg, ONE shuffle), Arrow-matmul assignment.
+
+    Before r11 sim_ann_ivf rebuilt all of this inline per call with
+    the interpreted Catalyst when-chain on both Lloyd and final
+    assignment — 8.3 s warm at sf0.1, the slowest batch query in the
+    registry (SWEEP_r11); the memoized artifact probe is ~0.3 s and the
+    one-time build ~1.5 s, reported in derived_build_sec."""
+    import numpy as np
+
+    from kafka_spark_streaming_spark.tables import (
+        fixture_fingerprint,
+        session_checkpoint,
+    )
+
+    ck = (
+        spark.sparkContext.applicationId,
+        f"{sf_dir}@{fixture_fingerprint(sf_dir)}",
+        n_cells,
+    )
+
+    def build() -> DataFrame:
+        e = table(spark, sf_dir, "embeddings")
+        # deterministic init: evenly-strided vec_ids (seedless,
+        # reproducible); n_total is a bounded scalar (init stride)
+        n_total = e.count()
+        stride = max(n_total // n_cells, 1)
+        init = (
+            e.filter(
+                (F.col("vec_id") % stride == 0)
+                & (F.col("vec_id") < stride * n_cells)
+            )
+            .orderBy("vec_id")
+            .collect()
+        )
+        cmat = np.array([list(r.embedding) for r in init], dtype=np.float64)
+        cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+        # one Lloyd step: re-center each cell (posexplode → per-dim avg)
+        assigned = ivf_assign_arrow(e, cmat)
+        centers = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s.m).alias("centroid"))
+            .collect()
+        )
+        cmat2 = cmat.copy()
+        for r in centers:
+            v = np.array(r.centroid, dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                cmat2[r.cell] = v / n
+        _IVF_CENTROIDS[ck] = cmat2
+        return ivf_assign_arrow(e, cmat2)
+
+    df = session_checkpoint(
+        spark, f"ivf_index{n_cells}:{sf_dir}", build, sf_dir=sf_dir
+    )
+    return df, _IVF_CENTROIDS[ck]
+
+
 @register("sim_ann_ivf", _ann_ivf_oracle())
 def sim_ann_ivf(spark: SparkSession, sf_dir: str,
                 n_cells: int = _IVF_CELLS,
@@ -525,13 +653,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str,
     cells; queries probe only their n_probe nearest cells, so search
     cost is ~(n_probe/n_cells) of a full scan + a tiny rerank.
 
-    Distributed construction, the way MLlib does it: deterministic
-    seed-sample of n_cells vectors as initial centroids, one Lloyd
-    refinement (assign = argmax-cosine via broadcast centroids;
-    re-center = posexplode + per-(cell,dim) avg — ONE shuffle), then
-    cell assignment becomes a persisted column of the corpus. At
-    100 TB the inverted lists are just a `cell` partition column on
-    the embedding table — partition pruning IS the index probe.
+    Construction lives in session_ivf_index (memoized per corpus, the
+    persisted-index production shape); this probe ranks cells for each
+    query against the refined centroids, joins the probed cells, and
+    exact-cosine reranks. At 100 TB the inverted lists are just a
+    `cell` partition column on the embedding table — partition pruning
+    IS the index probe.
 
     Note the fixture's vectors are near-uniform on the sphere (no
     cluster structure), so recall ≈ scanned fraction; tests assert
@@ -539,73 +666,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str,
     """
     import numpy as np
 
-    e = table(spark, sf_dir, "embeddings")
-
-    # deterministic init: evenly-strided vec_ids (seedless, reproducible)
-    n_total = e.count()
-    stride = max(n_total // n_cells, 1)
-    init = (
-        e.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * n_cells))
-        .orderBy("vec_id")
-        .collect()
-    )
-    cmat = np.array([list(r.embedding) for r in init], dtype=np.float64)
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
-
-    def assign_expr(centroids: np.ndarray) -> F.Column:
-        """argmax-cosine cell id, pure Catalyst (codegen'd): greatest()
-        over per-centroid dot products of the normalized vector."""
-        norm = F.sqrt(
-            F.aggregate(
-                F.col("embedding"),
-                F.lit(0.0),
-                lambda a, x: a + x.cast("double") * x.cast("double"),
-            )
-        )
-        dots = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(v)) for v in c]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / norm
-            for c in centroids
-        ]
-        best = F.greatest(*dots)
-        cell = F.lit(0)
-        for i, d in enumerate(dots):
-            cell = F.when(d == best, F.lit(i)).otherwise(cell)
-        return cell
-
-    # one Lloyd step: re-center each cell (posexplode → per-dim avg)
-    assigned = e.select("vec_id", "embedding", assign_expr(cmat).alias("cell"))
-    centers = (
-        assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cell", F.transform("pm", lambda s: s.m).alias("centroid"))
-        .collect()
-    )
-    cmat2 = cmat.copy()
-    for r in centers:
-        v = np.array(r.centroid, dtype=np.float64)
-        n = np.linalg.norm(v)
-        if n > 0:
-            cmat2[r.cell] = v / n
-
-    corpus = e.select(
+    index, cmat2 = session_ivf_index(spark, sf_dir, n_cells)
+    corpus = index.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
-        assign_expr(cmat2).alias("cell"),
+        "cell",
     )
     # queries probe their n_probe nearest cells
-    q = e.filter(F.col("vec_id") < N_QUERIES).collect()
+    q = index.filter(F.col("vec_id") < N_QUERIES).collect()
     qmat = np.array([list(r.embedding) for r in q], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
     # stable sort: on an exact dot-product tie the oracle ranks

@@ -295,6 +295,41 @@ def test_lsh_buckets_arrow_equals_catalyst(spark, sf_correct, sf_smoke):
         assert arr == cat, f"bucket mismatch at {sf}"
 
 
+def test_ivf_assign_arrow_equals_catalyst(spark, sf_correct, sf_smoke):
+    """The Arrow matmul cell assignment must emit EXACTLY the
+    (vec_id → cell) map the Catalyst when-chain twin does — cell
+    decisions depend only on the dot-product ARGMAX, whose margins
+    (~1e-2 on every fixture) dwarf summation-reorder noise (~1e-13),
+    so any mismatch is a real bug, not float residue. The registered
+    sim_ann_ivf runs only the Arrow path (8.3 s → 0.7 s warm at sf0.1,
+    SWEEP_r11); this test is what keeps that rewrite honest."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators.similarity import (
+        ivf_assign_arrow,
+        ivf_assign_catalyst,
+        session_ivf_index,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    for sf in (sf_correct, sf_smoke):
+        _, cmat2 = session_ivf_index(spark, sf)
+        e = table(spark, sf, "embeddings")
+        cat = {
+            r.vec_id: r.cell
+            for r in e.select(
+                "vec_id", ivf_assign_catalyst(cmat2).alias("cell")
+            ).collect()
+        }
+        arr = {
+            r.vec_id: r.cell
+            for r in ivf_assign_arrow(e, cmat2)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert arr == cat, f"cell assignment mismatch at {sf}"
+
+
 def test_lsh_buckets_null_embedding_fails_fast_all_paths(spark):
     """Null/ragged embeddings are a DATA ERROR in every bucket path —
     Catalyst, Arrow, and the DuckDB oracle CTE all raise instead of
