@@ -139,13 +139,28 @@ def sk_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd 1 %) checked against
     the exact count.  At 100 TB the exact variant needs a shuffle of
     every distinct key; HLL is a constant-size mergeable sketch
-    computed map-side."""
+    computed map-side.
+
+    Plan shape: the pairs are deduped FIRST, then both aggregates run
+    over the distinct set. Mixing countDistinct with a non-distinct
+    HLL in one agg makes Spark plan the expand/multi-stage
+    distinct-aggregate shape, which re-evaluates the wide-register
+    (rsd 1 % → 2^14 registers) HLL buffer through the distinct
+    pipeline — measured 2.5 s warm at sf0.1 vs 0.34 s + 0.74 s for the
+    aggregates run separately (SWEEP_r11). HLL insertion is idempotent
+    (a duplicate sets the same register to the same max), so the
+    sketch over the deduped pairs is bit-identical to the raw-stream
+    sketch — verified value-identical — and the exact count is just
+    count(*) of the deduped pairs; the shuffle still carries
+    |distinct pairs| partial-combined map-side, same as countDistinct
+    planned anyway."""
     ev = table(spark, sf_dir, "events")
+    dd = ev.select("event_type", "user_id").distinct()
     return (
-        ev.groupBy("event_type")
+        dd.groupBy("event_type")
         .agg(
+            F.count("*").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
         )
         .select(
             "event_type",
