@@ -827,38 +827,54 @@ def pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(cb1, d1): the trained codebook and the per-(vector, subspace,
     codeword) distance table the query path derives codes/LUTs from —
     exposed for tests (the ADC triangle-inequality invariant needs the
-    index internals)."""
-    e = table(spark, sf_dir, "embeddings")
-    n_total = e.count()  # bounded scalar: init stride, as in sim_ann_ivf
-    stride = max(n_total // _PQ_K, 1)
-    sub = _pq_subvectors(e)
-    cb0 = sub.filter(
-        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * _PQ_K)
-    ).select(
-        "m",
-        F.floor(F.col("vec_id") / stride).cast("int").alias("k"),
-        "pos",
-        F.col("x").alias("c"),
-    )
-    a0 = _pq_argmin_codes(_pq_subspace_dists(sub, cb0)).select(
-        "vec_id", "m", "k"
-    )
-    recentered = (
-        sub.join(a0, ["vec_id", "m"])
-        .groupBy("m", "k", "pos")
-        .agg(_q9(F.avg("x")).alias("rc"))  # quantized at the source —
-        # see the oracle's cb1 comment
-    )
-    cb1 = (
-        cb0.join(recentered, ["m", "k", "pos"], "left")
-        .select(
-            "m", "k", "pos", F.coalesce("rc", "c").alias("c")
+    index internals).
+
+    Both halves are memoized per (session, corpus) via
+    session_checkpoint (fixture-fingerprint-keyed) — a trained PQ index
+    is a persisted artifact of the corpus, not per-query work. Before
+    r11 every sim_pq_adc_topk call retrained codebook + distances
+    inline (1.8 s warm at sf0.1, SWEEP_r11); the memoized probe is the
+    ADC join only."""
+    from kafka_spark_streaming_spark.tables import session_checkpoint
+
+    def build_cb1() -> DataFrame:
+        e = table(spark, sf_dir, "embeddings")
+        n_total = e.count()  # bounded scalar: init stride, as sim_ann_ivf
+        stride = max(n_total // _PQ_K, 1)
+        sub = _pq_subvectors(e)
+        cb0 = sub.filter(
+            (F.col("vec_id") % stride == 0)
+            & (F.col("vec_id") < stride * _PQ_K)
+        ).select(
+            "m",
+            F.floor(F.col("vec_id") / stride).cast("int").alias("k"),
+            "pos",
+            F.col("x").alias("c"),
         )
-        .localCheckpoint(eager=True)  # 512 rows; pins the trained codebook
+        a0 = _pq_argmin_codes(_pq_subspace_dists(sub, cb0)).select(
+            "vec_id", "m", "k"
+        )
+        recentered = (
+            sub.join(a0, ["vec_id", "m"])
+            .groupBy("m", "k", "pos")
+            .agg(_q9(F.avg("x")).alias("rc"))  # quantized at the source —
+            # see the oracle's cb1 comment
+        )
+        return cb0.join(recentered, ["m", "k", "pos"], "left").select(
+            "m", "k", "pos", F.coalesce("rc", "c").alias("c")
+        )  # 512 rows; the checkpoint pins the trained codebook
+
+    cb1 = session_checkpoint(
+        spark, f"pq_codebook:{sf_dir}", build_cb1, sf_dir=sf_dir
     )
-    d1 = _pq_subspace_dists(sub, cb1).localCheckpoint(
-        eager=True
-    )  # the PQ index build
+    d1 = session_checkpoint(
+        spark,
+        f"pq_dists:{sf_dir}",
+        lambda: _pq_subspace_dists(
+            _pq_subvectors(table(spark, sf_dir, "embeddings")), cb1
+        ),
+        sf_dir=sf_dir,
+    )
     return cb1, d1
 
 
