@@ -39,6 +39,11 @@ HEADLINE = [
     # d_containment_pairs rides the shared key-index artifact.
     "d_simhash_pairs",
     "d_containment_pairs",
+    # r12: index-probe regressions are the likeliest perf-rot class
+    # (three rounds running — VERDICT r11 #6); now sub-second after the
+    # r11 memoized-index rewrite, so HEADLINE's min-of-3 + regressions
+    # gate is cheap insurance on the probe path.
+    "sim_ann_ivf",
     "sessionize_events",
     "aj_purchase_last_click",
     "d_minhash_lsh_pairs",
@@ -90,6 +95,11 @@ NOTES = {
         "derived builds sampled twice (memo cleared) with min kept "
         "(shared-host VM shows 1.5-2x whole-run noise between passes, "
         "measured across identical back-to-back runs in r7)"
+    ),
+    "r12_headline_change": (
+        "sim_ann_ivf added to HEADLINE (VERDICT r11 #6) — the TOTAL "
+        "grows by its ~1 s warm probe vs BENCH_r11 by construction; "
+        "its one-time index build is reported in derived_build_sec"
     ),
     "r11_headline_change": (
         "d_simhash_pairs / d_containment_pairs added to HEADLINE "

@@ -83,7 +83,10 @@ def main(argv: list[str] | None = None) -> int:
     # process-wide equivalent is SparkSession._instantiatedSession.
     pre_existing = (
         SparkSession.getActiveSession() is not None
-        or SparkSession._instantiatedSession is not None
+        # private attr — present in current PySpark but unstable API;
+        # getattr so an upgrade degrades to the thread-local check
+        # instead of reintroducing the AttributeError (ADVICE r11)
+        or getattr(SparkSession, "_instantiatedSession", None) is not None
     )
     spark = get_spark(app_name=f"kss-explain-{args.query}")
     try:

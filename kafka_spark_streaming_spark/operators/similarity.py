@@ -573,17 +573,18 @@ def ivf_assign_arrow(e: DataFrame, cmat) -> DataFrame:
     )
 
 
-_IVF_CENTROIDS: dict[tuple, "object"] = {}
-
-
 def session_ivf_index(spark: SparkSession, sf_dir: str,
                       n_cells: int = _IVF_CELLS):
     """The corpus' IVF index — (vec_id, embedding, cell) rows plus the
     refined centroid matrix — built ONCE per (session, corpus) via
     session_checkpoint (fixture-fingerprint-keyed, so regeneration
-    can't serve stale cells). Construction is deterministic given the
-    data: strided init, one Lloyd step (re-center = posexplode →
-    per-(cell,dim) avg, ONE shuffle), Arrow-matmul assignment.
+    can't serve stale cells). The centroid matrix rides the SAME cache
+    entry as a sidecar (one key, one eviction path — VERDICT r11 #4 /
+    ADVICE r11 replaced the per-module side-channel dict that leaked
+    and could KeyError on a hit without a matching centroid entry).
+    Construction is deterministic given the data: strided init, one
+    Lloyd step (re-center = posexplode → per-(cell,dim) avg, ONE
+    shuffle), Arrow-matmul assignment.
 
     Before r11 sim_ann_ivf rebuilt all of this inline per call with
     the interpreted Catalyst when-chain on both Lloyd and final
@@ -592,18 +593,9 @@ def session_ivf_index(spark: SparkSession, sf_dir: str,
     one-time build ~1.5 s, reported in derived_build_sec."""
     import numpy as np
 
-    from kafka_spark_streaming_spark.tables import (
-        fixture_fingerprint,
-        session_checkpoint,
-    )
+    from kafka_spark_streaming_spark.tables import session_checkpoint
 
-    ck = (
-        spark.sparkContext.applicationId,
-        f"{sf_dir}@{fixture_fingerprint(sf_dir)}",
-        n_cells,
-    )
-
-    def build() -> DataFrame:
+    def build():
         e = table(spark, sf_dir, "embeddings")
         # deterministic init: evenly-strided vec_ids (seedless,
         # reproducible); n_total is a bounded scalar (init stride)
@@ -636,13 +628,15 @@ def session_ivf_index(spark: SparkSession, sf_dir: str,
             n = np.linalg.norm(v)
             if n > 0:
                 cmat2[r.cell] = v / n
-        _IVF_CENTROIDS[ck] = cmat2
-        return ivf_assign_arrow(e, cmat2)
+        return ivf_assign_arrow(e, cmat2), cmat2
 
-    df = session_checkpoint(
-        spark, f"ivf_index{n_cells}:{sf_dir}", build, sf_dir=sf_dir
+    return session_checkpoint(
+        spark,
+        f"ivf_index{n_cells}:{sf_dir}",
+        build,
+        sf_dir=sf_dir,
+        with_sidecar=True,
     )
-    return df, _IVF_CENTROIDS[ck]
 
 
 @register("sim_ann_ivf", _ann_ivf_oracle())

@@ -159,7 +159,12 @@ def sk_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dd.groupBy("event_type")
         .agg(
-            F.count("*").alias("exact_users"),
+            # count(user_id), not count(*): a NULL user_id survives the
+            # pair-dedup as its own row, but the oracle's
+            # COUNT(DISTINCT user_id) and approx_count_distinct both
+            # ignore NULLs — count(*) would diverge on null-bearing
+            # data (ADVICE r11)
+            F.count("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         )
         .select(

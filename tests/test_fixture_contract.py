@@ -111,6 +111,57 @@ def test_session_checkpoint_invalidates_on_fixture_rewrite(spark, tmp_path):
     assert len(calls) == 2 and c is not a
 
 
+def test_session_checkpoint_sidecar_rides_same_entry(spark, tmp_path):
+    """VERDICT r11 #4 / ADVICE r11: the IVF centroid matrix used to
+    live in a per-module side-channel dict — never evicted, and an
+    unguarded KeyError on any cache hit without a matching entry. Now
+    the sidecar rides the SAME memo key: same hit, same regeneration
+    eviction, and an orphaned sidecar (module reload) rebuilds instead
+    of raising."""
+    sf_dir = str(tmp_path)
+    src = os.path.join(tables.DEFAULT_SF_DIR, "documents.parquet")
+    dst = os.path.join(sf_dir, "documents.parquet")
+    shutil.copyfile(src, dst)
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(len(calls)), {"gen": len(calls)}
+
+    key = f"probe_sc:{sf_dir}"
+    a, sa = tables.session_checkpoint(
+        spark, key, build, sf_dir=sf_dir, with_sidecar=True
+    )
+    b, sb = tables.session_checkpoint(
+        spark, key, build, sf_dir=sf_dir, with_sidecar=True
+    )
+    assert a is b and sa is sb and len(calls) == 1
+
+    # regeneration: BOTH halves must be evicted together
+    os.utime(dst, None)
+    c, sc = tables.session_checkpoint(
+        spark, key, build, sf_dir=sf_dir, with_sidecar=True
+    )
+    assert len(calls) == 2 and c is not a and sc == {"gen": 2}
+    fp = tables.fixture_fingerprint(sf_dir)
+    stale = [
+        k
+        for k in list(tables._DERIVED_CACHE) + list(tables._DERIVED_SIDECAR)
+        if k[1].startswith("probe_sc:") and not k[1].endswith(fp)
+    ]
+    assert stale == []
+
+    # orphaned sidecar (the module-reload case): hit without a sidecar
+    # entry must rebuild both, not KeyError
+    appid = spark.sparkContext.applicationId
+    del tables._DERIVED_SIDECAR[(appid, f"{key}@{fp}")]
+    d, sd = tables.session_checkpoint(
+        spark, key, build, sf_dir=sf_dir, with_sidecar=True
+    )
+    assert len(calls) == 3 and sd == {"gen": 3}
+
+
 def test_engine_confs_pinned_on_foreign_session(spark):
     """The correctness driver builds its own SparkSession without the
     engine's configuration. ensure_engine_confs (called from every

@@ -67,6 +67,28 @@ def test_new_queries_auto_enroll():
     assert out["fresh"] == {"min_sec": 2.5, "round": "r11"}
 
 
+def test_errored_query_never_tightens_baseline():
+    # ADVICE r11: a pass-1 timing recorded before pass 2 errored (or a
+    # bogusly fast degenerate-plan time) must not lower the permanent
+    # min-of-history floor.
+    base = {"q1": {"min_sec": 1.0, "round": "r10"}}
+    out = merged_baseline(
+        base, {"q1": 0.1, "q2": 0.2}, "r12", errors={"q1": "boom", "q2": "boom"}
+    )
+    assert out["q1"] == {"min_sec": 1.0, "round": "r10"}  # no tighten
+    assert "q2" not in out  # no enroll from an errored run
+
+
+def test_errored_query_is_not_double_flagged():
+    # rc 1 already reports the error; a gate flag on the partial
+    # timing is noise.
+    base = {"q1": {"min_sec": 1.0, "round": "r10"}}
+    flags = gate_flags(
+        {"q1": 9.0}, base, gate=2.0, slack=0.75, errors={"q1": "boom"}
+    )
+    assert flags == []
+
+
 def test_merge_does_not_mutate_input():
     base = {"q1": {"min_sec": 1.0, "round": "r10"}}
     merged_baseline(base, {"q1": 0.5, "q2": 1.0}, "r11")

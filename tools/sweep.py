@@ -83,11 +83,17 @@ def gate_flags(
     baseline: dict[str, dict],
     gate: float = GATE,
     slack: float = SLACK,
+    errors: dict | set | tuple = (),
 ) -> list[dict]:
     """Queries breaching gate×best-ever + absolute slack. Pure function
-    so the policy is unit-testable without Spark."""
+    so the policy is unit-testable without Spark. A query that ERRORED
+    this run is excluded: its recorded timing is a partial pass (pass 1
+    before pass 2 raised) and already fails the sweep via rc 1 — a
+    duplicate flag on an untrustworthy number is noise (ADVICE r11)."""
     out = []
     for name, sec in timings.items():
+        if name in errors:
+            continue
         base = baseline.get(name, {}).get("min_sec")
         if base is None or base <= 0:
             continue
@@ -104,11 +110,22 @@ def gate_flags(
 
 
 def merged_baseline(
-    baseline: dict[str, dict], timings: dict[str, float], round_tag: str
+    baseline: dict[str, dict],
+    timings: dict[str, float],
+    round_tag: str,
+    errors: dict | set | tuple = (),
 ) -> dict[str, dict]:
-    """Min-only merge: entries tighten or stay; new queries auto-enroll."""
+    """Min-only merge: entries tighten or stay; new queries auto-enroll.
+
+    Queries that errored this run never touch the baseline (ADVICE
+    r11): a pass-1 timing whose pass 2 raised — or a bogusly fast time
+    from a degenerate plan that then failed — would otherwise lower
+    the floor PERMANENTLY (baselines only move down) and make every
+    subsequent healthy run flag."""
     out = dict(baseline)
     for name, sec in timings.items():
+        if name in errors:
+            continue
         prev = out.get(name)
         if prev is None:
             out[name] = {"min_sec": sec, "round": round_tag}
@@ -133,6 +150,24 @@ def main() -> int:
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    def settle_streams(timeout_s: float = 60.0) -> None:
+        """Drain the previous streaming query's teardown BEFORE the
+        next s_* timer starts (VERDICT r11 #3: registry-order timing
+        charged the prior stream's stop tax to the next entry —
+        s_stream_stream_join recorded 30.2 s vs 12.5-19.5 s isolated,
+        so SWEEP_BASELINE held floor+tax, not the real drain floor).
+        Stop any still-active query, then run a trivial job as a
+        scheduler barrier so stop/cleanup threads finish off-clock."""
+        deadline = time.perf_counter() + timeout_s
+        while spark.streams.active and time.perf_counter() < deadline:
+            for q in spark.streams.active:
+                try:
+                    q.stop()
+                except Exception:  # noqa: BLE001 — settle must not fail the sweep
+                    pass
+            time.sleep(0.2)
+        spark.range(1).count()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     t_sweep = time.perf_counter()
@@ -140,6 +175,8 @@ def main() -> int:
         passes = 1 if name.startswith("s_") else 2
         try:
             for _ in range(passes):
+                if name.startswith("s_"):
+                    settle_streams()
                 t0 = time.perf_counter()
                 force(fn(spark, sf_dir))
                 dt = round(time.perf_counter() - t0, 3)
@@ -152,10 +189,10 @@ def main() -> int:
     wall = round(time.perf_counter() - t_sweep, 1)
 
     baseline = load_baseline()
-    flagged = gate_flags(timings, baseline)
+    flagged = gate_flags(timings, baseline, errors=errors)
     new_queries = sorted(set(timings) - set(baseline))
     round_tag = f"r{rnd:02d}"
-    updated = merged_baseline(baseline, timings, round_tag)
+    updated = merged_baseline(baseline, timings, round_tag, errors=errors)
 
     derived = {
         k.split(":", 1)[0]: v
