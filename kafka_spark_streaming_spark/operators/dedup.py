@@ -1140,20 +1140,33 @@ def d_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("text_b"),
         F.substring("text", 1, 24).alias("blk_b"),
     )
+    # The O(L²) verify is guarded INSIDE one when() expression rather
+    # than left as a separate post-join filter: Catalyst pushes a
+    # deterministic filter into the join condition and ordered the
+    # pushed levenshtein BEFORE the cheap doc_a<doc_b / |Δlen| residuals
+    # — every (lang, prefix) equi-match, including all n self-pairs of
+    # the self-join, paid the full DP (measured 5.8 s warm at sf0.1 for
+    # 79 real candidates; the scan+join alone is 1.2 s — SWEEP_r11 /
+    # VERDICT r11 #7). A when() short-circuits wherever Catalyst places
+    # it, and the bounded 3-arg levenshtein (threshold 16, -1 beyond)
+    # caps the survivors' DP at O(L·k) instead of O(L²).
+    edit = F.when(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= 16),
+        F.levenshtein("text_a", "text_b", 16),
+    ).otherwise(F.lit(-1))
     return (
         a.join(
             b,
             (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("blk_a") == F.col("blk_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= 16),
+            & (F.col("blk_a") == F.col("blk_b")),
         )
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("text_a", "text_b").cast("bigint").alias("edit_dist"),
+            edit.cast("bigint").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 16)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 

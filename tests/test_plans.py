@@ -387,6 +387,20 @@ def test_edit_distance_block_join_is_equi(spark, sf_smoke):
     plan = plan_of(spark, "d_edit_distance_pairs", sf_smoke)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r12: the O(L²) DP must stay INSIDE the when()-guard so it
+    # short-circuits on the cheap doc_a<doc_b / |Δlen| predicates
+    # wherever Catalyst pushes it. As a bare post-join filter, Catalyst
+    # pushed the levenshtein into the join condition AHEAD of the cheap
+    # residuals and every (lang, prefix) equi-match — including all n
+    # self-pairs — paid the full DP: 5.8 s warm at sf0.1 for 79 real
+    # candidates vs 0.5 s guarded (VERDICT r11 #7 audit).
+    import re
+
+    assert re.search(r"CASE WHEN .*THEN \(?levenshtein", plan), (
+        "levenshtein verify escaped its when()-guard — the cheap "
+        "residuals no longer short-circuit the DP"
+    )
+    assert "Some(16)" in plan, "bounded (threshold-16) levenshtein dropped"
 
 
 def test_zscore_moments_broadcast(spark, sf_smoke):
