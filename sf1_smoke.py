@@ -82,6 +82,11 @@ SMOKE = [
     # replica)
     "d_ngram_jaccard_pairs",
     "t_winnow_fingerprints",
+    # r12: the when()-guarded bounded-levenshtein verify (VERDICT r11
+    # #7 fix) — exact-duplicate replicas make every (lang, prefix-24)
+    # block K deep, so the candidate count here is ~K²/2 per cluster:
+    # exactly the load that would re-expose an escaped O(L²) verify
+    "d_edit_distance_pairs",
 ]
 
 
