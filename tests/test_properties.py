@@ -354,6 +354,50 @@ def test_edit_distance_pairs_all_within_threshold(spark, sf_smoke):
     assert all(r.doc_a < r.doc_b for r in rows)
 
 
+def test_edit_distance_guard_boundaries(spark, tmp_path):
+    """Pin the three boundaries of the guarded verify on a crafted
+    block (all docs share lang + the 24-char prefix): the equality
+    short-circuit (distance 0), the threshold boundary (16 kept, 17
+    dropped by the bounded DP's -1), and the |Δlen| guard boundary
+    (16 reaches the DP, 17 is pruned before it — sound, since
+    distance >= |Δlen|)."""
+    from kafka_spark_streaming_spark.operators.dedup import (
+        d_edit_distance_pairs,
+    )
+
+    P = "p" * 24
+    texts = [
+        P + "a" * 100,             # 0: base                (len 124)
+        P + "a" * 100,             # 1: exact dup of 0      (dist 0)
+        P + "a" * 84 + "b" * 16,   # 2: 16 subs from 0      (dist 16)
+        P + "a" * 83 + "b" * 17,   # 3: 17 subs from 0      (dist 17)
+        P + "a" * 116,             # 4: 16 inserts, Δlen 16 (dist 16)
+        P + "a" * 117,             # 5: Δlen 17 from 0-3 — guard-pruned
+    ]
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in d_edit_distance_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (0, 1): 0,    # equality branch
+        (0, 2): 16,   # at the threshold: kept
+        (1, 2): 16,
+        (2, 3): 1,    # b16 vs b17 tails differ by one substitution
+        (0, 4): 16,   # Δlen exactly 16 still reaches the DP
+        (1, 4): 16,
+        (4, 5): 1,
+        # absent: (0,3)/(1,3) dist 17 > threshold; (2,4)/(3,4) > 16;
+        # (x,5) for x<4: |Δlen| 17 pruned before the DP
+    }
+
+
 def test_mixture_rebalance_rates_and_counts_consistent(spark, sf_smoke):
     from kafka_spark_streaming_spark.operators import QUERIES
 
