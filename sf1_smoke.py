@@ -87,6 +87,17 @@ SMOKE = [
     # block K deep, so the candidate count here is ~K²/2 per cluster:
     # exactly the load that would re-expose an escaped O(L²) verify
     "d_edit_distance_pairs",
+    # r12: the three memoized-index ANN probes (r11 rewrite) at 10x
+    # corpus — index BUILD cost lands in derived_build_sec; the gated
+    # number is the warm probe, which must stay ~flat vs sf0.1 (the
+    # whole point of the index). d_simhash_pairs deliberately NOT
+    # here: its h<=15 / 4-bit-band layout has a documented n²/32
+    # candidate floor (see dedup.py) — quadratic by contract at this
+    # radius, so a 10x gate entry would pin a number the operator's
+    # own docs call the wrong deployment shape at scale.
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_pq_adc_topk",
 ]
 
 
