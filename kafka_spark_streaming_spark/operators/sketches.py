@@ -295,7 +295,12 @@ def sk_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         day_sketches.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            # count(day), not count(*): a NULL ts would form its own
+            # day-group here, but the oracle's COUNT(DISTINCT CAST(ts
+            # AS DATE)) ignores NULLs — same cross-engine NULL contract
+            # as sk_hll_distinct_users (ADVICE r11 class, found by the
+            # r12 self-audit)
+            F.count("day").cast("bigint").alias("n_days"),
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
         )
         .join(
