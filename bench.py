@@ -216,8 +216,16 @@ def main() -> None:
     # every derived artifact a SECOND build (memo cleared) and let
     # session_checkpoint keep the min — the build-time analogue of the
     # per-query min-of-N above.
-    _tables._DERIVED_CACHE.clear()
-    for n in ("d_minhash_lsh_pairs", "g_pagerank_trade", "p_decontaminate_ngram"):
+    _tables.reset_derived_cache()  # cache + sidecars together
+    for n in (
+        "d_minhash_lsh_pairs",
+        "g_pagerank_trade",
+        "p_decontaminate_ngram",
+        # r12 HEADLINE artifacts: the IVF index (+ centroid sidecar)
+        # and the simhash signature table
+        "sim_ann_ivf",
+        "d_simhash_pairs",
+    ):
         if n in fns:
             _force(fns[n](spark, sf_dir))
 

@@ -151,7 +151,9 @@ def sk_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a duplicate sets the same register to the same max), so the
     sketch over the deduped pairs is bit-identical to the raw-stream
     sketch — verified value-identical — and the exact count is just
-    count(*) of the deduped pairs; the shuffle still carries
+    count(user_id) of the deduped pairs (NOT count(*): a NULL user_id
+    row must stay out, matching the oracle — ADVICE r11); the shuffle
+    still carries
     |distinct pairs| partial-combined map-side, same as countDistinct
     planned anyway."""
     ev = table(spark, sf_dir, "events")

@@ -299,13 +299,23 @@ def prune_stale_siblings(
             _shutil.rmtree(d, ignore_errors=True)
 
 
+def reset_derived_cache() -> None:
+    """Drop every memoized derived artifact AND its sidecar together.
+    External callers (bench.py / sf1_smoke.py cold-rebuild sampling)
+    must use this instead of clearing _DERIVED_CACHE directly — a
+    cache-only clear would leave sidecars alive with no DataFrame twin,
+    breaking the paired-eviction invariant the two dicts share."""
+    _DERIVED_CACHE.clear()
+    _DERIVED_SIDECAR.clear()
+
+
 def session_checkpoint(
     spark,
     key: str,
     build,
     sf_dir: str | None = None,
     with_sidecar: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, object]":
     """Build-once-per-(session, key) eagerly checkpointed DataFrame.
 
     Pass sf_dir when the build derives from fixture tables: the memo key

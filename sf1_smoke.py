@@ -214,9 +214,11 @@ def main() -> None:
     # session memo and build every dedup index once more —
     # session_checkpoint keeps the MIN per artifact across rebuilds.
     for _rebuild in range(2):
-        _tables._DERIVED_CACHE.clear()
+        _tables.reset_derived_cache()  # cache + sidecars together
         for name in ("d_minhash_lsh_pairs", "d_containment_pairs",
-                     "d_ngram_jaccard_pairs"):
+                     "d_ngram_jaccard_pairs",
+                     # r12: the three memoized ANN index builds
+                     "sim_ann_ivf", "sim_ann_lsh", "sim_pq_adc_topk"):
             if name in SMOKE:
                 try:
                     fns[name](spark, OUT).count()

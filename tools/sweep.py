@@ -190,7 +190,9 @@ def main() -> int:
 
     baseline = load_baseline()
     flagged = gate_flags(timings, baseline, errors=errors)
-    new_queries = sorted(set(timings) - set(baseline))
+    # exclude errored queries: merged_baseline refuses to enroll them,
+    # so listing them here would claim an enrollment that never happened
+    new_queries = sorted(set(timings) - set(baseline) - set(errors))
     round_tag = f"r{rnd:02d}"
     updated = merged_baseline(baseline, timings, round_tag, errors=errors)
 
