@@ -161,6 +161,12 @@ def test_session_checkpoint_sidecar_rides_same_entry(spark, tmp_path):
     )
     assert len(calls) == 3 and sd == {"gen": 3}
 
+    # reset_derived_cache (the external cold-rebuild entry point) must
+    # clear BOTH halves — a cache-only clear would strand sidecars with
+    # no DataFrame twin (r12 review finding)
+    tables.reset_derived_cache()
+    assert tables._DERIVED_CACHE == {} and tables._DERIVED_SIDECAR == {}
+
 
 def test_engine_confs_pinned_on_foreign_session(spark):
     """The correctness driver builds its own SparkSession without the

@@ -186,9 +186,28 @@ def main() -> int:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         done = timings.get(name, "ERR")
         print(f"[{i}/{len(QUERIES)}] {name}: {done}", file=sys.stderr)
+    # Confirm pass (r12): a flag from a single noisy sample is not a
+    # regression. s_* entries get ONE timed pass by design, and even
+    # batch min-of-2 can catch a co-tenant spike on this shared host —
+    # the r12 sweep flagged s_incremental_daily_rollup at 4.65 s whose
+    # settled isolated min-of-3 was 2.3 s (inside the gate). So every
+    # would-be flag is re-timed once, settled, and the min kept; only a
+    # breach that SURVIVES the confirm pass is reported. A genuine
+    # regression (the 13x d_simhash_pairs class) survives trivially.
+    baseline = load_baseline()
+    for f in gate_flags(timings, baseline, errors=errors):
+        name = f["query"]
+        try:
+            settle_streams()
+            t0 = time.perf_counter()
+            force(QUERIES[name](spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings[name], dt)
+            print(f"[confirm] {name}: {dt}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — confirm is best-effort
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     wall = round(time.perf_counter() - t_sweep, 1)
 
-    baseline = load_baseline()
     flagged = gate_flags(timings, baseline, errors=errors)
     # exclude errored queries: merged_baseline refuses to enroll them,
     # so listing them here would claim an enrollment that never happened
@@ -219,10 +238,13 @@ def main() -> int:
         "notes": {
             "protocol": (
                 "batch = min of 2 consecutive noop-forced passes (warm); "
-                "s_* streaming = 1 pass (micro-batch drain floor); gate "
-                "compares vs min-of-history in SWEEP_BASELINE.json — "
-                "baselines only tighten, so shared-host drift (the r10 "
-                "uniform 1.3x) cannot loosen the gate round over round"
+                "s_* streaming = 1 pass (micro-batch drain floor) with a "
+                "settle barrier so the prior stream's stop tax stays off "
+                "the clock; any would-be flag gets ONE settled confirm "
+                "pass (min kept) before it is reported; gate compares vs "
+                "min-of-history in SWEEP_BASELINE.json — baselines only "
+                "tighten, so shared-host drift (the r10 uniform 1.3x) "
+                "cannot loosen the gate round over round"
             ),
         },
     }
