@@ -272,8 +272,23 @@ def main() -> None:
             "n": len(timings),
         }
         line = json.dumps(slim)
-    print(line)
+    # BENCH_r12 was `parsed: null` because a post-stop StateStore
+    # maintenance WARN printed AFTER the JSON line, pushing it out of
+    # the driver's 2000-byte tail window. Quiesce the engine BEFORE
+    # printing: stop any streaming queries still holding state stores,
+    # stop the session (joins the maintenance pool), then give lagging
+    # daemon threads a beat to flush — the JSON line is the process'
+    # final stdout bytes.
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
     spark.stop()
+    time.sleep(2)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

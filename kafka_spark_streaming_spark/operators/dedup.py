@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kafka_spark_streaming_spark.functions import cosine_similarity
+
 from kafka_spark_streaming_spark.operators.similarity import _q9
 from kafka_spark_streaming_spark.operators.registry import register
 from kafka_spark_streaming_spark.tables import session_checkpoint, table
@@ -597,6 +597,100 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_pairs(candidates, session_profile(spark, sf_dir))
 
 
+# --- exact cross-engine cosine (integer micro-unit embeddings) -----------
+# The repo's determinism toolkit applied to the embedding-dedup family
+# (VERDICT r12 #1): quantize each component to an integer grid
+# (floor(x*1e7 + 0.5)), compute the dot product and squared norms in
+# exact int64 arithmetic — associativity-free, so Spark's fold order,
+# the Arrow kernel's vectorized order and DuckDB's list_sum all agree
+# EXACTLY — then a single correctly-rounded sqrt / multiply / divide
+# per pair. Every integer intermediate sits below 2^53
+# (dim · (0.6·1e7)² ≈ 2.3e15 for the 64-dim ±0.6 corpus), so the
+# int→double conversions are exact and the final double is
+# BIT-IDENTICAL across engines by IEEE-754 construction. This removes
+# the last cross-SF residual: the (529,1234) 1-ulp divergence at sf0.1
+# came from list_cosine_similarity's different accumulation order.
+# At 1e7 the component quantization error is ~1e-7 relative, below the
+# 6-decimal reporting grid, so the published cos values are unchanged.
+_EMB_Q = 10_000_000
+
+
+def _quant_vec(col: F.Column) -> F.Column:
+    """array<float|double> → array<long> integer micro-unit vector."""
+    return F.transform(
+        col,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(_EMB_Q)) + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def _quant_norm(qcol: F.Column) -> F.Column:
+    """sqrt of the exact int64 sum of squares of a micro-unit vector.
+    The integer fold is exact; the one sqrt is correctly rounded, so
+    the double matches DuckDB's sqrt(CAST(list_sum(...) AS DOUBLE))."""
+    return F.sqrt(
+        F.aggregate(
+            qcol, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+
+
+def _quant_cos_expr(qa: F.Column, qb: F.Column, sna: F.Column, snb: F.Column) -> F.Column:
+    """Exact-int dot / (sna * snb) — the JVM-expression twin of the
+    Arrow kernel in _emb_pair_cos; bit-identical by construction since
+    every intermediate is either an exact integer or a single
+    correctly-rounded float op (test_emb_verify_kernel_bit_identical)."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return dot.cast("double") / (sna * snb)
+
+
+# DuckDB twins: eq/en CTEs over e(vec_id, v) + the per-pair cosine.
+_EMB_QUANT_CTES = f"""eq AS (
+      SELECT vec_id, list_transform(v, x ->
+               CAST(floor(x * {float(_EMB_Q)} + 0.5) AS BIGINT)) AS qv
+      FROM e),
+    en AS (
+      SELECT vec_id, qv,
+             sqrt(CAST(list_sum(list_transform(qv, q -> q * q))
+                       AS DOUBLE)) AS sn
+      FROM eq)"""
+
+
+def _qcos_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a}.qv)), "
+        f"i -> {a}.qv[i] * {b}.qv[i])) AS DOUBLE) / ({a}.sn * {b}.sn)"
+    )
+
+
+def _emb_quant_sides(
+    spark: SparkSession, sf_dir: str, a_name: str, b_name: str
+) -> tuple[DataFrame, DataFrame]:
+    """Per-vector (id, qv, sn) sides for a pair join — micro-unit
+    vector and norm computed once per VECTOR (the r9 hoist), never per
+    pair."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", _quant_vec(F.col("embedding")).alias("qv")
+    ).select("vec_id", "qv", _quant_norm(F.col("qv")).alias("sn"))
+    a = base.select(
+        F.col("vec_id").alias(a_name),
+        F.col("qv").alias("qa"),
+        F.col("sn").alias("sna"),
+    )
+    b = base.select(
+        F.col("vec_id").alias(b_name),
+        F.col("qv").alias("qb"),
+        F.col("sn").alias("snb"),
+    )
+    return a, b
+
+
 # --- embedding-cosine near-dup (brute = TEST-ONLY oracle machinery) ------
 # NOT registered (ADVICE r7 #4, same demotion r7 applied to
 # _jaccard_pairs): the all-pairs theta-join is the semantic DEFINITION
@@ -604,26 +698,29 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered 100× operator surface must never contain it. Tests
 # (test_embedding_lsh_recall_vs_brute, test_brute_pair_oracles_match)
 # keep it honest; d_embedding_near_dup_lsh is the scale path.
-EMB_NEAR_DUP_BRUTE_SQL = """
+EMB_NEAR_DUP_BRUTE_SQL = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5) / 1e9,
-                 6) AS cos_sim
-    FROM e a, e b
-    WHERE a.vec_id < b.vec_id
-      -- floor-quantize before the threshold compare (same _q9 pattern
-      -- as similarity.py): a cosine within float-sum noise of 0.45
-      -- must land the same side in both engines
-      AND floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5) / 1e9 >= 0.45
+               FROM embeddings),
+    {_EMB_QUANT_CTES},
+    qcos AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_qcos_sql('a', 'b')} AS qc
+      FROM en a, en b WHERE a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           round(floor(qc * 1e9 + 0.5) / 1e9, 6) AS cos_sim
+    FROM qcos
+    -- floor-quantize before the threshold compare (same _q9 pattern
+    -- as similarity.py); with the micro-unit cosine both engines see
+    -- the SAME double, so this is belt-and-suspenders
+    WHERE floor(qc * 1e9 + 0.5) / 1e9 >= 0.45
     """
 
 
 def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    a, b = _emb_quant_sides(spark, sf_dir, "vec_a", "vec_b")
+    cos = _quant_cos_expr(
+        F.col("qa"), F.col("qb"), F.col("sna"), F.col("snb")
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim_raw", _q9(cos))
@@ -671,36 +768,20 @@ def _emb_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # norms hoisted to once-per-VECTOR (r9): higher-order aggregates
-    # are interpreted per element, and candidates outnumber vectors
-    # ~400:1 here, so computing each side's norm inside the pair join
-    # was 2/3 of the verify work. vector_norm is the identical
-    # expression cosine_similarity uses — dot/(na*nb) is bit-for-bit
-    # the same double, so the _q9-quantized oracle comparison is
-    # unaffected (measured: identical output hashes at all three SFs).
-    from kafka_spark_streaming_spark.functions import vector_norm
-
-    e = table(spark, sf_dir, "embeddings")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
-        vector_norm(F.col("embedding")).alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
-        vector_norm(F.col("embedding")).alias("nb"),
-    )
+    # norms hoisted to once-per-VECTOR (r9): candidates outnumber
+    # vectors ~400:1 here, so each side carries its micro-unit vector
+    # (qa/qb) and precomputed norm sqrt (sna/snb) from
+    # _emb_quant_sides; the per-pair work is one exact int64 dot + one
+    # multiply + one divide.
+    a, b = _emb_quant_sides(spark, sf_dir, "vec_a", "vec_b")
     # cosine kernel as Arrow-batched numpy (r10): the HOF dot is
     # interpreted per element, and candidates outnumber vectors ~400:1
-    # — the per-PAIR dot was the whole verify cost. The accumulation
-    # below is sequential in i (acc = acc + A[:,i]*B[:,i]), vectorized
-    # ACROSS pairs: every intermediate rounds exactly like the
-    # left-to-right aggregate fold, so the doubles are BIT-IDENTICAL to
-    # the previous expression (proven: 0 mismatches over the full pair
-    # sets at 3 SFs, test_emb_verify_kernel_bit_identical) and the _q9
-    # oracle contract is untouched. Norms stay JVM-side per VECTOR
-    # (same expression as before, r9 hoist).
+    # — the per-PAIR dot was the whole verify cost. r13: the dot is now
+    # int64 over the micro-unit vectors, so accumulation ORDER is
+    # irrelevant (integer addition is exact) and the result is
+    # bit-identical to both the JVM _quant_cos_expr twin
+    # (test_emb_verify_kernel_bit_identical) and the DuckDB oracle's
+    # list_sum — this is what killed the (529,1234) 1-ulp residual.
     import numpy as np
     import pyarrow as pa
 
@@ -716,22 +797,28 @@ def _emb_pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = batch.num_rows
             if n == 0:
                 continue
-            A = np.asarray(batch.column("va").flatten(), dtype=np.float64)
-            B = np.asarray(batch.column("vb").flatten(), dtype=np.float64)
+            A = np.asarray(batch.column("qa").flatten(), dtype=np.int64)
+            B = np.asarray(batch.column("qb").flatten(), dtype=np.int64)
             if A.size != n * dim or B.size != n * dim:
                 raise ValueError(f"embedding dim != {dim}")
             A = A.reshape(n, dim)
             B = B.reshape(n, dim)
-            acc = np.zeros(n)
+            # exact int64 accumulate: |dot| <= dim * (0.6e7)^2 ~ 2.3e15,
+            # far below 2^63 (no overflow) and below 2^53 (the astype
+            # to float64 below is exact)
+            acc = np.zeros(n, dtype=np.int64)
             for i in range(dim):
-                acc = acc + A[:, i] * B[:, i]
-            na = np.asarray(batch.column("na"), dtype=np.float64)
-            nb = np.asarray(batch.column("nb"), dtype=np.float64)
+                acc += A[:, i] * B[:, i]
+            sna = np.asarray(batch.column("sna"), dtype=np.float64)
+            snb = np.asarray(batch.column("snb"), dtype=np.float64)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("vec_a"),
                     batch.column("vec_b"),
-                    pa.array(acc / (na * nb), type=pa.float64()),
+                    pa.array(
+                        acc.astype(np.float64) / (sna * snb),
+                        type=pa.float64(),
+                    ),
                 ],
                 names=["vec_a", "vec_b", "cos"],
             )
@@ -740,7 +827,7 @@ def _emb_pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb_lsh_candidates(spark, sf_dir)
         .join(a, "vec_a")
         .join(b, "vec_b")
-        .select("vec_a", "vec_b", "va", "vb", "na", "nb")
+        .select("vec_a", "vec_b", "qa", "qb", "sna", "snb")
     )
     return paired.mapInArrow(
         cos_kernel, "vec_a bigint, vec_b bigint, cos double"
@@ -764,6 +851,7 @@ def _emb_lsh_sql(threshold: float, extra: str = "") -> str:
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
+    {_EMB_QUANT_CTES},
     buck AS (
       {lsh_bucket_cte()}
     ),
@@ -772,15 +860,16 @@ def _emb_lsh_sql(threshold: float, extra: str = "") -> str:
       FROM buck x JOIN buck y
         ON x.t = y.t AND x.bkt = y.bkt AND x.vec_id < y.vec_id
     ),
-    verified AS (
-      SELECT cand.vec_a, cand.vec_b,
-             round(floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5)
-                   / 1e9, 6) AS cos_sim
+    qcos AS (
+      SELECT cand.vec_a, cand.vec_b, {_qcos_sql('a', 'b')} AS qc
       FROM cand
-      JOIN e a ON a.vec_id = cand.vec_a
-      JOIN e b ON b.vec_id = cand.vec_b
-      WHERE floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5) / 1e9
-            >= {threshold})
+      JOIN en a ON a.vec_id = cand.vec_a
+      JOIN en b ON b.vec_id = cand.vec_b),
+    verified AS (
+      SELECT vec_a, vec_b,
+             round(floor(qc * 1e9 + 0.5) / 1e9, 6) AS cos_sim
+      FROM qcos
+      WHERE floor(qc * 1e9 + 0.5) / 1e9 >= {threshold})
     {extra if extra else "SELECT * FROM verified"}
     """
 
@@ -1081,14 +1170,17 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # primary is d_semantic_only_pairs_lsh (equi-join candidates).
 SEMANTIC_ONLY_BRUTE_SQL = f"""
     WITH lex AS ({_JACCARD_PAIRS_SQL}),
-    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    sem AS (
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_EMB_QUANT_CTES},
+    qcos AS (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-             round(floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5)
-                   / 1e9, 6) AS cos
-      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-      WHERE floor(list_cosine_similarity(a.v, b.v) * 1e9 + 0.5) / 1e9
-            >= 0.25)
+             {_qcos_sql('a', 'b')} AS qc
+      FROM en a, en b WHERE a.vec_id < b.vec_id),
+    sem AS (
+      SELECT doc_a, doc_b,
+             round(floor(qc * 1e9 + 0.5) / 1e9, 6) AS cos
+      FROM qcos
+      WHERE floor(qc * 1e9 + 0.5) / 1e9 >= 0.25)
     SELECT sem.doc_a, sem.doc_b, cos
     FROM sem LEFT JOIN lex
       ON sem.doc_a = lex.doc_a AND sem.doc_b = lex.doc_b
@@ -1098,10 +1190,10 @@ SEMANTIC_ONLY_BRUTE_SQL = f"""
 
 
 def d_semantic_only_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    a, b = _emb_quant_sides(spark, sf_dir, "doc_a", "doc_b")
+    cos = _quant_cos_expr(
+        F.col("qa"), F.col("qb"), F.col("sna"), F.col("snb")
+    )
     sem = (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .withColumn("cos_raw", _q9(cos))

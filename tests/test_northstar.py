@@ -364,34 +364,22 @@ def test_lsh_buckets_null_embedding_fails_fast_all_paths(spark):
 
 
 def test_emb_verify_kernel_bit_identical(spark, sf_correct, sf_smoke):
-    """The Arrow cosine kernel (sequential-in-i accumulation) must give
-    BIT-identical doubles to the higher-order aggregate fold it
-    replaced, over every candidate pair — same intermediate rounding at
-    every step, so this is exact equality, not tolerance."""
-    from pyspark.sql import functions as F
-
-    from kafka_spark_streaming_spark.functions import (
-        dot_product,
-        vector_norm,
-    )
+    """The Arrow cosine kernel (exact int64 micro-unit dot) must give
+    BIT-identical doubles to its JVM higher-order-function twin
+    _quant_cos_expr over every candidate pair: every integer
+    intermediate is exact (order-free) and the only float ops (sqrt,
+    multiply, divide) are correctly rounded on identical inputs, so
+    this is exact equality, not tolerance — the same argument that
+    makes the DuckDB oracle bit-identical (r13)."""
     from kafka_spark_streaming_spark.operators.dedup import (
         _emb_lsh_candidates,
         _emb_pair_cos,
+        _emb_quant_sides,
+        _quant_cos_expr,
     )
-    from kafka_spark_streaming_spark.tables import table
 
     for sf in (sf_correct, sf_smoke):
-        e = table(spark, sf, "embeddings")
-        a = e.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("embedding").alias("va"),
-            vector_norm(F.col("embedding")).alias("na"),
-        )
-        b = e.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("embedding").alias("vb"),
-            vector_norm(F.col("embedding")).alias("nb"),
-        )
+        a, b = _emb_quant_sides(spark, sf, "vec_a", "vec_b")
         hof = {
             (r.vec_a, r.vec_b): r.cos
             for r in (
@@ -401,9 +389,8 @@ def test_emb_verify_kernel_bit_identical(spark, sf_correct, sf_smoke):
                 .select(
                     "vec_a",
                     "vec_b",
-                    (
-                        dot_product(F.col("va"), F.col("vb"))
-                        / (F.col("na") * F.col("nb"))
+                    _quant_cos_expr(
+                        F.col("qa"), F.col("qb"), F.col("sna"), F.col("snb")
                     ).alias("cos"),
                 )
                 .collect()
