@@ -1001,12 +1001,25 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
     when every component is a star rooted at its minimum; the driver
     compares one (count, hash-sum) witness per round — scalars, never
     data. localCheckpoint per round pins the lineage, as in the
-    propagation variant."""
+    propagation variant.
+
+    Driver-action budget (r13 cold audit, VERDICT r12 #5): each round
+    runs exactly ONE job — the checkpoint is LAZY and the signature
+    aggregate materializes it (the agg scans every partition, so the
+    checkpoint is complete). The previous eager-checkpoint-then-agg
+    shape was 2 jobs/round + 2 upfront. Measured at sf0.1 (min-of-5
+    warm): 2.52 s → 2.23 s full query; the remaining floor is
+    structural, attributed in PERF_NOTES r13 — one pair-generation
+    pass (~0.7 s, the minhash candidate join + verify runs inside the
+    first signature job) + rounds+1 sequential fixpoint jobs of 2-3
+    exchanges each at the local scheduling floor + the final
+    labels/keep-flag window. Round count is log(longest chain) by the
+    two-star contraction, so the shape holds at 100 TB."""
     e = (
         edges.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _sig(df: DataFrame) -> tuple:
@@ -1017,31 +1030,38 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
         ).collect()[0]
         return (r["c"], r["h"])
 
+    # per-node minima as PARTITIONED windows, not groupBy+join-back:
+    # min(v) OVER (PARTITION BY u) attaches the minimum to every edge
+    # row in the same shuffle that groups it — each star step is ONE
+    # exchange instead of the aggregate exchange plus a join exchange
+    # on both sides (r13 cold audit: fewer exchanges per round,
+    # byte-identical output; measured with the lazy checkpoints above)
+    from pyspark.sql import Window as W
+
+    w_u = W.partitionBy("u")
     prev = _sig(e)
     rounds = 0
     while True:
         rounds += 1
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        lmin = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", "u").alias("m"))
-        )
         large = (
-            sym.join(lmin, "u")
+            sym.withColumn(
+                "m", F.least(F.min("v").over(w_u), F.col("u"))
+            )
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+            # no distinct here: min() tolerates duplicate edges, the
+            # final e is distinct'd, and dedup multiplicity can't
+            # compound across rounds (e resets it) — one less exchange
         )
-        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        lm = large.withColumn("m", F.min("v").over(w_u))
         e = (
-            large.join(smin, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(smin.select("u", F.col("m").alias("v")))
+            lm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(lm.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = _sig(e)
         if cur == prev:
@@ -1093,9 +1113,14 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
 )
 def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = d_minhash_lsh_pairs(spark, sf_dir)
+    # no checkpoint here: connected_components lazily checkpoints its
+    # canonicalized edge set, and its first signature job materializes
+    # that — pair generation still runs exactly once, one job earlier
+    # (r13 cold audit: the eager checkpoint here was a whole extra
+    # pair-generation job at the scheduling floor)
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).localCheckpoint(eager=True)  # pair generation runs exactly once
+    )
     labels, _rounds = connected_components(edges)
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     comp = labels.select(
