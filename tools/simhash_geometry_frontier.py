@@ -1,0 +1,150 @@
+"""SimHash band-geometry frontier for d_simhash_pairs (VERDICT r12 #4).
+
+d_simhash_pairs ships 16 bands x 4 bits over the 64-bit signature,
+which pigeonhole-GUARANTEES every pair at Hamming <= 15 collides in at
+least one band (h < #bands => some band is error-free). The cost of
+that guarantee is the random-collision floor: two UNRELATED signatures
+agree on a given w-bit band with probability 2^-w, so the expected
+candidate load from sheer chance is
+
+    E[random colliding pairs] ~ C(n,2) * (1 - (1 - 2^-w)^b)
+
+which for b=16, w=4 is ~0.644 * C(n,2) — i.e. a constant fraction of
+ALL pairs collides in >= 1 band before the Hamming prune runs. That is
+the documented "n^2/32 per band" quadratic floor: it is a CONTRACT of
+the radius-15 guarantee, not an implementation defect, and the only
+lever that removes it is a tighter radius (fewer, wider bands).
+
+This tool maps the whole (bands, width, guaranteed radius) frontier on
+the real fixture signatures AND analytically, so the 100 TB
+configuration is one config change away, with its recall consequence
+measured rather than guessed:
+
+  - per geometry: guaranteed Hamming radius (b-1), the analytic random
+    floor fraction, the EMPIRICAL distinct candidate-pair count on the
+    fixture, and how many of the fixture's true near-dup pairs
+    (Hamming <= 15, today's prune) a tighter guarantee would still
+    catch deterministically vs only by luck.
+
+Recommended 100 TB shape (see printed table): 8 bands x 8 bits —
+guaranteed radius 7, random floor ~3% of pairs (1 - (1-2^-8)^8) vs
+64% today, and every observed true pair across the three fixtures
+(empirical radius <= 12) is still caught IF it collides by luck; pairs
+at h in [8, 15] lose the guarantee, which is exactly the recall/cost
+trade the radius lever names. At web scale near-dup corpora the true-
+pair Hamming mass concentrates at h <= 3-6 (Manku et al., WWW'07 use
+k=3 on 64-bit simhashes at 8B docs), so radius 7 keeps the guarantee
+where the mass is and drops the floor by ~20x.
+
+Run:  python tools/simhash_geometry_frontier.py [sf_dir]
+(needs a Spark session to build the committed signature artifact —
+the same session_simhash the registered query memoizes)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def frontier(ids: np.ndarray, sigs: np.ndarray) -> None:
+    n = len(ids)
+    total_pairs = n * (n - 1) // 2
+
+    # all-pairs Hamming via uint8 view + popcount table (n is fixture-
+    # sized here; the TOOL may be quadratic, the registered query is
+    # not)
+    bytes_ = sigs.view(np.uint64).byteswap().view(np.uint8).reshape(n, 8)
+    pop = (
+        np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)
+        .sum(1)
+        .astype(np.int16)
+    )
+    ham = np.zeros((n, n), dtype=np.int16)
+    for k in range(8):
+        ham += pop[bytes_[:, k][:, None] ^ bytes_[:, k][None, :]]
+    iu = np.triu_indices(n, 1)
+    h_pairs = ham[iu]
+    true15 = int((h_pairs <= 15).sum())
+
+    print(
+        f"n={n} signatures, {total_pairs} pairs, "
+        f"{true15} true pairs at Hamming<=15 (today's prune)"
+    )
+    print(
+        f"{'geometry':>12} {'radius':>6} {'floor%':>7} "
+        f"{'cands':>10} {'cand%':>7} {'guar<=15':>8} {'lucky':>6} {'missed':>6}"
+    )
+
+    u = sigs.view(np.uint64)
+    for b in (32, 16, 8, 4, 2):
+        w = 64 // b
+        mask = np.uint64((1 << w) - 1)
+        collide = np.zeros(total_pairs, dtype=bool)
+        for band in range(b):
+            bh = (u >> np.uint64(band * w)) & mask
+            buckets: dict[int, list[int]] = defaultdict(list)
+            for i, v in enumerate(bh):
+                buckets[int(v)].append(i)
+            # mark colliding pairs of this band
+            for members in buckets.values():
+                if len(members) > 1:
+                    m = np.array(members)
+                    a = np.repeat(m, len(m))
+                    c = np.tile(m, len(m))
+                    keep = a < c
+                    # pair index in condensed triu ordering
+                    ai, ci = a[keep], c[keep]
+                    idx = (
+                        ai * (2 * n - ai - 1) // 2 + (ci - ai - 1)
+                    )
+                    collide[idx] = True
+        cands = int(collide.sum())
+        radius = b - 1
+        floor = 1.0 - (1.0 - 2.0**-w) ** b
+        within = h_pairs <= 15
+        guaranteed = int((h_pairs <= min(radius, 15)).sum())
+        lucky = int((within & collide & (h_pairs > radius)).sum())
+        missed = int((within & ~collide).sum())
+        print(
+            f"{b:>3} x {w:>2}bit {radius:>6} {100*floor:>6.2f} "
+            f"{cands:>10} {100*cands/total_pairs:>6.2f} "
+            f"{guaranteed:>8} {lucky:>6} {missed:>6}"
+        )
+    print(
+        "\nfloor% = analytic random-collision fraction of all pairs "
+        "(the quadratic term's constant);\nguar<=15 = true pairs whose "
+        "detection is pigeonhole-guaranteed at that geometry;\n"
+        "lucky = true (h<=15) pairs caught only by chance collision; "
+        "missed = true pairs lost.\n"
+        "Shipped: 16x4 (radius 15, floor 64%). 100 TB recommendation: "
+        "8x8 (radius 7, floor 3.1%)\nwith the Hamming cut tightened to "
+        "7 to match the guarantee — at web scale the true-pair\nmass "
+        "sits at h<=6 (Manku et al. WWW'07 ship k=3), so the guarantee "
+        "stays where the mass is\nand the candidate floor drops ~20x; "
+        "4x16 (radius 3, floor 0.006%) for billion-doc corpora."
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from kafka_spark_streaming_spark.operators.dedup import session_simhash
+    from kafka_spark_streaming_spark.session import get_spark
+
+    spark = get_spark(app_name="kss-simhash-frontier")
+    rows = session_simhash(spark, sf_dir).select("doc_id", "simhash").collect()
+    rows.sort(key=lambda r: r.doc_id)
+    ids = np.array([r.doc_id for r in rows], dtype=np.int64)
+    sigs = np.array([r.simhash for r in rows], dtype=np.int64)
+    frontier(ids, sigs)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
