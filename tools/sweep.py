@@ -184,6 +184,12 @@ def main() -> int:
                     timings[name] = dt
         except Exception as exc:  # noqa: BLE001 — a sweep must finish
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        if name.startswith("s_"):
+            # settle AFTER a streaming entry too (ADVICE r12): a batch
+            # query that follows it in registry order must not absorb
+            # this stream's stop/teardown tax on its pass-1 timing —
+            # same contamination class the pre-s_* barrier fixed.
+            settle_streams()
         done = timings.get(name, "ERR")
         print(f"[{i}/{len(QUERIES)}] {name}: {done}", file=sys.stderr)
     # Confirm pass (r12): a flag from a single noisy sample is not a
@@ -195,6 +201,7 @@ def main() -> int:
     # breach that SURVIVES the confirm pass is reported. A genuine
     # regression (the 13x d_simhash_pairs class) survives trivially.
     baseline = load_baseline()
+    confirm_errors: dict[str, str] = {}
     for f in gate_flags(timings, baseline, errors=errors):
         name = f["query"]
         try:
@@ -205,7 +212,13 @@ def main() -> int:
             timings[name] = min(timings[name], dt)
             print(f"[confirm] {name}: {dt}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — confirm is best-effort
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            # ADVICE r12: a confirm hiccup must NOT poison a query whose
+            # two main-loop passes measured fine — recording it in
+            # `errors` would silently drop its valid min-of-2 from both
+            # gate_flags and the baseline merge, suppressing the very
+            # flag that triggered the confirm. Report separately; the
+            # pre-confirm timing stays eligible, so the flag survives.
+            confirm_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     wall = round(time.perf_counter() - t_sweep, 1)
 
     flagged = gate_flags(timings, baseline, errors=errors)
@@ -232,6 +245,7 @@ def main() -> int:
         "total_warm_sec": round(sum(timings.values()), 3),
         "flagged": flagged,
         "errors": errors,
+        "confirm_errors": confirm_errors,
         "new_in_baseline": new_queries,
         "derived_build_sec": derived,
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
