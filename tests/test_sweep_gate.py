@@ -93,3 +93,42 @@ def test_merge_does_not_mutate_input():
     base = {"q1": {"min_sec": 1.0, "round": "r10"}}
     merged_baseline(base, {"q1": 0.5, "q2": 1.0}, "r11")
     assert base == {"q1": {"min_sec": 1.0, "round": "r10"}}
+
+
+def test_confirm_failure_keeps_flag_and_timing():
+    """ADVICE r12: a confirm-pass hiccup must not suppress the flag it
+    was vetting — the valid main-loop timing stays eligible and the
+    failure is reported separately, never in the main errors dict."""
+    from tools.sweep import confirm_pass
+
+    baseline = {"q1": {"min_sec": 1.0, "round": "r10"}}
+    timings = {"q1": 13.0}
+    flags = gate_flags(timings, baseline)
+    assert [f["query"] for f in flags] == ["q1"]
+
+    def retime(name):
+        raise RuntimeError("transient confirm hiccup")
+
+    confirm_errors = confirm_pass(flags, timings, retime)
+    assert timings == {"q1": 13.0}  # pre-confirm timing untouched
+    assert "q1" in confirm_errors
+    # the flag SURVIVES: q1 is not in the main errors dict, so the
+    # recomputed gate still reports the breach
+    assert [f["query"] for f in gate_flags(timings, baseline)] == ["q1"]
+    # and the baseline merge still sees the (slow) timing as valid —
+    # min-only, so it does not tighten, but it is not excluded either
+    merged = merged_baseline(baseline, timings, "r13")
+    assert merged["q1"]["min_sec"] == 1.0
+
+
+def test_confirm_retime_clears_one_sample_spike():
+    from tools.sweep import confirm_pass
+
+    baseline = {"q1": {"min_sec": 1.0, "round": "r10"}}
+    timings = {"q1": 4.6}  # noisy sample breaching the gate
+    flags = gate_flags(timings, baseline)
+    assert flags
+    confirm_errors = confirm_pass(flags, timings, lambda n: 1.1)
+    assert confirm_errors == {}
+    assert timings["q1"] == 1.1  # min kept
+    assert gate_flags(timings, baseline) == []  # spike vetted away
