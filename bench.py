@@ -278,17 +278,22 @@ def main() -> None:
     # printing: stop any streaming queries still holding state stores,
     # stop the session (joins the maintenance pool), then give lagging
     # daemon threads a beat to flush — the JSON line is the process'
-    # final stdout bytes.
-    for q in spark.streams.active:
-        try:
-            q.stop()
-        except Exception:
-            pass
-    spark.stop()
-    time.sleep(2)
-    sys.stdout.flush()
-    sys.stderr.flush()
-    print(line, flush=True)
+    # final stdout bytes. The print lives in `finally` so a teardown
+    # exception (wedged stream, dropped py4j connection) degrades to a
+    # possibly-noisy tail rather than losing the line entirely — the
+    # teardown exists to protect the line, so it must never eat it.
+    try:
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        spark.stop()
+        time.sleep(2)
+    finally:
+        sys.stdout.flush()
+        sys.stderr.flush()
+        print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -610,28 +610,40 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BIT-IDENTICAL across engines by IEEE-754 construction. This removes
 # the last cross-SF residual: the (529,1234) 1-ulp divergence at sf0.1
 # came from list_cosine_similarity's different accumulation order.
-# At 1e7 the component quantization error is ~1e-7 relative, below the
-# 6-decimal reporting grid, so the published cos values are unchanged.
+# At 1e7 the component quantization error is ~1e-7 relative — below
+# the 6-decimal reporting grid in general, but a cosine sitting within
+# ~1e-7 of a 6-decimal rounding boundary CAN flip its last published
+# digit versus the old float path (that is precisely how (529,1234)
+# resolved: both engines now publish the one value the integer dot
+# defines, where before each engine published its own).
 _EMB_Q = 10_000_000
 
 
 def _quant_vec(col: F.Column) -> F.Column:
-    """array<float|double> → array<long> integer micro-unit vector."""
+    """array<float|double> → array<int> integer micro-unit vector.
+    int32 is exact here — |q| ≤ 1e7·|x| and the caller guards
+    |x| < 214 (the int32 ceiling at this grid), which also halves the
+    bytes each side of the verify pair-join carries vs array<long>
+    (candidates outnumber vectors ~400:1, so qa/qb bytes ARE the
+    shuffle)."""
     return F.transform(
         col,
         lambda x: F.floor(
             x.cast("double") * F.lit(float(_EMB_Q)) + F.lit(0.5)
-        ).cast("long"),
+        ).cast("int"),
     )
 
 
 def _quant_norm(qcol: F.Column) -> F.Column:
     """sqrt of the exact int64 sum of squares of a micro-unit vector.
-    The integer fold is exact; the one sqrt is correctly rounded, so
-    the double matches DuckDB's sqrt(CAST(list_sum(...) AS DOUBLE))."""
+    The integer fold is exact (each int32 component widened before the
+    multiply); the one sqrt is correctly rounded, so the double matches
+    DuckDB's sqrt(CAST(list_sum(...) AS DOUBLE))."""
     return F.sqrt(
         F.aggregate(
-            qcol, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            qcol,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long") * x,
         ).cast("double")
     )
 
@@ -640,9 +652,11 @@ def _quant_cos_expr(qa: F.Column, qb: F.Column, sna: F.Column, snb: F.Column) ->
     """Exact-int dot / (sna * snb) — the JVM-expression twin of the
     Arrow kernel in _emb_pair_cos; bit-identical by construction since
     every intermediate is either an exact integer or a single
-    correctly-rounded float op (test_emb_verify_kernel_bit_identical)."""
+    correctly-rounded float op (test_emb_verify_kernel_bit_identical).
+    The zip_with multiply widens one side to int64 first — int32×int32
+    would wrap at this grid ((6e6)² ≈ 3.6e13 ≫ 2³¹)."""
     dot = F.aggregate(
-        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.zip_with(qa, qb, lambda x, y: x.cast("long") * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -650,21 +664,98 @@ def _quant_cos_expr(qa: F.Column, qb: F.Column, sna: F.Column, snb: F.Column) ->
 
 
 # DuckDB twins: eq/en CTEs over e(vec_id, v) + the per-pair cosine.
+# CAST(... AS INTEGER) errors on overflow in DuckDB (strict casts), so
+# the |x| < 214 grid ceiling is fail-fast there for free; the error()
+# guard makes a zero-norm vector a loud data error instead of a NaN
+# cosine that silently fails every threshold — the same tri-path
+# fail-fast contract as the LSH bucketers (ADVICE r10).
 _EMB_QUANT_CTES = f"""eq AS (
       SELECT vec_id, list_transform(v, x ->
-               CAST(floor(x * {float(_EMB_Q)} + 0.5) AS BIGINT)) AS qv
+               CAST(floor(x * {float(_EMB_Q)} + 0.5) AS INTEGER)) AS qv
       FROM e),
     en AS (
       SELECT vec_id, qv,
-             sqrt(CAST(list_sum(list_transform(qv, q -> q * q))
-                       AS DOUBLE)) AS sn
+             CASE WHEN list_sum(list_transform(qv,
+                      q -> CAST(q AS BIGINT) * q)) = 0
+                  THEN error('zero-norm embedding: cosine undefined')
+                  ELSE sqrt(CAST(list_sum(list_transform(qv,
+                       q -> CAST(q AS BIGINT) * q)) AS DOUBLE))
+             END AS sn
       FROM eq)"""
 
 
 def _qcos_sql(a: str, b: str) -> str:
     return (
         f"CAST(list_sum(list_transform(generate_series(1, len({a}.qv)), "
-        f"i -> {a}.qv[i] * {b}.qv[i])) AS DOUBLE) / ({a}.sn * {b}.sn)"
+        f"i -> CAST({a}.qv[i] AS BIGINT) * {b}.qv[i])) AS DOUBLE) "
+        f"/ ({a}.sn * {b}.sn)"
+    )
+
+
+def quant_embeddings(e: DataFrame) -> DataFrame:
+    """(vec_id, qv int32 micro-units, sn norm) for every vector — the
+    quantized-cosine index table; pure function so tests can feed it
+    crafted bad rows directly (same shape as lsh_buckets).
+
+    Fail-fast guards, applied once here so no consumer can diverge:
+    null / ragged embeddings and components at |x| ≥ 214 (the int32
+    ceiling at the 1e-7 grid — Spark's cast silently wraps where
+    DuckDB's errors) raise before quantization; a zero-norm vector
+    raises before the norm (cosine undefined — a NaN would silently
+    fail every threshold in BOTH engines, an invisible recall hole)."""
+    from kafka_spark_streaming_spark.operators.similarity import _LSH_DIM
+
+    guarded = e.withColumn(
+        "embedding",
+        F.when(
+            F.col("embedding").isNull()
+            | (F.size("embedding") != _LSH_DIM)
+            | F.exists(
+                "embedding",
+                lambda x: x.isNull()
+                | (F.abs(x.cast("double")) >= F.lit(214.0)),
+            ),
+            F.raise_error(
+                F.lit(
+                    f"embedding dim != {_LSH_DIM} (null/ragged) or "
+                    "|component| >= 214 (int32 micro-unit ceiling)"
+                )
+            ),
+        ).otherwise(F.col("embedding")),
+    )
+    q = guarded.select("vec_id", _quant_vec(F.col("embedding")).alias("qv"))
+    sumsq = F.aggregate(
+        F.col("qv"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long") * x,
+    )
+    return q.select(
+        "vec_id",
+        "qv",
+        F.when(
+            sumsq == 0,
+            F.raise_error(F.lit("zero-norm embedding: cosine undefined")),
+        )
+        .otherwise(F.sqrt(sumsq.cast("double")))
+        .alias("sn"),
+    )
+
+
+def session_quant_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus' quant_embeddings table, built ONCE per (session,
+    corpus) via session_checkpoint — same persisted-index shape as
+    session_lsh_buckets. Before r13 every pair query inlined the
+    quantization subplan on BOTH join sides (Catalyst does not dedupe
+    identical subplans below a join — the r10 lesson), so each
+    execution paid the embeddings scan + interpreted HOF quantization
+    twice per run instead of once per corpus."""
+    from kafka_spark_streaming_spark.tables import session_checkpoint
+
+    return session_checkpoint(
+        spark,
+        f"quant_embeddings:{sf_dir}",
+        lambda: quant_embeddings(table(spark, sf_dir, "embeddings")),
+        sf_dir=sf_dir,
     )
 
 
@@ -672,12 +763,9 @@ def _emb_quant_sides(
     spark: SparkSession, sf_dir: str, a_name: str, b_name: str
 ) -> tuple[DataFrame, DataFrame]:
     """Per-vector (id, qv, sn) sides for a pair join — micro-unit
-    vector and norm computed once per VECTOR (the r9 hoist), never per
-    pair."""
-    e = table(spark, sf_dir, "embeddings")
-    base = e.select(
-        "vec_id", _quant_vec(F.col("embedding")).alias("qv")
-    ).select("vec_id", "qv", _quant_norm(F.col("qv")).alias("sn"))
+    vector and norm computed once per VECTOR (the r9 hoist) and once
+    per CORPUS (the r13 memo), never per pair or per query."""
+    base = session_quant_embeddings(spark, sf_dir)
     a = base.select(
         F.col("vec_id").alias(a_name),
         F.col("qv").alias("qa"),

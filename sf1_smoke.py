@@ -98,6 +98,11 @@ SMOKE = [
     "sim_ann_ivf",
     "sim_ann_lsh",
     "sim_pq_adc_topk",
+    # r13: the embedding near-dup primary at 10x corpus — the verify
+    # pair-join now carries int32 micro-unit vectors from the memoized
+    # quant_embeddings artifact (build cost lands in derived_build_sec;
+    # the gated number is the candidate join + Arrow verify).
+    "d_embedding_near_dup_lsh",
 ]
 
 
@@ -218,7 +223,9 @@ def main() -> None:
         for name in ("d_minhash_lsh_pairs", "d_containment_pairs",
                      "d_ngram_jaccard_pairs",
                      # r12: the three memoized ANN index builds
-                     "sim_ann_ivf", "sim_ann_lsh", "sim_pq_adc_topk"):
+                     "sim_ann_ivf", "sim_ann_lsh", "sim_pq_adc_topk",
+                     # r13: the quantized-embedding index build
+                     "d_embedding_near_dup_lsh"):
             if name in SMOKE:
                 try:
                     fns[name](spark, OUT).count()

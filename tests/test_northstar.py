@@ -405,6 +405,74 @@ def test_emb_verify_kernel_bit_identical(spark, sf_correct, sf_smoke):
         assert not diff, f"{len(diff)} non-bit-identical cosines at {sf}"
 
 
+def test_quant_embeddings_guards_fail_fast_all_paths(spark):
+    """Degenerate embeddings are DATA ERRORS in the quantized-cosine
+    index, in BOTH engines (the lsh_buckets tri-path contract, r13):
+
+    - zero vector: cosine is 0/0 — under the old silent path Spark's
+      _q9 turned the NaN into 0 and DuckDB's NaN compare was false, so
+      a true near-dup pair vanished below every threshold in both
+      engines WITHOUT an oracle mismatch (an invisible recall hole);
+    - |component| ≥ 214: overflows the int32 micro-unit grid — Spark's
+      cast wraps silently where DuckDB's errors, so without the guard
+      the engines could publish different cosines;
+    - null / ragged: same data-error contract as the bucketers.
+    """
+    import duckdb
+    import pytest as _pytest
+
+    from kafka_spark_streaming_spark.operators.dedup import (
+        _EMB_QUANT_CTES,
+        quant_embeddings,
+    )
+    from kafka_spark_streaming_spark.operators.similarity import _LSH_DIM
+
+    good = [0.5] * _LSH_DIM
+    cases = {
+        "zero-norm": [0.0] * _LSH_DIM,
+        "int32 micro-unit ceiling": [214.5] + [0.5] * (_LSH_DIM - 1),
+        "dim !=": None,
+        "dim != (ragged)": [0.5] * (_LSH_DIM - 1),
+    }
+    for msg, bad in cases.items():
+        df = spark.createDataFrame(
+            [(1, good), (2, bad)],
+            "vec_id bigint, embedding array<double>",
+        )
+        with _pytest.raises(Exception, match=msg.split(" ")[0]):
+            quant_embeddings(df).collect()
+
+    # good rows pass, and the index is the compact int32 shape
+    ok = quant_embeddings(
+        spark.createDataFrame(
+            [(1, good)], "vec_id bigint, embedding array<double>"
+        )
+    )
+    assert dict(ok.dtypes) == {
+        "vec_id": "bigint",
+        "qv": "array<int>",
+        "sn": "double",
+    }
+    assert ok.collect()[0].sn > 0
+
+    # DuckDB twins: the en CTE errors on a zero-norm vector; the strict
+    # INTEGER cast errors on an over-ceiling component.
+    for bad_sql, msg in [
+        ("SELECT 2::BIGINT AS vec_id, [0.0, 0.0]::DOUBLE[] AS v", "zero-norm"),
+        # Spark's guard cuts at 214.0 (conservative, below the exact
+        # 2³¹/1e7 = 214.748 ceiling); DuckDB's strict cast errors only
+        # above the true ceiling, so the overflow case uses 215.
+        ("SELECT 2::BIGINT AS vec_id, [215.0, 0.5]::DOUBLE[] AS v", "INT32"),
+    ]:
+        con = duckdb.connect()
+        con.execute(f"CREATE TABLE t AS {bad_sql}")
+        with _pytest.raises(Exception, match=msg):
+            con.execute(
+                f"WITH e AS (SELECT vec_id, v FROM t), {_EMB_QUANT_CTES} "
+                "SELECT * FROM en"
+            ).fetchall()
+
+
 def test_embedding_lsh_recall_vs_brute(spark, sf_correct):
     """The LSH-candidate primary must be a subset of the brute pairs
     (verification is exact, so no false positives) with recall matching
