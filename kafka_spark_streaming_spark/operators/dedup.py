@@ -829,7 +829,44 @@ def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and tests/test_northstar.py measures recall against the brute pairs.
 # At 100 TB: bucket count grows with planes_per_table, the candidate
 # join shuffles on (t, bkt) only, verify cost is |candidates|.
+#
+# r13 — exact-duplicate collapse BEFORE the bucket join. On a corpus
+# with exact-dup embeddings (any web-scale corpus; the sf1 stress
+# harness is a K=10-replicated sf0.1) the bucket self-join is
+# quadratic in bucket size, and replicas multiply every bucket K-fold:
+# first sf1 enrollment measured 103M raw join rows → 80.9M distinct
+# candidates → 74 s of verify for 102k survivors (793:1 slop). The
+# 80.9M is exactly the geometry floor — random pairs collide in ≥1 of
+# 8 4-bit tables with p = 1−(15/16)⁸ ≈ 40.3%, and 0.403·C(20000,2) =
+# 80.6M — so no join strategy fixes it; shrinking n does. Identical
+# embeddings bucket identically and cosine identically, so LSH +
+# verify runs on one REPRESENTATIVE per distinct embedding and
+# surviving rep pairs expand back to member pairs: provably the same
+# output (candidate condition and cosine are functions of the raw
+# vector alone), at 1/K² the candidate load. This is also the honest
+# production shape — exact dedup always precedes near-dup at scale.
+def session_emb_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, rep_id) — every vector mapped to the min vec_id among
+    vectors with a bit-identical embedding array; memoized per corpus.
+    One partitioned window over the raw array (arrays hash/compare
+    fine as shuffle keys), no join-back."""
+
+    def build() -> DataFrame:
+        e = table(spark, sf_dir, "embeddings")
+        return e.select(
+            "vec_id",
+            F.min("vec_id")
+            .over(Window.partitionBy("embedding"))
+            .alias("rep_id"),
+        )
+
+    return session_checkpoint(
+        spark, f"emb_reps:{sf_dir}", build, sf_dir=sf_dir
+    )
+
+
 def _emb_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct colliding REPRESENTATIVE pairs (rep_a < rep_b)."""
     # memoized bucket artifact (r10): the self-join below would
     # otherwise inline the bucket derivation on BOTH sides — Catalyst
     # does not dedupe identical subplans below a join, and the
@@ -838,7 +875,11 @@ def _emb_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_lsh_buckets,
     )
 
-    b = session_lsh_buckets(spark, sf_dir)
+    reps = session_emb_reps(spark, sf_dir)
+    rep_ids = reps.filter(F.col("vec_id") == F.col("rep_id")).select(
+        "vec_id"
+    )
+    b = session_lsh_buckets(spark, sf_dir).join(rep_ids, "vec_id", "semi")
     return (
         b.alias("x")
         .join(
@@ -925,12 +966,75 @@ def _emb_pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb_lsh_verified(
     spark: SparkSession, sf_dir: str, threshold: float
 ) -> DataFrame:
-    return (
+    """Threshold-verified pairs at MEMBER level: verify once per rep
+    pair, then expand survivors to member pairs (r13 collapse). Both
+    branches reuse the exact per-pair float ops of the old per-member
+    path — cross pairs carry the rep pair's cosine (identical raw
+    vectors ⇒ identical qv/sn ⇒ bit-identical cosine), same-cluster
+    pairs carry the rep's self-cosine dot(qv,qv)/(sn·sn) (what the
+    kernel computed for qa = qb; NOT a hardcoded 1.0 — sn·sn is a
+    rounded float, so the self-cosine can be 1 ulp under 1 and must go
+    through the same _q9 grid both engines use)."""
+    reps = session_emb_reps(spark, sf_dir)
+
+    # Rep-level survivors: verify BEFORE expansion, so the threshold
+    # filter runs on |rep pairs|, never on |member pairs|.
+    surv = (
         _emb_pair_cos(spark, sf_dir)
         .withColumn("cos_raw", _q9(F.col("cos")))
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+    ma = reps.select(
+        F.col("rep_id").alias("vec_a"), F.col("vec_id").alias("ida")
+    )
+    mb = reps.select(
+        F.col("rep_id").alias("vec_b"), F.col("vec_id").alias("idb")
+    )
+    cross = (
+        surv.join(ma, "vec_a")
+        .join(mb, "vec_b")
+        .select(
+            F.least("ida", "idb").alias("vec_a"),
+            F.greatest("ida", "idb").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+
+    # Same-cluster member pairs: every pair of members sharing a rep is
+    # a candidate by construction (identical vectors collide in every
+    # table); emit them iff the rep's self-cosine survives the same
+    # threshold grid.
+    qe = session_quant_embeddings(spark, sf_dir)
+    self_surv = (
+        qe.withColumn(
+            "cos_raw",
+            _q9(
+                _quant_cos_expr(
+                    F.col("qv"), F.col("qv"), F.col("sn"), F.col("sn")
+                )
+            ),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select(
+            F.col("vec_id").alias("rep_id"),
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )
+    m1 = reps.select("rep_id", F.col("vec_id").alias("ida"))
+    m2 = reps.select("rep_id", F.col("vec_id").alias("idb"))
+    same = (
+        m1.join(m2, "rep_id")
+        .filter(F.col("ida") < F.col("idb"))
+        .join(self_surv, "rep_id")
+        .select(
+            F.col("ida").alias("vec_a"),
+            F.col("idb").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    return cross.unionByName(same)
 
 
 def _emb_lsh_sql(threshold: float, extra: str = "") -> str:

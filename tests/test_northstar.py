@@ -473,6 +473,95 @@ def test_quant_embeddings_guards_fail_fast_all_paths(spark):
             ).fetchall()
 
 
+def test_emb_rep_collapse_equals_member_level_lsh(spark, tmp_path):
+    """The r13 exact-duplicate collapse (LSH + verify on one
+    representative per distinct embedding, expand survivors to member
+    pairs) must produce the IDENTICAL (vec_a, vec_b, cos_sim) multiset
+    as the naive member-level path it replaced — candidate collision
+    and cosine are functions of the raw vector alone, so the proof
+    obligation is exact equality, not recall. The crafted corpus is the
+    adversarial shape that motivated the collapse (every vector
+    replicated K times; first sf1 enrollment measured 80.9M candidates
+    = the 1-(15/16)^8 geometry floor on 20k vectors, 74 s of verify for
+    102k survivors — the collapse cut it to 1/K²)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators import QUERIES
+    from kafka_spark_streaming_spark.operators.dedup import (
+        _emb_quant_sides,
+        _quant_cos_expr,
+    )
+    from kafka_spark_streaming_spark.operators.similarity import (
+        _LSH_DIM,
+        _q9,
+        session_lsh_buckets,
+    )
+
+    rng = random.Random(13)
+    bases = [
+        [rng.uniform(-0.6, 0.6) for _ in range(_LSH_DIM)] for _ in range(20)
+    ]
+    # a planted cross-cluster near-dup: base[1] = base[0] + tiny noise
+    bases[1] = [x + rng.uniform(-0.01, 0.01) for x in bases[0]]
+    rows, vid = [], 0
+    for b in bases:
+        for _ in range(3):  # K=3 exact replicas per distinct vector
+            rows.append((vid, [float(x) for x in b], 0))
+            vid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    new = QUERIES["d_embedding_near_dup_lsh"](spark, sf)
+
+    # the naive member-level path, inlined (what the code did pre-r13)
+    b = session_lsh_buckets(spark, sf)
+    cand = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    a, bb = _emb_quant_sides(spark, sf, "vec_a", "vec_b")
+    old = (
+        cand.join(a, "vec_a")
+        .join(bb, "vec_b")
+        .withColumn(
+            "cos_raw",
+            _q9(
+                _quant_cos_expr(
+                    F.col("qa"), F.col("qb"), F.col("sna"), F.col("snb")
+                )
+            ),
+        )
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    got = {(r.vec_a, r.vec_b): r.cos_sim for r in new.collect()}
+    # every same-cluster pair present (self-cosine 1.0 at 6 decimals)
+    for base_i in range(20):
+        ids = [base_i * 3 + k for k in range(3)]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert got[(ids[i], ids[j])] == 1.0
+    # the planted cross-cluster near-dup expands to all 3x3 member pairs
+    cross = [(a_, b_) for a_ in (0, 1, 2) for b_ in (3, 4, 5)]
+    assert all(p in got for p in cross), "planted near-dup pairs missing"
+
+
 def test_embedding_lsh_recall_vs_brute(spark, sf_correct):
     """The LSH-candidate primary must be a subset of the brute pairs
     (verification is exact, so no false positives) with recall matching
