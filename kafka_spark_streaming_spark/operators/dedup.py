@@ -528,12 +528,50 @@ def session_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_checkpoint(spark, f"simhash:{sf_dir}", build, sf_dir=sf_dir)
 
 
+def session_doc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rep_id) — every document mapped to the min doc_id among
+    bit-identical texts; memoized per corpus (the text twin of
+    session_emb_reps). One partitioned window over the raw text (the
+    text itself is the shuffle key — a hash-only key could merge
+    different texts on collision and silently corrupt the expansion)."""
+
+    def build() -> DataFrame:
+        d = table(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.min("doc_id").over(Window.partitionBy("text")).alias("rep_id"),
+        )
+
+    return session_checkpoint(
+        spark, f"doc_reps:{sf_dir}", build, sf_dir=sf_dir
+    )
+
+
 @register("d_simhash_pairs", _JACCARD_PAIRS_SQL)
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over 3-gram shingle hashes, banded candidates,
     exact verify. Cited intent: reference has no dedup at all
-    (SURVEY.md §2.3); this is north-star surface."""
-    sim = session_simhash(spark, sf_dir)
+    (SURVEY.md §2.3); this is north-star surface.
+
+    r13 — exact-duplicate collapse (the embedding-LSH fix, applied to
+    the banding floor): the 16×4 geometry's documented n²/32 random-
+    collision candidate floor is quadratic in n, and exact-dup replicas
+    multiply it K²-fold (the sf1 stress corpus sat at 11–16 s for this
+    reason — formerly EXCLUDED from the sf1 gate). Banding, Hamming,
+    and the exact-Jaccard verify are all functions of the text alone,
+    so candidates + verify run on one representative per distinct text
+    and surviving rep pairs expand to member pairs; same-cluster pairs
+    are emitted directly (identical sigs collide in every band at h=0,
+    and identical shingle sets give jaccard exactly n/n = 1.0 — docs
+    too short to shingle have no signature row and are correctly
+    absent, pinned by the equivalence test). The floor now scales with
+    DISTINCT texts: n²/32 on 100 TB of raw docs is n_distinct²/32
+    after collapse."""
+    reps = session_doc_reps(spark, sf_dir)
+    rep_ids = reps.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id"
+    )
+    sim = session_simhash(spark, sf_dir).join(rep_ids, "doc_id", "semi")
     # band → candidates → Hamming prune (as a pipelined filter BEFORE
     # the pair-dedup shuffle) → exact verify.
     #
@@ -594,7 +632,46 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify join the MinHash and prefix-filter paths use (a private
     # collect_set-of-strings profile here was ~4x the bytes and a
     # second corpus shingle pass)
-    return verified_pairs(candidates, session_profile(spark, sf_dir))
+    surv = verified_pairs(candidates, session_profile(spark, sf_dir))
+
+    # expand rep-pair survivors to member pairs (jaccard is a function
+    # of the texts, so every member pair inherits the rep pair's value)
+    ma = reps.select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("ida")
+    )
+    mb = reps.select(
+        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("idb")
+    )
+    cross = (
+        surv.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # same-cluster pairs: identical texts are jaccard-1.0 dups iff the
+    # text shingles at all — exactly when the rep has a signature row
+    # (shingle-less docs are absent from the signature table in the
+    # member-level path too)
+    shingled = session_simhash(spark, sf_dir).select(
+        F.col("doc_id").alias("rep_id")
+    )
+    m1 = reps.join(shingled, "rep_id").select(
+        "rep_id", F.col("doc_id").alias("ida")
+    )
+    m2 = reps.select("rep_id", F.col("doc_id").alias("idb"))
+    same = (
+        m1.join(m2, "rep_id")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("doc_a"),
+            F.col("idb").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 # --- exact cross-engine cosine (integer micro-unit embeddings) -----------

@@ -90,14 +90,15 @@ SMOKE = [
     # r12: the three memoized-index ANN probes (r11 rewrite) at 10x
     # corpus — index BUILD cost lands in derived_build_sec; the gated
     # number is the warm probe, which must stay ~flat vs sf0.1 (the
-    # whole point of the index). d_simhash_pairs deliberately NOT
-    # here: its h<=15 / 4-bit-band layout has a documented n²/32
-    # candidate floor (see dedup.py) — quadratic by contract at this
-    # radius, so a 10x gate entry would pin a number the operator's
-    # own docs call the wrong deployment shape at scale.
+    # whole point of the index).
     "sim_ann_ivf",
     "sim_ann_lsh",
     "sim_pq_adc_topk",
+    # r13: gateable at last — the exact-duplicate text collapse makes
+    # the n²/32 banding floor scale with DISTINCT texts (5k here, same
+    # as sf0.1), not the 50k replicas that kept this query excluded at
+    # 11-16 s through r12; measured 0.46 s warm post-collapse.
+    "d_simhash_pairs",
     # r13: the embedding near-dup primary at 10x corpus — the verify
     # pair-join now carries int32 micro-unit vectors from the memoized
     # quant_embeddings artifact (build cost lands in derived_build_sec;
@@ -224,8 +225,9 @@ def main() -> None:
                      "d_ngram_jaccard_pairs",
                      # r12: the three memoized ANN index builds
                      "sim_ann_ivf", "sim_ann_lsh", "sim_pq_adc_topk",
-                     # r13: the quantized-embedding index build
-                     "d_embedding_near_dup_lsh"):
+                     # r13: the quantized-embedding index build and the
+                     # simhash signature + doc-rep builds
+                     "d_embedding_near_dup_lsh", "d_simhash_pairs"):
             if name in SMOKE:
                 try:
                     fns[name](spark, OUT).count()

@@ -473,6 +473,111 @@ def test_quant_embeddings_guards_fail_fast_all_paths(spark):
             ).fetchall()
 
 
+def test_simhash_rep_collapse_equals_member_level(spark, tmp_path):
+    """The r13 text-level exact-duplicate collapse in d_simhash_pairs
+    must reproduce the member-level path exactly, including the edge
+    that justifies the 'rep has a signature row' condition on
+    same-cluster emission: identical SHORT docs (under the 3-gram
+    shingle length) have no signature in the member-level path either,
+    so their pairs must NOT appear — a naive 'all identical docs are
+    jaccard-1.0 dups' expansion would invent them."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators import QUERIES
+    from kafka_spark_streaming_spark.operators.dedup import (
+        session_profile,
+        session_simhash,
+        verified_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the deep green forest tonight"
+    )
+    docs = []
+    # cluster A: 3 identical normal docs  → all 3 pairs at jaccard 1.0
+    for i in range(3):
+        docs.append((i, base, "en", "t", len(base)))
+    # cluster B: 2 identical near-dups of A (one word appended — a
+    # replacement mid-string kills 3 of ~18 shingles, 0.714 < τ; the
+    # append keeps 18/19 = 0.947) — the cross-cluster A×B pairs must
+    # carry the SAME jaccard as the rep pair
+    nd = base + " indeed"
+    for i in (10, 11):
+        docs.append((i, nd, "en", "t", len(nd)))
+    # cluster C: 2 identical SHORT docs (no 3-gram shingles) → no pairs
+    for i in (20, 21):
+        docs.append((i, "too short", "en", "t", 9))
+    # a singleton unrelated doc
+    other = "completely different words describing some other topic entirely here now"
+    docs.append((30, other, "en", "t", len(other)))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    new = QUERIES["d_simhash_pairs"](spark, sf)
+
+    # member-level path, inlined (pre-r13 shape)
+    sim = session_simhash(spark, sf)
+    widths = [4] * 16
+    offsets = [sum(widths[:i]) for i in range(16)]
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("bh"),
+                    )
+                    for b in range(16)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("b.band").alias("band"),
+        F.col("b.bh").alias("bh"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 15)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+    )
+    old = verified_pairs(cand, session_profile(spark, sf))
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in new.collect()}
+    # same-cluster expansion: all 3 A-pairs and the B-pair at exactly 1.0
+    for pair in [(0, 1), (0, 2), (1, 2), (10, 11)]:
+        assert got[pair] == 1.0
+    # shingle-less identical docs must NOT pair
+    assert (20, 21) not in got
+    # cross-cluster A×B pairs all present with one shared jaccard value
+    ab = {got[(a, b)] for a in (0, 1, 2) for b in (10, 11)}
+    assert len(ab) == 1 and 0.8 <= ab.pop() < 1.0
+
+
 def test_emb_rep_collapse_equals_member_level_lsh(spark, tmp_path):
     """The r13 exact-duplicate collapse (LSH + verify on one
     representative per distinct embedding, expand survivors to member
