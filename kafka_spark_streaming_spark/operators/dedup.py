@@ -427,7 +427,18 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is NO shingle self-join anywhere.
     """
     profile = session_profile(spark, sf_dir)
-    bands = band_buckets(profile)
+    # r13 exact-duplicate collapse (see d_simhash_pairs): identical
+    # texts have identical signatures, so they collide in EVERY band —
+    # on a dup-heavy corpus the band equi-join is quadratic in cluster
+    # size for no information. Candidates + verify run on one
+    # representative per distinct text; survivors expand to member
+    # pairs (jaccard is a function of the texts). sf1 stress: 3.0 →
+    # 0.5 s warm (min-of-3), exceptAll-identical 250,600 pairs.
+    reps = session_doc_reps(spark, sf_dir)
+    rep_ids = reps.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id"
+    )
+    bands = band_buckets(profile.join(rep_ids, "doc_id", "semi"))
     candidates = (
         bands.alias("x")
         .join(
@@ -440,7 +451,8 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates()
     )
-    return verified_pairs(candidates, profile)
+    surv = verified_pairs(candidates, profile)
+    return _expand_doc_rep_pairs(spark, sf_dir, surv, reps)
 
 
 # --- SimHash near-dup ----------------------------------------------------
@@ -547,6 +559,52 @@ def session_doc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _expand_doc_rep_pairs(
+    spark: SparkSession, sf_dir: str, surv: DataFrame, reps: DataFrame
+) -> DataFrame:
+    """Expand rep-level verified (doc_a, doc_b, jaccard) survivors to
+    member pairs — shared by the SimHash and MinHash collapse paths.
+
+    Cross-cluster: every member pair inherits the rep pair's jaccard
+    (it is a function of the two texts). Same-cluster: identical texts
+    are jaccard-1.0 dups iff the text shingles at all — membership in
+    the shingle profile, exactly the condition under which the
+    member-level paths could ever pair them (shingle-less docs have no
+    profile/signature row and are correctly absent)."""
+    ma = reps.select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("ida")
+    )
+    mb = reps.select(
+        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("idb")
+    )
+    cross = (
+        surv.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    shingled = session_profile(spark, sf_dir).select(
+        F.col("doc_id").alias("rep_id")
+    )
+    m1 = reps.join(shingled, "rep_id").select(
+        "rep_id", F.col("doc_id").alias("ida")
+    )
+    m2 = reps.select("rep_id", F.col("doc_id").alias("idb"))
+    same = (
+        m1.join(m2, "rep_id")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.col("ida").alias("doc_a"),
+            F.col("idb").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(same)
+
+
 @register("d_simhash_pairs", _JACCARD_PAIRS_SQL)
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over 3-gram shingle hashes, banded candidates,
@@ -633,45 +691,12 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_set-of-strings profile here was ~4x the bytes and a
     # second corpus shingle pass)
     surv = verified_pairs(candidates, session_profile(spark, sf_dir))
-
-    # expand rep-pair survivors to member pairs (jaccard is a function
-    # of the texts, so every member pair inherits the rep pair's value)
-    ma = reps.select(
-        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("ida")
-    )
-    mb = reps.select(
-        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("idb")
-    )
-    cross = (
-        surv.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("ida", "idb").alias("doc_a"),
-            F.greatest("ida", "idb").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    # same-cluster pairs: identical texts are jaccard-1.0 dups iff the
-    # text shingles at all — exactly when the rep has a signature row
-    # (shingle-less docs are absent from the signature table in the
-    # member-level path too)
-    shingled = session_simhash(spark, sf_dir).select(
-        F.col("doc_id").alias("rep_id")
-    )
-    m1 = reps.join(shingled, "rep_id").select(
-        "rep_id", F.col("doc_id").alias("ida")
-    )
-    m2 = reps.select("rep_id", F.col("doc_id").alias("idb"))
-    same = (
-        m1.join(m2, "rep_id")
-        .filter(F.col("ida") < F.col("idb"))
-        .select(
-            F.col("ida").alias("doc_a"),
-            F.col("idb").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(same)
+    # expand rep-pair survivors to member pairs; same-cluster emission
+    # is conditional on profile membership — the same "doc has ≥1
+    # shingle" set that gates the signature table, so shingle-less
+    # identical docs stay correctly absent (pinned by
+    # test_simhash_rep_collapse_equals_member_level)
+    return _expand_doc_rep_pairs(spark, sf_dir, surv, reps)
 
 
 # --- exact cross-engine cosine (integer micro-unit embeddings) -----------

@@ -567,6 +567,38 @@ def test_simhash_rep_collapse_equals_member_level(spark, tmp_path):
     assert old.exceptAll(new).count() == 0
     assert new.exceptAll(old).count() == 0
 
+    # the MinHash path shares the collapse + expansion — pin it against
+    # ITS member-level form on the same corpus (identical signatures
+    # collide in every band, so the naive candidate join is the
+    # band-bucket equi-join over all docs)
+    from kafka_spark_streaming_spark.operators.dedup import band_buckets
+
+    prof = session_profile(spark, sf)
+    mh_bands = band_buckets(prof)
+    mh_cand = (
+        mh_bands.alias("x")
+        .join(
+            mh_bands.alias("y"),
+            (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+    mh_old = verified_pairs(mh_cand, prof)
+    mh_new = QUERIES["d_minhash_lsh_pairs"](spark, sf)
+    assert mh_old.exceptAll(mh_new).count() == 0
+    assert mh_new.exceptAll(mh_old).count() == 0
+    assert {(r.doc_a, r.doc_b) for r in mh_new.collect()} >= {
+        (0, 1), (0, 2), (1, 2), (10, 11)
+    }
+    assert (20, 21) not in {
+        (r.doc_a, r.doc_b) for r in mh_new.collect()
+    }
+
     got = {(r.doc_a, r.doc_b): r.jaccard for r in new.collect()}
     # same-cluster expansion: all 3 A-pairs and the B-pair at exactly 1.0
     for pair in [(0, 1), (0, 2), (1, 2), (10, 11)]:
