@@ -75,6 +75,27 @@ def test_minhash_band_join_is_equi(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["d_minhash_lsh_pairs", "d_simhash_pairs", "d_embedding_near_dup_lsh"],
+)
+def test_dedup_collapse_is_a_plan_property(spark, sf_smoke, name):
+    """The r13 exact-duplicate collapse must be visible in the physical
+    plan, not just in the output: candidates are generated from a
+    rep-filtered input (a LeftSemi join against the rep ids) and the
+    result is the member expansion (a Union of cross-cluster and
+    same-cluster branches). The equivalence tests pin correctness, but
+    a refactor that silently dropped the collapse would still pass
+    them — and only resurface as the quadratic candidate floor at the
+    next dup-heavy corpus (the r12 lesson: 'verify runs on survivors
+    only' is a PLAN property; so is 'candidates are per distinct
+    input')."""
+    plan = plan_of(spark, name, sf_smoke)
+    assert "LeftSemi" in plan, f"{name}: rep semi-filter missing"
+    assert "Union" in plan, f"{name}: member expansion missing"
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_on_scan_agg(spark, sf_smoke):
     # AQE shows codegen spans only in the *executed* plan — run it first
     df = QUERIES["q1_pricing_summary"](spark, sf_smoke)
