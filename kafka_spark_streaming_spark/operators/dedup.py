@@ -577,50 +577,89 @@ def session_doc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multi_member_reps(members: DataFrame) -> DataFrame:
+    """rep_ids of clusters with ≥ 2 members (a non-rep member exists)."""
+    return (
+        members.filter(F.col("member_id") != F.col("rep_id"))
+        .select("rep_id")
+        .distinct()
+    )
+
+
+def _expand_rep_pairs(
+    surv: DataFrame,
+    members: DataFrame,
+    same_vals: DataFrame,
+    a: str,
+    b: str,
+    val: str,
+) -> DataFrame:
+    """Expand rep-level verified survivors to member pairs — the ONE
+    expansion all three collapse paths share (MinHash, SimHash,
+    embedding-LSH).
+
+    surv:      (a, b, val) rep-level survivors, a < b, different reps.
+    members:   (member_id, rep_id) full member map.
+    same_vals: (rep_id, val) the same-cluster value per ELIGIBLE rep —
+               already threshold-filtered and restricted to reps the
+               member-level path could ever pair (shingle-bearing docs
+               / corpus vectors); the helper additionally restricts the
+               same-cluster branch to clusters with ≥ 2 members, so a
+               dup-light corpus emits nothing there. NOTE: Catalyst
+               does NOT push this LeftSemi below a Project carrying an
+               expensive expression (verified on the optimized plan) —
+               a caller whose same_vals wraps real per-row work must
+               pre-restrict with _multi_member_reps itself, like the
+               embedding path does with its interpreted self-cosine.
+
+    Cross-cluster: every member pair inherits the rep pair's value (it
+    is a function of the two underlying texts/vectors)."""
+    ma = members.select(
+        F.col("rep_id").alias(a), F.col("member_id").alias("_ia")
+    )
+    mb = members.select(
+        F.col("rep_id").alias(b), F.col("member_id").alias("_ib")
+    )
+    cross = (
+        surv.join(ma, a)
+        .join(mb, b)
+        .select(
+            F.least("_ia", "_ib").alias(a),
+            F.greatest("_ia", "_ib").alias(b),
+            val,
+        )
+    )
+    multi = _multi_member_reps(members)
+    m1 = members.join(multi, "rep_id", "semi").select(
+        "rep_id", F.col("member_id").alias("_ia")
+    )
+    m2 = members.select("rep_id", F.col("member_id").alias("_ib"))
+    same = (
+        m1.join(m2, "rep_id")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .join(same_vals.join(multi, "rep_id", "semi"), "rep_id")
+        .select(F.col("_ia").alias(a), F.col("_ib").alias(b), val)
+    )
+    return cross.unionByName(same)
+
+
 def _expand_doc_rep_pairs(
     spark: SparkSession, sf_dir: str, surv: DataFrame, reps: DataFrame
 ) -> DataFrame:
-    """Expand rep-level verified (doc_a, doc_b, jaccard) survivors to
-    member pairs — shared by the SimHash and MinHash collapse paths.
-
-    Cross-cluster: every member pair inherits the rep pair's jaccard
-    (it is a function of the two texts). Same-cluster: identical texts
-    are jaccard-1.0 dups iff the text shingles at all — membership in
-    the shingle profile, exactly the condition under which the
-    member-level paths could ever pair them (shingle-less docs have no
-    profile/signature row and are correctly absent)."""
-    ma = reps.select(
-        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("ida")
+    """Text-path expansion: identical texts are jaccard-1.0 dups iff
+    the text shingles at all — membership in the shingle profile,
+    exactly the condition under which the member-level paths could
+    ever pair them (shingle-less docs have no profile/signature row
+    and are correctly absent)."""
+    members = reps.select(
+        F.col("doc_id").alias("member_id"), "rep_id"
     )
-    mb = reps.select(
-        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("idb")
+    same_vals = session_profile(spark, sf_dir).select(
+        F.col("doc_id").alias("rep_id"), F.lit(1.0).alias("jaccard")
     )
-    cross = (
-        surv.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("ida", "idb").alias("doc_a"),
-            F.greatest("ida", "idb").alias("doc_b"),
-            "jaccard",
-        )
+    return _expand_rep_pairs(
+        surv, members, same_vals, "doc_a", "doc_b", "jaccard"
     )
-    shingled = session_profile(spark, sf_dir).select(
-        F.col("doc_id").alias("rep_id")
-    )
-    m1 = reps.join(shingled, "rep_id").select(
-        "rep_id", F.col("doc_id").alias("ida")
-    )
-    m2 = reps.select("rep_id", F.col("doc_id").alias("idb"))
-    same = (
-        m1.join(m2, "rep_id")
-        .filter(F.col("ida") < F.col("idb"))
-        .select(
-            F.col("ida").alias("doc_a"),
-            F.col("idb").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(same)
 
 
 @register("d_simhash_pairs", _JACCARD_PAIRS_SQL)
@@ -1106,28 +1145,24 @@ def _emb_lsh_verified(
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
 
-    ma = reps.select(
-        F.col("rep_id").alias("vec_a"), F.col("vec_id").alias("ida")
+    # Same-cluster value: every pair of members sharing a rep is a
+    # candidate by construction (identical vectors collide in every
+    # table); it's emitted iff the rep's self-cosine survives the same
+    # threshold grid. Pre-restrict to dup-cluster reps BEFORE the
+    # projection — Catalyst will not push the helper's semi below an
+    # expensive Project (verified on the optimized plan), so without
+    # this the interpreted self-cosine HOF would run once per corpus
+    # vector on every execution; with it, zero rows on a dup-free
+    # corpus.
+    members = reps.select(
+        F.col("vec_id").alias("member_id"), "rep_id"
     )
-    mb = reps.select(
-        F.col("rep_id").alias("vec_b"), F.col("vec_id").alias("idb")
+    qe = session_quant_embeddings(spark, sf_dir).join(
+        _multi_member_reps(members).withColumnRenamed("rep_id", "vec_id"),
+        "vec_id",
+        "semi",
     )
-    cross = (
-        surv.join(ma, "vec_a")
-        .join(mb, "vec_b")
-        .select(
-            F.least("ida", "idb").alias("vec_a"),
-            F.greatest("ida", "idb").alias("vec_b"),
-            "cos_sim",
-        )
-    )
-
-    # Same-cluster member pairs: every pair of members sharing a rep is
-    # a candidate by construction (identical vectors collide in every
-    # table); emit them iff the rep's self-cosine survives the same
-    # threshold grid.
-    qe = session_quant_embeddings(spark, sf_dir)
-    self_surv = (
+    same_vals = (
         qe.withColumn(
             "cos_raw",
             _q9(
@@ -1142,19 +1177,9 @@ def _emb_lsh_verified(
             F.round("cos_raw", 6).alias("cos_sim"),
         )
     )
-    m1 = reps.select("rep_id", F.col("vec_id").alias("ida"))
-    m2 = reps.select("rep_id", F.col("vec_id").alias("idb"))
-    same = (
-        m1.join(m2, "rep_id")
-        .filter(F.col("ida") < F.col("idb"))
-        .join(self_surv, "rep_id")
-        .select(
-            F.col("ida").alias("vec_a"),
-            F.col("idb").alias("vec_b"),
-            "cos_sim",
-        )
+    return _expand_rep_pairs(
+        surv, members, same_vals, "vec_a", "vec_b", "cos_sim"
     )
-    return cross.unionByName(same)
 
 
 def _emb_lsh_sql(threshold: float, extra: str = "") -> str:

@@ -2,7 +2,7 @@
 VERDICT r7 next-round #5): run the heavy headline queries at ~10x the
 bench scale to surface anything that only bites past sf0.1 — LSH
 candidate-set growth, state-store growth, prefix-sum/window behavior —
-before a real cluster does. Per-query time = min of 2 timed passes
+before a real cluster does. Per-query time = min of 3 timed passes
 (same shared-host noise rationale as bench.py's min-of-3); each query
 is gated at 1.5x vs the latest committed BENCH_r*_sf1.json, so an
 sf1-only regression (e.g. candidate blow-up) surfaces the round it
@@ -254,7 +254,7 @@ def main() -> None:
                 "note": (
                     "scale stress on a K-replicated sf0.1 (exact-duplicate "
                     "documents = adversarial near-dup load); per-query sec "
-                    "= min of 2 passes, gated at 1.5x vs the latest "
+                    "= min of 3 passes, gated at 1.5x vs the latest "
                     "committed BENCH_r*_sf1.json (r7's numbers were "
                     "single-pass, so the first gated comparison is "
                     "conservative)"
