@@ -567,22 +567,18 @@ def session_doc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         d = table(spark, sf_dir, "documents")
+        w = Window.partitionBy("text")
+        # n_members rides the SAME window shuffle as the min — free at
+        # build, and it lets every consumer skip singleton clusters
+        # with a per-row filter instead of a per-query distinct
         return d.select(
             "doc_id",
-            F.min("doc_id").over(Window.partitionBy("text")).alias("rep_id"),
+            F.min("doc_id").over(w).alias("rep_id"),
+            F.count(F.lit(1)).over(w).alias("n_members"),
         )
 
     return session_checkpoint(
         spark, f"doc_reps:{sf_dir}", build, sf_dir=sf_dir
-    )
-
-
-def _multi_member_reps(members: DataFrame) -> DataFrame:
-    """rep_ids of clusters with ≥ 2 members (a non-rep member exists)."""
-    return (
-        members.filter(F.col("member_id") != F.col("rep_id"))
-        .select("rep_id")
-        .distinct()
     )
 
 
@@ -599,18 +595,20 @@ def _expand_rep_pairs(
     embedding-LSH).
 
     surv:      (a, b, val) rep-level survivors, a < b, different reps.
-    members:   (member_id, rep_id) full member map.
+    members:   (member_id, rep_id, n_members) full member map; the
+               cluster size is precomputed in the rep artifact (it
+               rides the same window shuffle as the rep min), so the
+               same-cluster branch is a PER-ROW filter — no per-query
+               aggregation, nothing at all on a dup-free corpus.
     same_vals: (rep_id, val) the same-cluster value per ELIGIBLE rep —
                already threshold-filtered and restricted to reps the
                member-level path could ever pair (shingle-bearing docs
-               / corpus vectors); the helper additionally restricts the
-               same-cluster branch to clusters with ≥ 2 members, so a
-               dup-light corpus emits nothing there. NOTE: Catalyst
-               does NOT push this LeftSemi below a Project carrying an
-               expensive expression (verified on the optimized plan) —
-               a caller whose same_vals wraps real per-row work must
-               pre-restrict with _multi_member_reps itself, like the
-               embedding path does with its interpreted self-cosine.
+               / corpus vectors). A caller whose value wraps real
+               per-row work must ALSO pre-restrict it to dup-cluster
+               reps (n_members ≥ 2) before the expensive projection,
+               like the embedding path's interpreted self-cosine —
+               Catalyst does not push a join below an expensive
+               Project (verified on the optimized plan).
 
     Cross-cluster: every member pair inherits the rep pair's value (it
     is a function of the two underlying texts/vectors)."""
@@ -629,15 +627,13 @@ def _expand_rep_pairs(
             val,
         )
     )
-    multi = _multi_member_reps(members)
-    m1 = members.join(multi, "rep_id", "semi").select(
-        "rep_id", F.col("member_id").alias("_ia")
-    )
-    m2 = members.select("rep_id", F.col("member_id").alias("_ib"))
+    multi = members.filter(F.col("n_members") >= 2)
+    m1 = multi.select("rep_id", F.col("member_id").alias("_ia"))
+    m2 = multi.select("rep_id", F.col("member_id").alias("_ib"))
     same = (
         m1.join(m2, "rep_id")
         .filter(F.col("_ia") < F.col("_ib"))
-        .join(same_vals.join(multi, "rep_id", "semi"), "rep_id")
+        .join(same_vals, "rep_id")
         .select(F.col("_ia").alias(a), F.col("_ib").alias(b), val)
     )
     return cross.unionByName(same)
@@ -652,7 +648,7 @@ def _expand_doc_rep_pairs(
     ever pair them (shingle-less docs have no profile/signature row
     and are correctly absent)."""
     members = reps.select(
-        F.col("doc_id").alias("member_id"), "rep_id"
+        F.col("doc_id").alias("member_id"), "rep_id", "n_members"
     )
     same_vals = session_profile(spark, sf_dir).select(
         F.col("doc_id").alias("rep_id"), F.lit(1.0).alias("jaccard")
@@ -1012,11 +1008,13 @@ def session_emb_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         e = table(spark, sf_dir, "embeddings")
+        w = Window.partitionBy("embedding")
+        # n_members rides the same window shuffle as the min (see
+        # session_doc_reps)
         return e.select(
             "vec_id",
-            F.min("vec_id")
-            .over(Window.partitionBy("embedding"))
-            .alias("rep_id"),
+            F.min("vec_id").over(w).alias("rep_id"),
+            F.count(F.lit(1)).over(w).alias("n_members"),
         )
 
     return session_checkpoint(
@@ -1149,18 +1147,20 @@ def _emb_lsh_verified(
     # candidate by construction (identical vectors collide in every
     # table); it's emitted iff the rep's self-cosine survives the same
     # threshold grid. Pre-restrict to dup-cluster reps BEFORE the
-    # projection — Catalyst will not push the helper's semi below an
-    # expensive Project (verified on the optimized plan), so without
-    # this the interpreted self-cosine HOF would run once per corpus
-    # vector on every execution; with it, zero rows on a dup-free
-    # corpus.
+    # projection — Catalyst will not push a join below an expensive
+    # Project (verified on the optimized plan), so without this the
+    # interpreted self-cosine HOF would run once per corpus vector on
+    # every execution; with it, zero rows on a dup-free corpus. The
+    # restriction is a per-row filter on the rep artifact's
+    # precomputed n_members — no aggregation.
     members = reps.select(
-        F.col("vec_id").alias("member_id"), "rep_id"
+        F.col("vec_id").alias("member_id"), "rep_id", "n_members"
     )
+    dup_rep_ids = reps.filter(
+        (F.col("vec_id") == F.col("rep_id")) & (F.col("n_members") >= 2)
+    ).select("vec_id")
     qe = session_quant_embeddings(spark, sf_dir).join(
-        _multi_member_reps(members).withColumnRenamed("rep_id", "vec_id"),
-        "vec_id",
-        "semi",
+        dup_rep_ids, "vec_id", "semi"
     )
     same_vals = (
         qe.withColumn(
