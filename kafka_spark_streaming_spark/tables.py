@@ -207,14 +207,21 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     - UTC session tz: epoch functions and the DuckDB oracle (naive
       timestamps) agree on the instant;
     - NTZ inference off + legacy nanos-as-long: both non-timestamp
-      fixture encodings surface in the shapes normalize_ts handles.
+      fixture encodings surface in the shapes normalize_ts handles;
+    - ANSI on (the Spark 4 default, pinned against sessions that
+      disabled it): the engine's fail-fast contracts — strict casts,
+      arithmetic-overflow errors — assume ANSI semantics.  The int64
+      dedup folds are additionally overflow-safe BY CONSTRUCTION
+      (dedup._EMB_CEIL), so this pin is defense in depth, not the
+      load-bearing guard (ADVICE r13).
 
-    All three are runtime-settable SQLConfs; every query path loads via
+    All are runtime-settable SQLConfs; every query path loads via
     table()/file_stream_events(), which call this first.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -413,9 +413,15 @@ def test_quant_embeddings_guards_fail_fast_all_paths(spark):
       _q9 turned the NaN into 0 and DuckDB's NaN compare was false, so
       a true near-dup pair vanished below every threshold in both
       engines WITHOUT an oracle mismatch (an invisible recall hole);
-    - |component| ≥ 214: overflows the int32 micro-unit grid — Spark's
-      cast wraps silently where DuckDB's errors, so without the guard
-      the engines could publish different cosines;
+    - |component| ≥ _EMB_CEIL: could overflow the exact int64 dot/norm
+      folds — Spark/numpy wrap silently with ANSI off where DuckDB
+      errors, so without the guard the engines could publish different
+      cosines.  The ceiling is derived so overflow is impossible BY
+      CONSTRUCTION (dim·(ceil·Q)² ≤ 2⁶³−1), independent of runtime
+      confs (ADVICE r13);
+    - NaN component: isNull and abs≥ceil are both false for NaN, so
+      without the explicit isnan branch it became a NULL micro-unit
+      element → NULL cosine → silent threshold drop (ADVICE r13);
     - null / ragged: same data-error contract as the bucketers.
     """
     import duckdb
@@ -430,7 +436,10 @@ def test_quant_embeddings_guards_fail_fast_all_paths(spark):
     good = [0.5] * _LSH_DIM
     cases = {
         "zero-norm": [0.0] * _LSH_DIM,
-        "int32 micro-unit ceiling": [214.5] + [0.5] * (_LSH_DIM - 1),
+        "int64 micro-unit overflow ceiling": (
+            [37.5] + [0.5] * (_LSH_DIM - 1)
+        ),
+        "NaN component": [float("nan")] + [0.5] * (_LSH_DIM - 1),
         "dim !=": None,
         "dim != (ragged)": [0.5] * (_LSH_DIM - 1),
     }
@@ -455,14 +464,22 @@ def test_quant_embeddings_guards_fail_fast_all_paths(spark):
     }
     assert ok.collect()[0].sn > 0
 
-    # DuckDB twins: the en CTE errors on a zero-norm vector; the strict
-    # INTEGER cast errors on an over-ceiling component.
+    # DuckDB twins: the en CTE errors on a zero-norm vector; the eq
+    # CTE's explicit CASE branch errors on NaN / over-ceiling / null
+    # components with the SAME contract message as Spark (the strict
+    # INTEGER cast alone only fired above the int32 ceiling ~214.7,
+    # far past _EMB_CEIL, and gave a generic cast error on NaN).
     for bad_sql, msg in [
         ("SELECT 2::BIGINT AS vec_id, [0.0, 0.0]::DOUBLE[] AS v", "zero-norm"),
-        # Spark's guard cuts at 214.0 (conservative, below the exact
-        # 2³¹/1e7 = 214.748 ceiling); DuckDB's strict cast errors only
-        # above the true ceiling, so the overflow case uses 215.
-        ("SELECT 2::BIGINT AS vec_id, [215.0, 0.5]::DOUBLE[] AS v", "INT32"),
+        ("SELECT 2::BIGINT AS vec_id, [37.5, 0.5]::DOUBLE[] AS v", "int64"),
+        (
+            "SELECT 2::BIGINT AS vec_id, ['nan'::DOUBLE, 0.5]::DOUBLE[] AS v",
+            "NaN",
+        ),
+        (
+            "SELECT 2::BIGINT AS vec_id, [NULL, 0.5]::DOUBLE[] AS v",
+            "null/NaN",
+        ),
     ]:
         con = duckdb.connect()
         con.execute(f"CREATE TABLE t AS {bad_sql}")
@@ -608,6 +625,73 @@ def test_simhash_rep_collapse_equals_member_level(spark, tmp_path):
     # cross-cluster A×B pairs all present with one shared jaccard value
     ab = {got[(a, b)] for a in (0, 1, 2) for b in (10, 11)}
     assert len(ab) == 1 and 0.8 <= ab.pop() < 1.0
+
+
+def test_simhash_geometry_pigeonhole(spark):
+    """The banding geometry IS the Hamming cut (VERDICT r13 #4):
+    simhash_candidates at (n_bands, width) must return EXACTLY the
+    pairs at Hamming ≤ n_bands − 1 — pigeonhole completeness (fewer
+    bit errors than bands ⇒ some band matches exactly, so the
+    equi-join finds the pair) composed with the explicit radius prune.
+    Pinned for BOTH the registered 16×4 contract and the 8×8 radius-7
+    100 TB shape, on crafted boundary signatures (Hamming exactly
+    radius → present; radius+1 spread one-per-band → absent, the
+    banding's own worst case) and on the sf0.001 fixture signature
+    table, where the exact brute-force radius pair set is small enough
+    to enumerate."""
+    import itertools
+
+    from kafka_spark_streaming_spark.operators.dedup import (
+        _SIMHASH_GEOMETRY,
+        _SIMHASH_GEOMETRY_100TB,
+        session_simhash,
+        simhash_candidates,
+    )
+
+    def brute(rows, radius):
+        out = set()
+        for (a, sa), (b, sb) in itertools.combinations(sorted(rows), 2):
+            if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= radius:
+                out.add((a, b))
+        return out
+
+    fsim = session_simhash(spark, "/root/testdata/sf0.001")
+    frows = [(r.doc_id, r.simhash) for r in fsim.collect()]
+
+    for geometry in (_SIMHASH_GEOMETRY, _SIMHASH_GEOMETRY_100TB):
+        n_bands, width = geometry
+        radius = n_bands - 1
+        # crafted worst case: flip `radius` bits, one in each of bands
+        # 0..radius-1 — every flipped bit lands in a DIFFERENT band,
+        # so exactly one band (the last) can match; then one more flip
+        # in that last band → radius+1 errors spread across ALL bands,
+        # no matching band AND over the radius.
+        base = 0x5A5A5A5A5A5A5A5A
+        at_radius = base
+        for b in range(radius):
+            at_radius ^= 1 << (b * width)
+        over = at_radius ^ (1 << ((n_bands - 1) * width))
+        crafted = [(1, base), (2, at_radius), (3, over)]
+        sim = spark.createDataFrame(crafted, "doc_id bigint, simhash bigint")
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_candidates(sim, geometry).collect()
+        }
+        assert got == brute(crafted, radius)
+        assert (1, 2) in got and (1, 3) not in got
+
+        # fixture signatures: banded candidates == exact radius pair set
+        fgot = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_candidates(fsim, geometry).collect()
+        }
+        assert fgot == brute(frows, radius)
+
+    # a geometry that doesn't tile 64 bits is a loud config error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="64 bits"):
+        simhash_candidates(fsim, (16, 5))
 
 
 def test_emb_rep_collapse_equals_member_level_lsh(spark, tmp_path):
