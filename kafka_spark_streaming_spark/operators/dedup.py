@@ -654,7 +654,14 @@ def session_doc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-join splitting applies to the join where it never applies to
     a window.  The raw text stays the key on both sides — a hash-only
     key could merge different texts on collision and silently corrupt
-    the expansion."""
+    the expansion.
+
+    storage="parquet" is REQUIRED with this build: a localCheckpoint
+    inherits the build plan's size estimate, and the join-back's
+    no-CBO product estimate stamped the tiny reps table as ~496 GB —
+    un-broadcasting every downstream rep_ids semi-join (measured 2×
+    warm across the dedup family).  The parquet round-trip grounds
+    stats in the real bytes (see session_checkpoint)."""
 
     def build() -> DataFrame:
         d = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -668,7 +675,7 @@ def session_doc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         return d.join(agg, "text").select("doc_id", "rep_id", "n_members")
 
     return session_checkpoint(
-        spark, f"doc_reps:{sf_dir}", build, sf_dir=sf_dir
+        spark, f"doc_reps:{sf_dir}", build, sf_dir=sf_dir, storage="parquet"
     )
 
 
@@ -1096,7 +1103,7 @@ def session_emb_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return session_checkpoint(
-        spark, f"emb_reps:{sf_dir}", build, sf_dir=sf_dir
+        spark, f"emb_reps:{sf_dir}", build, sf_dir=sf_dir, storage="parquet"
     )
 
 

@@ -316,12 +316,46 @@ def reset_derived_cache() -> None:
     _DERIVED_SIDECAR.clear()
 
 
+def _artifact_parquet_roundtrip(spark, key: str, built: DataFrame) -> DataFrame:
+    """Materialize a derived artifact as scratch parquet and return the
+    re-read scan — the stats-grounding storage for builds whose plan
+    poisons the checkpoint's inherited estimate (see session_checkpoint
+    docstring).  Path is per (application, full memo key): rebuilds of
+    the same artifact overwrite in place, a regenerated fixture changes
+    the fingerprint (hence the path), and no two sessions ever race on
+    one directory.  Stale dirs from dead sessions age out below with
+    the same live-reader-safe 2 h bound prune_stale_siblings uses."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    tmp = _tempfile.gettempdir()
+    tag = _hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{key}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tmp, f"kss_artifact_{tag}")
+    now = _time.time()
+    for d in _glob.glob(os.path.join(tmp, "kss_artifact_*")):
+        if d == path:
+            continue
+        try:
+            if now - os.path.getmtime(d) >= 7200:
+                _shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+    built.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def session_checkpoint(
     spark,
     key: str,
     build,
     sf_dir: str | None = None,
     with_sidecar: bool = False,
+    storage: str = "memory",
 ) -> "DataFrame | tuple[DataFrame, object]":
     """Build-once-per-(session, key) eagerly checkpointed DataFrame.
 
@@ -335,7 +369,23 @@ def session_checkpoint(
     the same loop. A cache hit whose sidecar is missing (module reload,
     partial population) is treated as a miss and rebuilt — never an
     unguarded KeyError.
-    """
+
+    storage="parquet": materialize via a scratch-parquet round-trip
+    instead of localCheckpoint.  A checkpoint's LogicalRDD INHERITS the
+    build plan's estimated statistics, and without CBO column stats
+    Catalyst estimates a join's output size as the PRODUCT of its
+    children's — so any build containing a join (e.g. the skew-safe
+    groupBy+join-back in session_doc_reps) stamps the artifact with an
+    absurd size (measured: 496 GB for a 120 KB reps table), silently
+    flipping every downstream broadcast of the artifact or its
+    projections into a sort-merge join + exchanges (measured 2× warm
+    regression across the embedding dedup family).  A parquet scan's
+    stats are the actual file bytes, immune to the build plan's
+    estimate — and persisted-next-to-the-corpus is exactly how a
+    production pipeline stores these artifacts anyway.  Use it for any
+    artifact whose build contains a join; localCheckpoint stays the
+    default for pure scan/agg/window builds (no serialization
+    round-trip, stats inherit fine)."""
     base_key = key
     if sf_dir is not None:
         key = f"{key}@{fixture_fingerprint(sf_dir)}"
@@ -364,7 +414,10 @@ def session_checkpoint(
     sidecar = None
     if with_sidecar:
         built, sidecar = built
-    df = built.localCheckpoint(eager=True)
+    if storage == "parquet":
+        df = _artifact_parquet_roundtrip(spark, key, built)
+    else:
+        df = built.localCheckpoint(eager=True)
     dt = round(time.perf_counter() - t0, 3)
     # keep the MIN across rebuilds of the same artifact: the shared-host
     # VM swings whole-run throughput 1.5-4x, and a one-shot build sample

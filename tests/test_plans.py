@@ -96,6 +96,35 @@ def test_dedup_collapse_is_a_plan_property(spark, sf_smoke, name):
     assert "CartesianProduct" not in plan
 
 
+def test_rep_artifacts_have_grounded_stats(spark, sf_smoke):
+    """The rep artifacts' propagated size estimate must stay near the
+    REAL artifact size (r14): their skew-safe groupBy+join-back build
+    has a no-CBO join estimate of children-sizes PRODUCT, and a plain
+    localCheckpoint inherits it — measured 496 GB stamped on a 120 KB
+    table, silently un-broadcasting every downstream rep_ids semi-join
+    (2× warm across the dedup family, Arrow verify kernel collapsed to
+    one partition).  The parquet round-trip in session_checkpoint
+    grounds stats in file bytes; this pins that property so a storage
+    or build refactor can't re-poison the estimates unnoticed.  The
+    bound is generous (10 MB vs the ~tens-of-KB truth at this SF) —
+    it exists to catch the multiplicative blowup class, not to pin an
+    exact size."""
+    from kafka_spark_streaming_spark.operators.dedup import (
+        session_doc_reps,
+        session_emb_reps,
+    )
+
+    for fn in (session_doc_reps, session_emb_reps):
+        df = fn(spark, sf_smoke)
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        assert 0 < size < 10 * 1024 * 1024, (
+            f"{fn.__name__}: propagated sizeInBytes {size} — the "
+            "broadcast-poisoning join estimate is back"
+        )
+
+
 def test_whole_stage_codegen_on_scan_agg(spark, sf_smoke):
     # AQE shows codegen spans only in the *executed* plan — run it first
     df = QUERIES["q1_pricing_summary"](spark, sf_smoke)
