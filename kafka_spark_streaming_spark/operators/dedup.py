@@ -391,6 +391,9 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"prefix_candidates:{sf_dir}",
         lambda: prefix_candidates(keys=session_keys(spark, sf_dir)),
         sf_dir=sf_dir,
+        # join-bearing build: parquet storage grounds the stats (the
+        # r14 broadcast-poisoning class, see session_checkpoint)
+        storage="parquet",
     )
     return verified_pairs(cand, session_profile(spark, sf_dir))
 
@@ -472,6 +475,9 @@ def session_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"minhash_pairs:{sf_dir}",
         lambda: d_minhash_lsh_pairs(spark, sf_dir),
         sf_dir=sf_dir,
+        # join-bearing build: parquet storage grounds the stats (the
+        # r14 broadcast-poisoning class, see session_checkpoint)
+        storage="parquet",
     )
 
 
@@ -1848,6 +1854,9 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"containment_candidates:{sf_dir}",
         lambda: containment_candidates(keys=session_keys(spark, sf_dir)),
         sf_dir=sf_dir,
+        # join-bearing build: parquet storage grounds the stats (the
+        # r14 broadcast-poisoning class, see session_checkpoint)
+        storage="parquet",
     )
     prof = session_profile(spark, sf_dir)
     a = prof.select(

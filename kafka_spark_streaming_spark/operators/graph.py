@@ -124,7 +124,13 @@ def g_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 5-table relational pass — 3× the corpus scan for identical
     # 625 rows.
     edges = session_checkpoint(
-        spark, f"trade_edges:{sf_dir}", lambda: _trade_edges(spark, sf_dir), sf_dir=sf_dir
+        spark,
+        f"trade_edges:{sf_dir}",
+        lambda: _trade_edges(spark, sf_dir),
+        sf_dir=sf_dir,
+        # join-bearing build: parquet storage grounds the stats (the
+        # r14 broadcast-poisoning class, see session_checkpoint)
+        storage="parquet",
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("total"))
     trans = edges.join(outw, "src").select(
@@ -191,6 +197,7 @@ def g_triangle_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"trade_edges:{sf_dir}",
         lambda: _trade_edges(spark, sf_dir),
         sf_dir=sf_dir,
+        storage="parquet",
     )
     # mean over exact integer counts stored as doubles: both engines
     # sum <2^53 integers exactly, so the >= cut is bit-identical

@@ -858,8 +858,16 @@ def pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             "m", "k", "pos", F.coalesce("rc", "c").alias("c")
         )  # 512 rows; the checkpoint pins the trained codebook
 
+    # both builds contain joins: parquet storage grounds the stats
+    # (the r14 broadcast-poisoning class, see session_checkpoint) —
+    # the 512-row codebook was estimated at 6e16 bytes, which blocked
+    # the broadcast the sim_pq_adc_topk docstring promises
     cb1 = session_checkpoint(
-        spark, f"pq_codebook:{sf_dir}", build_cb1, sf_dir=sf_dir
+        spark,
+        f"pq_codebook:{sf_dir}",
+        build_cb1,
+        sf_dir=sf_dir,
+        storage="parquet",
     )
     d1 = session_checkpoint(
         spark,
@@ -868,6 +876,7 @@ def pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             _pq_subvectors(table(spark, sf_dir, "embeddings")), cb1
         ),
         sf_dir=sf_dir,
+        storage="parquet",
     )
     return cb1, d1
 

@@ -125,6 +125,45 @@ def test_rep_artifacts_have_grounded_stats(spark, sf_smoke):
         )
 
 
+def test_all_derived_artifacts_have_grounded_stats(spark, sf_smoke):
+    """Sweep form of the check above: touch the artifact-bearing query
+    families once at the smoke SF, then assert EVERY memoized artifact
+    carries a sane propagated size estimate.  r14 found six poisoned
+    artifacts this way (minhash_pairs 256 rows estimated at 2e31 bytes,
+    trade_edges 625 rows at 1.3e27, pq_codebook 512 rows at 6e16,
+    pq_dists, prefix_candidates and containment_candidates at 1.3e10)
+    — every downstream join against one silently refused to broadcast.
+    Any FUTURE artifact whose build grows a join must opt into
+    storage='parquet'; this test is what catches the omission."""
+    from kafka_spark_streaming_spark import tables as T
+    from kafka_spark_streaming_spark.operators import QUERIES
+
+    for name in [
+        "d_minhash_lsh_pairs",
+        "d_simhash_pairs",
+        "d_embedding_near_dup_lsh",
+        "d_semantic_only_pairs_lsh",
+        "d_ngram_jaccard_pairs",
+        "d_containment_pairs",
+        "sim_ann_ivf",
+        "sim_pq_adc_topk",
+        "g_pagerank_trade",
+        "p_decontaminate_ngram",
+        "d_dup_clusters",
+    ]:
+        QUERIES[name](spark, sf_smoke).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    offenders = {}
+    for (_, key), df in T._DERIVED_CACHE.items():
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        if not 0 < size < 50 * 1024 * 1024:
+            offenders[key.split("@")[0]] = size
+    assert not offenders, f"poisoned artifact stats: {offenders}"
+
+
 def test_whole_stage_codegen_on_scan_agg(spark, sf_smoke):
     # AQE shows codegen spans only in the *executed* plan — run it first
     df = QUERIES["q1_pricing_summary"](spark, sf_smoke)
