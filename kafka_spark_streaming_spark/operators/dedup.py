@@ -385,17 +385,64 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_jaccard_pairs).  The candidate set is memoized per (session,
     corpus) like the signature profile — it IS the one-time index-build
     pass prefix_candidates describes, so repeat calls pay only the
-    verify join."""
+    verify join.
+
+    r14: exact-duplicate collapse, same shape as the MinHash path —
+    the r13 policy said measured tail-audit decides, and the sf1
+    measurement is decisive: candidates 1,513,700 → 12,864 (118×) on
+    the 10× dup-heavy corpus, because identical texts have identical
+    df-ordered key arrays and therefore collide on every prefix token
+    (the prefix join is quadratic per duplicate cluster).  The prefix
+    index + candidate join run on one representative per distinct
+    text; survivors expand through the shared _expand_doc_rep_pairs
+    (same-cluster emission conditional on shingle membership — the
+    identical argument as MinHash, pinned by the same crafted-corpus
+    equivalence test).  The key ORDER stays the full-corpus df order
+    (session_keys is built once over all docs; the rep restriction is
+    a semi-join), so the prefix-filter no-false-negative proof is
+    unchanged."""
     cand = session_checkpoint(
         spark,
         f"prefix_candidates:{sf_dir}",
-        lambda: prefix_candidates(keys=session_keys(spark, sf_dir)),
+        lambda: _build_prefix_candidates(spark, sf_dir),
         sf_dir=sf_dir,
         # join-bearing build: parquet storage grounds the stats (the
         # r14 broadcast-poisoning class, see session_checkpoint)
         storage="parquet",
     )
-    return verified_pairs(cand, session_profile(spark, sf_dir))
+    surv = verified_pairs(cand, session_profile(spark, sf_dir))
+    return _expand_doc_rep_pairs(
+        spark, sf_dir, surv, session_doc_reps(spark, sf_dir)
+    )
+
+
+def _rep_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-ordered key index restricted to one representative per
+    distinct text — the r14 collapse input for both prefix candidate
+    builds.  The restriction is a semi-join, so the key ORDER stays
+    the full-corpus df order the no-false-negative proofs assume."""
+    reps = session_doc_reps(spark, sf_dir)
+    rep_ids = reps.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id"
+    )
+    return session_keys(spark, sf_dir).join(rep_ids, "doc_id", "semi")
+
+
+def _build_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d_ngram_jaccard_pairs artifact build — a named function
+    (not an inline lambda) so test_dedup_collapse_is_a_plan_property
+    can pin the rep semi-filter on the PRODUCTION build plan: the
+    query plan itself only shows the materialized artifact scan plus
+    the expansion Union, because the collapse lives here."""
+    return prefix_candidates(keys=_rep_keys(spark, sf_dir))
+
+
+def _build_containment_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """d_containment_pairs' artifact build — same pinning rationale as
+    _build_prefix_candidates."""
+    return containment_candidates(keys=_rep_keys(spark, sf_dir))
 
 
 # --- MinHash + LSH banding (the scale path; verified ⇒ same oracle) ------
@@ -1848,11 +1895,20 @@ def containment_candidates(
 def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate index memoized per (session, corpus) exactly like the
     # Jaccard prefix index — it is the same one-time build pass; repeat
-    # calls pay only the verify join against the shared profile
+    # calls pay only the verify join against the shared profile.
+    #
+    # r14 exact-duplicate collapse (tail-audit decision, like the
+    # jaccard path above): candidates 6,962,400 → 67,277 (103×) at the
+    # 10× sf1 corpus.  The containment value |A∩B| / min(|A|, |B|) is
+    # SYMMETRIC in the two sets, so the shared least/greatest member
+    # expansion preserves it exactly; same-cluster pairs are
+    # containment 1.0 iff the text shingles at all (profile
+    # membership), the same conditional as every other text path.
+    reps = session_doc_reps(spark, sf_dir)
     cand = session_checkpoint(
         spark,
         f"containment_candidates:{sf_dir}",
-        lambda: containment_candidates(keys=session_keys(spark, sf_dir)),
+        lambda: _build_containment_candidates(spark, sf_dir),
         sf_dir=sf_dir,
         # join-bearing build: parquet storage grounds the stats (the
         # r14 broadcast-poisoning class, see session_checkpoint)
@@ -1871,9 +1927,18 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     cont = inter / F.least("na", "nb")
-    return (
+    surv = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .filter(cont >= CONTAINMENT_T)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+    members = reps.select(
+        F.col("doc_id").alias("member_id"), "rep_id", "n_members"
+    )
+    same_vals = session_profile(spark, sf_dir).select(
+        F.col("doc_id").alias("rep_id"), F.lit(1.0).alias("containment")
+    )
+    return _expand_rep_pairs(
+        surv, members, same_vals, "doc_a", "doc_b", "containment"
     )

@@ -627,6 +627,92 @@ def test_simhash_rep_collapse_equals_member_level(spark, tmp_path):
     assert len(ab) == 1 and 0.8 <= ab.pop() < 1.0
 
 
+def test_prefix_rep_collapse_equals_member_level(spark, tmp_path):
+    """The r14 collapse of the two prefix-filtered paths
+    (d_ngram_jaccard_pairs, d_containment_pairs) must reproduce their
+    member-level forms exactly on the same crafted corpus the
+    minhash/simhash equivalence test uses — including the shingle-less
+    identical docs that must NOT pair, and cross-cluster pairs
+    inheriting the rep pair's (symmetric) value."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators import QUERIES
+    from kafka_spark_streaming_spark.operators.dedup import (
+        CONTAINMENT_T,
+        containment_candidates,
+        prefix_candidates,
+        session_keys,
+        session_profile,
+        verified_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the deep green forest tonight"
+    )
+    docs = []
+    for i in range(3):
+        docs.append((i, base, "en", "t", len(base)))
+    nd = base + " indeed"
+    for i in (10, 11):
+        docs.append((i, nd, "en", "t", len(nd)))
+    for i in (20, 21):
+        docs.append((i, "too short", "en", "t", 9))
+    other = "completely different words describing some other topic entirely here now"
+    docs.append((30, other, "en", "t", len(other)))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    keys = session_keys(spark, sf)
+    prof = session_profile(spark, sf)
+
+    # member-level jaccard twin (pre-r14 shape: prefix candidates over
+    # ALL docs, verify, no expansion)
+    jac_old = verified_pairs(prefix_candidates(keys=keys), prof)
+    jac_new = QUERIES["d_ngram_jaccard_pairs"](spark, sf)
+    assert jac_old.exceptAll(jac_new).count() == 0
+    assert jac_new.exceptAll(jac_old).count() == 0
+
+    # member-level containment twin
+    a = prof.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    b = prof.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    cont = inter / F.least("na", "nb")
+    cont_old = (
+        containment_candidates(keys=keys)
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(cont >= CONTAINMENT_T)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+    cont_new = QUERIES["d_containment_pairs"](spark, sf)
+    assert cont_old.exceptAll(cont_new).count() == 0
+    assert cont_new.exceptAll(cont_old).count() == 0
+
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in jac_new.collect()}
+    # same-cluster expansion at 1.0; shingle-less identical docs absent
+    for pair in [(0, 1), (0, 2), (1, 2), (10, 11)]:
+        assert got[pair] == 1.0
+    assert (20, 21) not in got
+    # cross-cluster A×B pairs share ONE inherited value below 1.0
+    ab = {got[(x, y)] for x in (0, 1, 2) for y in (10, 11)}
+    assert len(ab) == 1 and 0.8 <= ab.pop() < 1.0
+    cgot = {(r.doc_a, r.doc_b): r.containment for r in cont_new.collect()}
+    assert (20, 21) not in cgot
+    for pair in [(0, 1), (0, 2), (1, 2), (10, 11)]:
+        assert cgot[pair] == 1.0
+
+
 def test_simhash_geometry_pigeonhole(spark):
     """The banding geometry IS the Hamming cut (VERDICT r13 #4):
     simhash_candidates at (n_bands, width) must return EXACTLY the

@@ -96,6 +96,44 @@ def test_dedup_collapse_is_a_plan_property(spark, sf_smoke, name):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["d_ngram_jaccard_pairs", "d_containment_pairs"]
+)
+def test_prefix_collapse_is_a_plan_property(spark, sf_smoke, name):
+    """The r14 collapse of the prefix paths lives in the memoized
+    ARTIFACT build (the query plan shows only the artifact scan plus
+    the expansion Union), so the pin is split: the registered query's
+    plan must carry the member expansion, and the named PRODUCTION
+    build function must carry the rep semi-filter.  Same rationale as
+    test_dedup_collapse_is_a_plan_property — output-equality tests
+    can't catch a refactor that silently drops the collapse; the
+    quadratic candidate floor would only resurface on the next
+    dup-heavy corpus (sf1 measured 118×/103× fewer candidates)."""
+    from kafka_spark_streaming_spark.operators.dedup import (
+        _build_containment_candidates,
+        _build_prefix_candidates,
+    )
+
+    plan = plan_of(spark, name, sf_smoke)
+    assert "Union" in plan, f"{name}: member expansion missing"
+    assert "CartesianProduct" not in plan
+    build = (
+        _build_prefix_candidates
+        if name == "d_ngram_jaccard_pairs"
+        else _build_containment_candidates
+    )
+    bplan = (
+        build(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "LeftSemi" in bplan, f"{name}: rep semi-filter missing in build"
+
+
 def test_rep_artifacts_have_grounded_stats(spark, sf_smoke):
     """The rep artifacts' propagated size estimate must stay near the
     REAL artifact size (r14): their skew-safe groupBy+join-back build
