@@ -323,8 +323,13 @@ def _artifact_parquet_roundtrip(spark, key: str, built: DataFrame) -> DataFrame:
     docstring).  Path is per (application, full memo key): rebuilds of
     the same artifact overwrite in place, a regenerated fixture changes
     the fingerprint (hence the path), and no two sessions ever race on
-    one directory.  Stale dirs from dead sessions age out below with
-    the same live-reader-safe 2 h bound prune_stale_siblings uses."""
+    one directory.  Stale dirs from dead sessions age out at 24 h —
+    deliberately looser than prune_stale_siblings' 2 h: these artifacts
+    are re-read on EVERY query execution for the life of their session
+    (a read advances no mtime), and an interactive session can live for
+    hours, so the bound must exceed the longest plausible session, not
+    the longest single read.  The dirs are kilobytes; the disk cost of
+    the loose bound is nil."""
     import glob as _glob
     import hashlib as _hashlib
     import shutil as _shutil
@@ -341,7 +346,7 @@ def _artifact_parquet_roundtrip(spark, key: str, built: DataFrame) -> DataFrame:
         if d == path:
             continue
         try:
-            if now - os.path.getmtime(d) >= 7200:
+            if now - os.path.getmtime(d) >= 86400:
                 _shutil.rmtree(d, ignore_errors=True)
         except OSError:
             pass
