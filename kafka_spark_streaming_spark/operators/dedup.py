@@ -312,7 +312,6 @@ def prefix_candidates(
     extra candidates, never drops a true pair. The hypothesis property
     test hunts exactly these boundary corpora.
     """
-    import math
 
     per_doc = df_ordered_keys(sh) if keys is None else keys
     n = F.size("ks")
@@ -724,8 +723,15 @@ def session_doc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
             # and it lets every consumer skip singleton clusters with
             # a per-row filter instead of a per-query distinct
             F.count(F.lit(1)).alias("n_members"),
+        ).withColumnRenamed("text", "_t")
+        # eqNullSafe keeps the artifact TOTAL over the corpus: groupBy
+        # puts all NULL texts in one group (SQL grouping treats NULLs
+        # equal, as the old window did), but a plain equi-join would
+        # then drop those rows (NULL != NULL) — a silent coverage hole
+        # for any consumer that counts against reps (code-review r14)
+        return d.join(agg, F.col("text").eqNullSafe(F.col("_t"))).select(
+            "doc_id", "rep_id", "n_members"
         )
-        return d.join(agg, "text").select("doc_id", "rep_id", "n_members")
 
     return session_checkpoint(
         spark, f"doc_reps:{sf_dir}", build, sf_dir=sf_dir, storage="parquet"
@@ -790,22 +796,27 @@ def _expand_rep_pairs(
 
 
 def _expand_doc_rep_pairs(
-    spark: SparkSession, sf_dir: str, surv: DataFrame, reps: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    surv: DataFrame,
+    reps: DataFrame,
+    val: str = "jaccard",
 ) -> DataFrame:
-    """Text-path expansion: identical texts are jaccard-1.0 dups iff
-    the text shingles at all — membership in the shingle profile,
-    exactly the condition under which the member-level paths could
-    ever pair them (shingle-less docs have no profile/signature row
-    and are correctly absent)."""
+    """Text-path expansion: identical texts are value-1.0 dups iff the
+    text shingles at all — membership in the shingle profile, exactly
+    the condition under which the member-level paths could ever pair
+    them (shingle-less docs have no profile/signature row and are
+    correctly absent).  `val` names the (symmetric, set-function)
+    similarity column: jaccard for the MinHash/SimHash/prefix paths,
+    containment for the one-sided SSJoin — both are 1.0 on identical
+    shingle sets, so the same-cluster branch is shared."""
     members = reps.select(
         F.col("doc_id").alias("member_id"), "rep_id", "n_members"
     )
     same_vals = session_profile(spark, sf_dir).select(
-        F.col("doc_id").alias("rep_id"), F.lit(1.0).alias("jaccard")
+        F.col("doc_id").alias("rep_id"), F.lit(1.0).alias(val)
     )
-    return _expand_rep_pairs(
-        surv, members, same_vals, "doc_a", "doc_b", "jaccard"
-    )
+    return _expand_rep_pairs(surv, members, same_vals, "doc_a", "doc_b", val)
 
 
 @register("d_simhash_pairs", _JACCARD_PAIRS_SQL)
@@ -864,9 +875,10 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact int64 arithmetic — associativity-free, so Spark's fold order,
 # the Arrow kernel's vectorized order and DuckDB's list_sum all agree
 # EXACTLY — then a single correctly-rounded sqrt / multiply / divide
-# per pair. Every integer intermediate sits below 2^53
-# (dim · (0.6·1e7)² ≈ 2.3e15 for the 64-dim ±0.6 corpus), so the
-# int→double conversions are exact and the final double is
+# per pair. Every integer intermediate sits below 2^53 — enforced by
+# the _EMB_NORM2_MAX guard in quant_embeddings (sum of squares ≤ 2⁵³
+# per vector ⇒ |dot| ≤ sn_a·sn_b ≤ 2⁵³ per pair, Cauchy-Schwarz) —
+# so the int→double conversions are exact and the final double is
 # BIT-IDENTICAL across engines by IEEE-754 construction. This removes
 # the last cross-SF residual: the (529,1234) 1-ulp divergence at sf0.1
 # came from list_cosine_similarity's different accumulation order.
@@ -893,6 +905,20 @@ _EMB_Q = 10_000_000
 _EMB_CEIL = float(math.floor(math.sqrt((2**63 - 1) / _LSH_DIM) / _EMB_Q))
 assert _LSH_DIM * (int(_EMB_CEIL) * _EMB_Q) ** 2 <= 2**63 - 1
 
+# Second, DYNAMIC bound (code-review r14): int64 arithmetic is exact up
+# to the _EMB_CEIL component bound, but the final int→double conversion
+# is only universally identical across the three engines below 2⁵³
+# (above it, Spark/numpy convert an int64 with one correct rounding
+# while DuckDB's list_sum returns an int128 HUGEINT whose →DOUBLE cast
+# can double-round).  quant_embeddings therefore also rejects any
+# vector whose micro-unit sum of squares exceeds 2⁵³; by Cauchy-Schwarz
+# every accepted PAIR then has |dot| ≤ sn_a·sn_b ≤ 2⁵³, so every
+# integer any path converts to double is exactly representable and the
+# bit-identical contract holds BY CONSTRUCTION for all accepted data —
+# not merely for the ±0.6 fixture corpus.  Unit-normalized embeddings
+# pass with margin (64 · (1e7)² = 6.4e15 < 9.01e15).
+_EMB_NORM2_MAX = 2**53
+
 
 def _quant_vec(col: F.Column) -> F.Column:
     """array<float|double> → array<int> integer micro-unit vector.
@@ -912,8 +938,10 @@ def _quant_vec(col: F.Column) -> F.Column:
 def _quant_norm(qcol: F.Column) -> F.Column:
     """sqrt of the exact int64 sum of squares of a micro-unit vector.
     The integer fold is exact (each int32 component widened before the
-    multiply); the one sqrt is correctly rounded, so the double matches
-    DuckDB's sqrt(CAST(list_sum(...) AS DOUBLE))."""
+    multiply); the sum is ≤ 2⁵³ for guard-accepted vectors
+    (_EMB_NORM2_MAX), so the int→double conversion is exact and the
+    one sqrt is correctly rounded — the double matches DuckDB's
+    sqrt(CAST(list_sum(...) AS DOUBLE)) bit for bit."""
     return F.sqrt(
         F.aggregate(
             qcol,
@@ -964,6 +992,11 @@ _EMB_QUANT_CTES = f"""eq AS (
              CASE WHEN list_sum(list_transform(qv,
                       q -> CAST(q AS BIGINT) * q)) = 0
                   THEN error('zero-norm embedding: cosine undefined')
+                  WHEN list_sum(list_transform(qv,
+                      q -> CAST(q AS BIGINT) * q)) > {2**53}
+                  THEN error('embedding norm too large: micro-unit '
+                             || 'sum of squares > 2^53 '
+                             || '(exact-double ceiling)')
                   ELSE sqrt(CAST(list_sum(list_transform(qv,
                        q -> CAST(q AS BIGINT) * q)) AS DOUBLE))
              END AS sn
@@ -1025,6 +1058,15 @@ def quant_embeddings(e: DataFrame) -> DataFrame:
         F.when(
             sumsq == 0,
             F.raise_error(F.lit("zero-norm embedding: cosine undefined")),
+        )
+        .when(
+            sumsq > F.lit(_EMB_NORM2_MAX),
+            F.raise_error(
+                F.lit(
+                    "embedding norm too large: micro-unit sum of squares "
+                    "> 2^53 (exact-double ceiling)"
+                )
+            ),
         )
         .otherwise(F.sqrt(sumsq.cast("double")))
         .alias("sn"),
@@ -1150,10 +1192,13 @@ def session_emb_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = e.groupBy("embedding").agg(
             F.min("vec_id").alias("rep_id"),
             F.count(F.lit(1)).alias("n_members"),
-        )
-        return e.join(agg, "embedding").select(
-            "vec_id", "rep_id", "n_members"
-        )
+        ).withColumnRenamed("embedding", "_e")
+        # eqNullSafe: totality over NULL embeddings, as in
+        # session_doc_reps (the quant guard rejects NULLs downstream,
+        # but the rep artifact's contract is 'every vector mapped')
+        return e.join(
+            agg, F.col("embedding").eqNullSafe(F.col("_e"))
+        ).select("vec_id", "rep_id", "n_members")
 
     return session_checkpoint(
         spark, f"emb_reps:{sf_dir}", build, sf_dir=sf_dir, storage="parquet"
@@ -1227,9 +1272,11 @@ def _emb_pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise ValueError(f"embedding dim != {dim}")
             A = A.reshape(n, dim)
             B = B.reshape(n, dim)
-            # exact int64 accumulate: |dot| <= dim * (0.6e7)^2 ~ 2.3e15,
-            # far below 2^63 (no overflow) and below 2^53 (the astype
-            # to float64 below is exact)
+            # exact int64 accumulate: components are bounded by the
+            # _EMB_CEIL guard (no int64 overflow) and each vector's
+            # sum of squares by _EMB_NORM2_MAX = 2^53, so by
+            # Cauchy-Schwarz |dot| <= sna*snb <= 2^53 and the astype
+            # to float64 below is exact
             acc = np.zeros(n, dtype=np.int64)
             for i in range(dim):
                 acc += A[:, i] * B[:, i]
@@ -1852,7 +1899,6 @@ def containment_candidates(
     the requirement and it always survives (hypothesis-hunted in
     tests/test_properties.py). On the 10x-replica sf1 corpus this cuts
     the join output roughly in half before the expensive distinct."""
-    import math
 
     per_doc = df_ordered_keys(sh) if keys is None else keys
     n = F.size("ks")
@@ -1933,12 +1979,4 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= CONTAINMENT_T)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
-    members = reps.select(
-        F.col("doc_id").alias("member_id"), "rep_id", "n_members"
-    )
-    same_vals = session_profile(spark, sf_dir).select(
-        F.col("doc_id").alias("rep_id"), F.lit(1.0).alias("containment")
-    )
-    return _expand_rep_pairs(
-        surv, members, same_vals, "doc_a", "doc_b", "containment"
-    )
+    return _expand_doc_rep_pairs(spark, sf_dir, surv, reps, val="containment")

@@ -320,16 +320,18 @@ def _artifact_parquet_roundtrip(spark, key: str, built: DataFrame) -> DataFrame:
     """Materialize a derived artifact as scratch parquet and return the
     re-read scan — the stats-grounding storage for builds whose plan
     poisons the checkpoint's inherited estimate (see session_checkpoint
-    docstring).  Path is per (application, full memo key): rebuilds of
-    the same artifact overwrite in place, a regenerated fixture changes
-    the fingerprint (hence the path), and no two sessions ever race on
-    one directory.  Stale dirs from dead sessions age out at 24 h —
-    deliberately looser than prune_stale_siblings' 2 h: these artifacts
-    are re-read on EVERY query execution for the life of their session
-    (a read advances no mtime), and an interactive session can live for
-    hours, so the bound must exceed the longest plausible session, not
-    the longest single read.  The dirs are kilobytes; the disk cost of
-    the loose bound is nil."""
+    docstring).  Dir name is kss_artifact_<appTag>_<keyTag>: rebuilds
+    of the same artifact overwrite in place, a regenerated fixture
+    changes the fingerprint (hence the key tag), no two sessions ever
+    race on one directory — and the app tag makes OWNERSHIP visible to
+    the scrub, so a session can never delete its own still-live
+    artifacts no matter how long it runs (reads advance no mtime, so
+    an age test alone cannot distinguish a dead session's leftovers
+    from a 25-hour session's working set; code-review r14).  Dirs of
+    OTHER apps age out at 24 h — looser than prune_stale_siblings'
+    2 h because the bound must exceed the longest plausible foreign
+    session, not the longest single read.  The dirs are kilobytes; the
+    disk cost of the loose bound is nil."""
     import glob as _glob
     import hashlib as _hashlib
     import shutil as _shutil
@@ -337,14 +339,16 @@ def _artifact_parquet_roundtrip(spark, key: str, built: DataFrame) -> DataFrame:
     import time as _time
 
     tmp = _tempfile.gettempdir()
-    tag = _hashlib.md5(
-        f"{spark.sparkContext.applicationId}:{key}".encode()
-    ).hexdigest()[:16]
-    path = os.path.join(tmp, f"kss_artifact_{tag}")
+    app_tag = _hashlib.md5(
+        spark.sparkContext.applicationId.encode()
+    ).hexdigest()[:10]
+    key_tag = _hashlib.md5(key.encode()).hexdigest()[:16]
+    path = os.path.join(tmp, f"kss_artifact_{app_tag}_{key_tag}")
     now = _time.time()
+    own_prefix = os.path.join(tmp, f"kss_artifact_{app_tag}_")
     for d in _glob.glob(os.path.join(tmp, "kss_artifact_*")):
-        if d == path:
-            continue
+        if d.startswith(own_prefix):
+            continue  # never scrub this session's own artifacts
         try:
             if now - os.path.getmtime(d) >= 86400:
                 _shutil.rmtree(d, ignore_errors=True)

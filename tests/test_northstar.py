@@ -440,6 +440,10 @@ def test_quant_embeddings_guards_fail_fast_all_paths(spark):
             [37.5] + [0.5] * (_LSH_DIM - 1)
         ),
         "NaN component": [float("nan")] + [0.5] * (_LSH_DIM - 1),
+        # per-component legal (1.3 < 37) but 64·(1.3e7)² ≈ 1.08e16 >
+        # 2⁵³ — the dynamic norm guard that keeps every int→double
+        # conversion exact (code-review r14)
+        "norm too large": [1.3] * _LSH_DIM,
         "dim !=": None,
         "dim != (ragged)": [0.5] * (_LSH_DIM - 1),
     }
@@ -472,6 +476,12 @@ def test_quant_embeddings_guards_fail_fast_all_paths(spark):
     for bad_sql, msg in [
         ("SELECT 2::BIGINT AS vec_id, [0.0, 0.0]::DOUBLE[] AS v", "zero-norm"),
         ("SELECT 2::BIGINT AS vec_id, [37.5, 0.5]::DOUBLE[] AS v", "int64"),
+        (
+            # two components at 30: 2·(3e8)² = 1.8e17 > 2⁵³ but under
+            # the per-component ceiling — hits the norm branch
+            "SELECT 2::BIGINT AS vec_id, [30.0, 30.0]::DOUBLE[] AS v",
+            "norm too large",
+        ),
         (
             "SELECT 2::BIGINT AS vec_id, ['nan'::DOUBLE, 0.5]::DOUBLE[] AS v",
             "NaN",
@@ -713,7 +723,7 @@ def test_prefix_rep_collapse_equals_member_level(spark, tmp_path):
         assert cgot[pair] == 1.0
 
 
-def test_simhash_geometry_pigeonhole(spark):
+def test_simhash_geometry_pigeonhole(spark, sf_smoke):
     """The banding geometry IS the Hamming cut (VERDICT r13 #4):
     simhash_candidates at (n_bands, width) must return EXACTLY the
     pairs at Hamming ≤ n_bands − 1 — pigeonhole completeness (fewer
@@ -741,7 +751,7 @@ def test_simhash_geometry_pigeonhole(spark):
                 out.add((a, b))
         return out
 
-    fsim = session_simhash(spark, "/root/testdata/sf0.001")
+    fsim = session_simhash(spark, sf_smoke)
     frows = [(r.doc_id, r.simhash) for r in fsim.collect()]
 
     for geometry in (_SIMHASH_GEOMETRY, _SIMHASH_GEOMETRY_100TB):

@@ -194,6 +194,12 @@ def test_all_derived_artifacts_have_grounded_stats(spark, sf_smoke):
         ).save()
     offenders = {}
     for (_, key), df in T._DERIVED_CACHE.items():
+        # restrict to artifacts of THIS test's corpus: earlier tests
+        # legitimately memoize artifacts on other corpora (sf0.01,
+        # crafted tmp dirs), and sweeping those would make the
+        # assertion depend on test order (code-review r14)
+        if sf_smoke not in key:
+            continue
         size = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
