@@ -714,27 +714,39 @@ def session_doc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-broadcasting every downstream rep_ids semi-join (measured 2×
     warm across the dedup family).  The parquet round-trip grounds
     stats in the real bytes (see session_checkpoint)."""
-
-    def build() -> DataFrame:
-        d = table(spark, sf_dir, "documents").select("doc_id", "text")
-        agg = d.groupBy("text").agg(
-            F.min("doc_id").alias("rep_id"),
-            # n_members rides the same aggregation — free at build,
-            # and it lets every consumer skip singleton clusters with
-            # a per-row filter instead of a per-query distinct
-            F.count(F.lit(1)).alias("n_members"),
-        ).withColumnRenamed("text", "_t")
-        # eqNullSafe keeps the artifact TOTAL over the corpus: groupBy
-        # puts all NULL texts in one group (SQL grouping treats NULLs
-        # equal, as the old window did), but a plain equi-join would
-        # then drop those rows (NULL != NULL) — a silent coverage hole
-        # for any consumer that counts against reps (code-review r14)
-        return d.join(agg, F.col("text").eqNullSafe(F.col("_t"))).select(
-            "doc_id", "rep_id", "n_members"
-        )
-
     return session_checkpoint(
-        spark, f"doc_reps:{sf_dir}", build, sf_dir=sf_dir, storage="parquet"
+        spark,
+        f"doc_reps:{sf_dir}",
+        lambda: _build_reps(
+            table(spark, sf_dir, "documents"), "doc_id", "text"
+        ),
+        sf_dir=sf_dir,
+        storage="parquet",
+    )
+
+
+def _build_reps(rows: DataFrame, id_col: str, key_col: str) -> DataFrame:
+    """(id, rep_id, n_members): min-id representative + cluster size
+    per distinct key — the skew-safe build both rep artifacts share,
+    named so test_reps_build_is_skew_safe can pin its plan shape
+    (partial aggregation present, NO Window).
+
+    groupBy collapses replicas to one row per distinct key per map
+    partition BEFORE the shuffle; the eqNullSafe join-back keeps the
+    artifact total over NULL keys (groupBy puts all NULLs in one
+    group, as the old window did, but a plain equi-join would drop
+    them — code-review r14) and streams a giant cluster instead of
+    buffering it in one window task."""
+    d = rows.select(id_col, key_col)
+    agg = d.groupBy(key_col).agg(
+        F.min(id_col).alias("rep_id"),
+        # n_members rides the same aggregation — free at build, and it
+        # lets every consumer skip singleton clusters with a per-row
+        # filter instead of a per-query distinct
+        F.count(F.lit(1)).alias("n_members"),
+    ).withColumnRenamed(key_col, "_k")
+    return d.join(agg, F.col(key_col).eqNullSafe(F.col("_k"))).select(
+        id_col, "rep_id", "n_members"
     )
 
 
@@ -1180,28 +1192,19 @@ def d_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_emb_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, rep_id, n_members) — every vector mapped to the min
     vec_id among vectors with a bit-identical embedding array;
-    memoized per corpus.  Same groupBy+join-back shape as
-    session_doc_reps and for the same reason (ADVICE r13): partial
-    aggregation collapses replicas before the shuffle and the
-    join-back streams a giant duplicate cluster instead of buffering
-    it in one window task.  Arrays hash/compare fine as grouping and
-    join keys."""
-
-    def build() -> DataFrame:
-        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        agg = e.groupBy("embedding").agg(
-            F.min("vec_id").alias("rep_id"),
-            F.count(F.lit(1)).alias("n_members"),
-        ).withColumnRenamed("embedding", "_e")
-        # eqNullSafe: totality over NULL embeddings, as in
-        # session_doc_reps (the quant guard rejects NULLs downstream,
-        # but the rep artifact's contract is 'every vector mapped')
-        return e.join(
-            agg, F.col("embedding").eqNullSafe(F.col("_e"))
-        ).select("vec_id", "rep_id", "n_members")
-
+    memoized per corpus.  Shares _build_reps with session_doc_reps
+    (same skew rationale, ADVICE r13; arrays hash/compare fine as
+    grouping and join keys; the quant guard rejects NULL embeddings
+    downstream, but the rep artifact's contract is 'every vector
+    mapped')."""
     return session_checkpoint(
-        spark, f"emb_reps:{sf_dir}", build, sf_dir=sf_dir, storage="parquet"
+        spark,
+        f"emb_reps:{sf_dir}",
+        lambda: _build_reps(
+            table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+        ),
+        sf_dir=sf_dir,
+        storage="parquet",
     )
 
 

@@ -134,6 +134,33 @@ def test_prefix_collapse_is_a_plan_property(spark, sf_smoke, name):
     assert "LeftSemi" in bplan, f"{name}: rep semi-filter missing in build"
 
 
+def test_reps_build_is_skew_safe(spark, sf_smoke):
+    """The rep artifacts' build must keep the ADVICE-r13 shape: map-
+    side partial aggregation (replicas collapse BEFORE the shuffle)
+    and NO window over the raw key (a window gets no partial combine
+    and buffers each duplicate cluster whole in one task — the
+    K-million-member OOM the sf1 stress corpus at K=10 cannot
+    surface).  Output equality can't pin this; only the plan can."""
+    from kafka_spark_streaming_spark.operators.dedup import _build_reps
+    from kafka_spark_streaming_spark.tables import table
+
+    for tbl, id_col, key_col in [
+        ("documents", "doc_id", "text"),
+        ("embeddings", "vec_id", "embedding"),
+    ]:
+        df = _build_reps(table(spark, sf_smoke, tbl), id_col, key_col)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Window" not in plan, f"{tbl}: window build is back"
+        # partial + final aggregate pair = map-side combine present
+        assert "partial_count" in plan or "HashAggregate" in plan, (
+            f"{tbl}: no partial aggregation in the build plan"
+        )
+
+
 def test_rep_artifacts_have_grounded_stats(spark, sf_smoke):
     """The rep artifacts' propagated size estimate must stay near the
     REAL artifact size (r14): their skew-safe groupBy+join-back build
