@@ -251,6 +251,10 @@ def main() -> None:
         # and the simhash signature table
         "sim_ann_ivf",
         "d_simhash_pairs",
+        # r14: the rep-collapsed containment candidate index (in
+        # HEADLINE via d_containment_pairs) — without a second build
+        # its derived_build_sec is a one-shot noise sample
+        "d_containment_pairs",
     ):
         if n in fns:
             _force(fns[n](spark, sf_dir))
