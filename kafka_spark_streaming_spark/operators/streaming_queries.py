@@ -605,6 +605,16 @@ def _docs_ordered_batches(
 def s_incremental_near_dedup(
     spark: SparkSession, sf_dir: str, n_batches: int = 4
 ) -> DataFrame:
+    """Streaming MinHash near-dedup against an append-only profile
+    store: each micro-batch bands its own profiles against everything
+    seen so far, verifies candidates exactly, and appends every
+    profile row ONCE with a `kept` verdict flag (r14 — the kept
+    projection and the full profile were previously two writes of the
+    same rows to two dirs).  At 100 TB the store would be bucketed by
+    band hash so a batch's candidate lookup is a co-located index
+    probe instead of the full-history band scan this local shape pays;
+    the per-batch verify stays bounded by the batch's collision count
+    either way."""
     from kafka_spark_streaming_spark.operators.dedup import (
         band_buckets,
         minhash_profile,
@@ -615,7 +625,6 @@ def s_incremental_near_dedup(
     stream = _docs_ordered_batches(spark, sf_dir, n_batches)
     run_dir = _scratch_dir("kss_increddup_")
     store_dir = os.path.join(run_dir, "store")
-    kept_dir = os.path.join(run_dir, "kept")
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         prof = minhash_profile(shingles_of(batch_df)).localCheckpoint(
@@ -625,7 +634,10 @@ def s_incremental_near_dedup(
             store = batch_df.sparkSession.read.parquet(
                 store_dir
             ).dropDuplicates(["doc_id"])
-            universe = store.unionByName(prof)
+            # the store keeps ALL seen docs (kept and rejected): a
+            # future doc duplicating a rejected doc must still be
+            # rejected — so the universe ignores the kept flag.
+            universe = store.drop("kept").unionByName(prof)
         else:
             universe = prof
         # candidate generator: band buckets of everything seen so far,
@@ -650,20 +662,25 @@ def s_incremental_near_dedup(
             verified_pairs(cand, universe)
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
+            .withColumn("_rej", F.lit(True))
         )
-        # append-only + read-side dropDuplicates(doc_id) = replay-
-        # idempotent: a foreachBatch retry re-appends the same rows and
-        # the dedup collapses them (same pattern as the daily rollup's
-        # (day, batch_id) partials).
+        # ONE append per batch (r14; was two — the kept projection and
+        # the full profile were written to separate dirs, double the
+        # write jobs and double the profile bytes): every profile row
+        # is stored once with its verdict as a `kept` flag; the read
+        # side filters. Append-only + read-side dropDuplicates(doc_id)
+        # stays replay-idempotent — each doc belongs to exactly one
+        # ordered batch, and a foreachBatch retry recomputes the same
+        # deterministic verdict against the same prior store, so
+        # replayed rows are exact duplicates the dedup collapses (same
+        # pattern as the daily rollup's (day, batch_id) partials).
         (
-            prof.join(rejected, "doc_id", "left_anti")
-            .select("doc_id", F.col("n").alias("n_shingles"))
+            prof.join(rejected, "doc_id", "left")
+            .withColumn("kept", F.col("_rej").isNull())
+            .drop("_rej")
             .write.mode("append")
-            .parquet(kept_dir)
+            .parquet(store_dir)
         )
-        # the store keeps ALL seen docs (kept and rejected): a future
-        # doc duplicating a rejected doc must still be rejected.
-        prof.write.mode("append").parquet(store_dir)
 
     q = (
         stream.writeStream.foreachBatch(dedup_batch)
@@ -673,7 +690,9 @@ def s_incremental_near_dedup(
     )
     q.awaitTermination()
     return (
-        spark.read.parquet(kept_dir)
+        spark.read.parquet(store_dir)
+        .filter(F.col("kept"))
+        .select("doc_id", F.col("n").alias("n_shingles"))
         .dropDuplicates(["doc_id"])
         .orderBy("doc_id")
     )
