@@ -130,6 +130,21 @@ def frontier(ids: np.ndarray, sigs: np.ndarray) -> None:
         "stays where the mass is\nand the candidate floor drops ~20x; "
         "4x16 (radius 3, floor 0.006%) for billion-doc corpora."
     )
+    # the shapes above are EXECUTABLE, not prose (r14): both live as
+    # module constants consumed by dedup.simhash_candidates —
+    # _SIMHASH_GEOMETRY (shipped) and _SIMHASH_GEOMETRY_100TB — and
+    # test_simhash_geometry_pigeonhole proves the radius guarantee for
+    # each on crafted boundary signatures and the fixture corpus.
+    from kafka_spark_streaming_spark.operators.dedup import (
+        _SIMHASH_GEOMETRY,
+        _SIMHASH_GEOMETRY_100TB,
+    )
+
+    print(
+        f"\nexecutable constants: shipped={_SIMHASH_GEOMETRY} "
+        f"cloud={_SIMHASH_GEOMETRY_100TB} "
+        "(dedup.simhash_candidates(sim, geometry))"
+    )
 
 
 def main() -> int:
