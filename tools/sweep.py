@@ -246,6 +246,31 @@ def main() -> int:
     round_tag = f"r{rnd:02d}"
     updated = merged_baseline(baseline, timings, round_tag, errors=errors)
 
+    # Second build per derived artifact (r14, the bench/sf1 protocol):
+    # during the main loop every artifact builds exactly once, inside
+    # whichever query first touches it, so derived_build_sec was a
+    # one-shot sample on a host whose throughput swings 1.5-4x —
+    # SWEEP_r14's first run recorded pq_codebook at 4.03 s whose
+    # settled min-of-2 is 1.4 s.  session_checkpoint keeps the min
+    # across rebuilds, so one cleared-cache replay of the
+    # artifact-bearing queries turns every entry into min-of-2.
+    _tables.reset_derived_cache()
+    for name in (
+        "d_minhash_lsh_pairs",
+        "d_simhash_pairs",
+        "d_embedding_near_dup_lsh",
+        "d_semantic_only_pairs_lsh",
+        "d_ngram_jaccard_pairs",
+        "d_containment_pairs",
+        "sim_ann_ivf",
+        "sim_pq_adc_topk",
+        "g_pagerank_trade",
+        "p_decontaminate_ngram",
+    ):
+        try:
+            force(QUERIES[name](spark, sf_dir))
+        except Exception:  # noqa: BLE001 — sampling must not fail the sweep
+            pass
     derived = {
         k.split(":", 1)[0]: v
         for k, v in _tables.DERIVED_BUILD_SEC.items()
