@@ -18,6 +18,7 @@ import os
 import shutil
 import tempfile
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -123,7 +124,12 @@ def _drain_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
 def s_stream_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = file_stream_messages(spark, _events_path(sf_dir))
     agg = msgs.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
-    return _drain_to_memory(agg, "complete")
+    # 8 state-store partitions (A/B in _state_store_partitions: this
+    # query 1.26 -> 0.81 s); foreachBatch-based entries keep the
+    # session default — their per-batch aggregations want parallelism
+    # and measured slightly worse at 8.
+    with _state_store_partitions(spark, 8):
+        return _drain_to_memory(agg, "complete")
 
 
 # --- event-time tumbling windows (phase 2) -------------------------------
@@ -138,7 +144,8 @@ def s_stream_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = file_stream_messages(spark, _events_path(sf_dir))
-    return _drain_to_memory(windowed_counts(msgs, "1 hour"), "complete")
+    with _state_store_partitions(spark, 8):  # A/B: 1.27 -> 1.00 s
+        return _drain_to_memory(windowed_counts(msgs, "1 hour"), "complete")
 
 
 # --- event-time session windows (phase 2) --------------------------------
@@ -172,9 +179,10 @@ def s_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = file_stream_messages(spark, _events_path(sf_dir))
-    return _drain_to_memory(
-        sessionized_counts(msgs, gap="30 minutes"), "complete"
-    )
+    with _state_store_partitions(spark, 8):  # A/B: 1.86 -> 1.19 s
+        return _drain_to_memory(
+            sessionized_counts(msgs, gap="30 minutes"), "complete"
+        )
 
 
 # --- streaming dedup (T5, cross-batch) -----------------------------------
@@ -185,7 +193,8 @@ def s_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = file_stream_messages(spark, _events_path(sf_dir))
     distinct = msgs.select("key", "value").dropDuplicates(["key", "value"])
-    return _drain_to_memory(distinct, "append")
+    with _state_store_partitions(spark, 8):  # A/B: 1.08 -> 0.72 s
+        return _drain_to_memory(distinct, "append")
 
 
 # --- stream-static enrichment join ---------------------------------------
@@ -253,7 +262,8 @@ def s_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = dedup_within_watermark(msgs, watermark="2 hours").select(
         "key", "value"
     )
-    return _drain_to_memory(dd, "append")
+    with _state_store_partitions(spark, 8):  # A/B: 1.78 -> 1.22 s
+        return _drain_to_memory(dd, "append")
 
 
 # --- the full Streamer pipeline → sink state ----------------------------
@@ -333,6 +343,28 @@ def s_stateful_user_stats(
     return fold_snapshots_to_final(snapshots)
 
 
+@contextmanager
+def _state_store_partitions(spark: SparkSession, n: int):
+    """Scope spark.sql.shuffle.partitions for a stateful stream run.
+
+    The state-store count is fixed at stream start from this conf and
+    never AQE-coalesced, and for JVM-side stateful operators the
+    per-batch floor is dominated by per-store task + commit overhead:
+    A/B on s_stream_stream_join at sf0.1 (min-of-2 settled, 4 batches,
+    stores = partitions x 4 join state stores): 32 -> 13.3-26.7 s,
+    16 -> 7.2-7.6 s, 8 -> 4.5-5.1 s, 4 -> 3.7 s, 2 -> 4.1 s; row
+    count identical throughout.  Locally fewer stores win until the
+    per-partition batch volume bites; on a cluster you size stores to
+    executors instead (same rule as the applyInPandasWithState
+    operator, whose Arrow workers push ITS sweet spot up to 16)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 # --- stream-stream join: purchases ⋈ prior clicks within 1 h -------------
 # Both sides are watermarked streams; Spark buffers exactly the state
 # the time-range condition needs (clicks ≤ 1 h older than the purchase
@@ -385,7 +417,14 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
     )
-    return _drain_to_memory(out, "append").orderBy("purchase_id", "click_id")
+    # 8 state-store partitions (see _state_store_partitions A/B): the
+    # 32-store default paid ~13-27 s of pure commit overhead for a
+    # 371-row join — 8 lands within ~0.8 s of the local optimum while
+    # keeping parallelism headroom for bigger corpora.
+    with _state_store_partitions(spark, 8):
+        return _drain_to_memory(out, "append").orderBy(
+            "purchase_id", "click_id"
+        )
 
 
 # --- S5: per-record executor-side sink, drained and read back ------------
