@@ -721,13 +721,20 @@ def s_incremental_near_dedup(
             .parquet(store_dir)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 8 shuffle partitions for the whole drain (A/B min-of-2 settled:
+    # 32 -> 6.57 s, 16 -> 5.95 s, 8 -> 5.76 s): the per-batch band
+    # joins and distincts move ~12.5k-doc batches, where 32-way task
+    # scheduling overhead beats the parallelism it buys.  foreachBatch
+    # plans read the session conf at each batch, so the scope covers
+    # the drain, not just the stream start.
+    with _state_store_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(store_dir)
         .filter(F.col("kept"))
