@@ -580,3 +580,62 @@ def test_ngram_novelty_extremes(spark, tmp_path_factory):
     assert rows[0].novelty == 0.0 and rows[1].novelty == 0.0
     assert rows[2].novelty == 1.0
     assert rows[2].n_shingles == 4 and rows[2].n_unique == 4
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c", "dd", ""])),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_build_reps_properties(spark, keys):
+    """_build_reps (the shared skew-safe rep-artifact build, r14) on
+    arbitrary duplicate/NULL/empty key multisets:
+    - TOTAL: exactly one output row per input row (the null-safe
+      join-back keeps NULL-keyed rows; code-review r14);
+    - rep_id = min id among rows sharing the key, with all NULLs one
+      group (SQL grouping semantics, matching the window it replaced);
+    - n_members = the key's multiplicity."""
+    from collections import Counter, defaultdict
+
+    from kafka_spark_streaming_spark.operators.dedup import _build_reps
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.rep_id, r.n_members)
+        for r in _build_reps(d, "doc_id", "text").collect()
+    }
+    assert len(got) == len(rows), "build must be total over the input"
+    rep = defaultdict(lambda: None)
+    counts = Counter(keys)
+    mins: dict = {}
+    for i, k in enumerate(keys):
+        if k not in mins:
+            mins[k] = i
+    for i, k in enumerate(keys):
+        assert got[i] == (mins[k], counts[k]), (i, k, got[i])
+
+
+def test_state_store_partitions_restores_conf_on_error(spark):
+    """The scoped state-store conf (r14) must restore the session
+    default even when the drain raises — a leaked 8 would silently
+    reshape every later batch query's shuffles."""
+    import pytest as _pytest
+
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _state_store_partitions,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with _pytest.raises(RuntimeError, match="boom"):
+        with _state_store_partitions(spark, 8):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
