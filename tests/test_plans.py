@@ -735,3 +735,54 @@ def test_shingles_split_text_once(spark, sf_smoke):
     sh = shingles(spark, sf_smoke)
     plan = sh._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(text") == 1, plan
+
+
+def test_bucketed_band_store_join_is_colocated(spark, sf_smoke, tmp_path):
+    """Executable form of the incremental near-dedup 100 TB lever (its
+    docstring: 'the store would be bucketed by band hash so a batch's
+    candidate lookup is a co-located index probe instead of the
+    full-history band scan').  Persist the band index bucketed on bh;
+    a batch's candidate join then reads the stored side AS BUCKETS —
+    'Bucketed: true' on the scan, no Exchange above it — and only the
+    (small) incoming side shuffles.  At 100 TB that is the difference
+    between shuffling the full history every batch and shipping one
+    batch to its matching buckets.  Broadcast is disabled for the
+    probe because at this smoke scale the planner would (correctly)
+    broadcast the batch instead — the bucketed path is what remains
+    when neither side is broadcastable."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators.dedup import (
+        band_buckets,
+        session_profile,
+    )
+
+    bands = band_buckets(session_profile(spark, sf_smoke))
+    table_name = "kss_test_band_store"
+    (
+        bands.write.bucketBy(8, "bh")
+        .sortBy("bh")
+        .option("path", str(tmp_path / "band_store"))
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        stored = spark.table(table_name)
+        incoming = bands.filter(F.col("doc_id") < 25)
+        j = stored.alias("x").join(
+            incoming.alias("y"),
+            (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        j.write.format("noop").mode("overwrite").save()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, "stored side not read as buckets"
+        assert "SortMergeJoin" in plan
+        # exactly one keyed shuffle: the incoming batch; the history
+        # side rides its bucket layout
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
