@@ -140,13 +140,57 @@ def session_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature profile for a corpus — the persisted artifact
     of a production dedup pipeline (built once, kept next to the data,
     probed by every near-dup query).  Memoized per (session, corpus)
-    via tables.session_checkpoint."""
+    via tables.session_checkpoint.  Member-level (one row per doc);
+    the registered dedup paths probe session_rep_profile instead."""
     return session_checkpoint(
         spark,
         f"minhash_profile:{sf_dir}",
         lambda: minhash_profile(shingles(spark, sf_dir)),
         sf_dir=sf_dir,
     )
+
+
+def session_rep_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profile restricted to one representative per distinct text —
+    the only rows any production probe touches (candidate generation,
+    verify, and same-cluster gating all operate at rep level since the
+    r13/r14 collapses).  Built directly from the rep documents, so
+    member replicas are never shingled or signed: per-doc signatures
+    are a local function of the text, hence these rows are
+    BIT-IDENTICAL to session_profile's for the same ids
+    (test_rep_profile_equals_member_profile_rows), and on a dup-heavy
+    corpus the build shrinks with the distinct-text count exactly like
+    the candidate floors did.  session_profile stays for member-level
+    consumers and the equivalence twins."""
+    return session_checkpoint(
+        spark,
+        f"minhash_rep_profile:{sf_dir}",
+        lambda: _build_rep_profile(spark, sf_dir),
+        sf_dir=sf_dir,
+    )
+
+
+def _rep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents frame restricted to one representative per
+    distinct text — the shared input of the rep-level signature
+    builds; named (with the two builds below) so the collapse plan
+    test can pin the semi-filter on the PRODUCTION build plans: since
+    the signature artifacts went rep-level, the registered query plans
+    only show the materialized artifact scans plus the expansion
+    Union."""
+    reps = session_doc_reps(spark, sf_dir)
+    rep_ids = reps.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id"
+    )
+    return table(spark, sf_dir, "documents").join(rep_ids, "doc_id", "semi")
+
+
+def _build_rep_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_profile(shingles_of(_rep_documents(spark, sf_dir)))
+
+
+def _build_rep_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_of(_rep_documents(spark, sf_dir))
 
 
 def band_buckets(profile: DataFrame) -> DataFrame:
@@ -409,7 +453,7 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r14 broadcast-poisoning class, see session_checkpoint)
         storage="parquet",
     )
-    surv = verified_pairs(cand, session_profile(spark, sf_dir))
+    surv = verified_pairs(cand, session_rep_profile(spark, sf_dir))
     return _expand_doc_rep_pairs(
         spark, sf_dir, surv, session_doc_reps(spark, sf_dir)
     )
@@ -477,7 +521,6 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify work is |doc| via array_intersect on long arrays, and there
     is NO shingle self-join anywhere.
     """
-    profile = session_profile(spark, sf_dir)
     # r13 exact-duplicate collapse (see d_simhash_pairs): identical
     # texts have identical signatures, so they collide in EVERY band —
     # on a dup-heavy corpus the band equi-join is quadratic in cluster
@@ -485,11 +528,12 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # representative per distinct text; survivors expand to member
     # pairs (jaccard is a function of the texts). sf1 stress: 3.0 →
     # 0.5 s warm (min-of-3), exceptAll-identical 250,600 pairs.
+    # r14: the profile itself is rep-level too — member replicas are
+    # never shingled (session_rep_profile), so the signature BUILD
+    # also scales with distinct texts, not raw docs.
+    profile = session_rep_profile(spark, sf_dir)
     reps = session_doc_reps(spark, sf_dir)
-    rep_ids = reps.filter(F.col("doc_id") == F.col("rep_id")).select(
-        "doc_id"
-    )
-    bands = band_buckets(profile.join(rep_ids, "doc_id", "semi"))
+    bands = band_buckets(profile)
     candidates = (
         bands.alias("x")
         .join(
@@ -644,6 +688,8 @@ def simhash_candidates(
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b")
     )
+
+
 def session_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) 64-bit signatures — memoized per (session,
     corpus) via session_checkpoint, the same persisted-artifact shape
@@ -656,37 +702,60 @@ def session_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     stress vs ~3 s for the equally-loaded minhash path, whose profile
     was already memoized (SWEEP/BENCH_r12_sf1 audit)."""
 
-    def build() -> DataFrame:
-        d = table(spark, sf_dir, "documents")
-        toks = shingles_of(d).select("doc_id", F.col("s").alias("tok"))
-        h = F.xxhash64("tok")
-        # per-bit weights: +1 if bit set else -1, summed per doc
-        agg = toks.groupBy("doc_id").agg(
-            *[
-                F.sum(
-                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-                    .otherwise(-1)
-                ).alias(f"b{i}")
-                for i in range(64)
-            ]
-        )
-        return agg.select(
-            "doc_id",
-            sum(
-                [
-                    # bit i set iff weight > 0; shift JVM-side (1 << 63
-                    # overflows a py4j long literal)
-                    F.when(
-                        F.col(f"b{i}") > 0,
-                        F.shiftleft(F.lit(1).cast("long"), i),
-                    ).otherwise(F.lit(0).cast("long"))
-                    for i in range(64)
-                ],
-                F.lit(0).cast("long"),
-            ).alias("simhash"),
-        )
+    return session_checkpoint(
+        spark,
+        f"simhash:{sf_dir}",
+        lambda: simhash_of(table(spark, sf_dir, "documents")),
+        sf_dir=sf_dir,
+    )
 
-    return session_checkpoint(spark, f"simhash:{sf_dir}", build, sf_dir=sf_dir)
+
+def simhash_of(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) 64-bit signatures for a documents frame — the
+    shared signature computation behind both the member-level and the
+    rep-level artifact."""
+    toks = shingles_of(d).select("doc_id", F.col("s").alias("tok"))
+    h = F.xxhash64("tok")
+    # per-bit weights: +1 if bit set else -1, summed per doc
+    agg = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    return agg.select(
+        "doc_id",
+        sum(
+            [
+                # bit i set iff weight > 0; shift JVM-side (1 << 63
+                # overflows a py4j long literal)
+                F.when(
+                    F.col(f"b{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+
+
+def session_rep_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures built over one representative per distinct
+    text (r14, the session_rep_profile pattern): the signature is a
+    local function of the text, the only consumer operates at rep
+    level since the r13 collapse, so member replicas are never
+    shingled or bit-summed.  session_simhash stays member-level for
+    the equivalence twins."""
+    return session_checkpoint(
+        spark,
+        f"simhash_reps:{sf_dir}",
+        lambda: _build_rep_simhash(spark, sf_dir),
+        sf_dir=sf_dir,
+    )
 
 
 def session_doc_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,7 +894,7 @@ def _expand_doc_rep_pairs(
     members = reps.select(
         F.col("doc_id").alias("member_id"), "rep_id", "n_members"
     )
-    same_vals = session_profile(spark, sf_dir).select(
+    same_vals = session_rep_profile(spark, sf_dir).select(
         F.col("doc_id").alias("rep_id"), F.lit(1.0).alias(val)
     )
     return _expand_rep_pairs(surv, members, same_vals, "doc_a", "doc_b", val)
@@ -852,10 +921,10 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT texts: n²/32 on 100 TB of raw docs is n_distinct²/32
     after collapse."""
     reps = session_doc_reps(spark, sf_dir)
-    rep_ids = reps.filter(F.col("doc_id") == F.col("rep_id")).select(
-        "doc_id"
-    )
-    sim = session_simhash(spark, sf_dir).join(rep_ids, "doc_id", "semi")
+    # r14: the signature artifact is rep-level too (session_rep_simhash)
+    # — member replicas are never shingled or bit-summed, so the
+    # signature BUILD also scales with distinct texts
+    sim = session_rep_simhash(spark, sf_dir)
     # band → candidates → Hamming prune (pipelined before the
     # pair-dedup shuffle) → exact verify, all at the _SIMHASH_GEOMETRY
     # contract (16 bands × 4 bits ⇒ pigeonhole radius 15): under the
@@ -871,7 +940,7 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify join the MinHash and prefix-filter paths use (a private
     # collect_set-of-strings profile here was ~4x the bytes and a
     # second corpus shingle pass)
-    surv = verified_pairs(candidates, session_profile(spark, sf_dir))
+    surv = verified_pairs(candidates, session_rep_profile(spark, sf_dir))
     # expand rep-pair survivors to member pairs; same-cluster emission
     # is conditional on profile membership — the same "doc has ≥1
     # shingle" set that gates the signature table, so shingle-less
@@ -1963,7 +2032,7 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r14 broadcast-poisoning class, see session_checkpoint)
         storage="parquet",
     )
-    prof = session_profile(spark, sf_dir)
+    prof = session_rep_profile(spark, sf_dir)
     a = prof.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hs").alias("hs_a"),

@@ -1286,3 +1286,36 @@ def test_nearest_asof_tiebreak_and_tolerance(spark, tmp_path):
         21: (None, None),  # outside ±10 min
         30: (31, 480_000_000),  # forward-only, positive
     }
+
+
+def test_rep_profile_equals_member_profile_rows(spark, sf_smoke):
+    """The rep-level signature artifacts (r14: session_rep_profile /
+    session_rep_simhash, built by shingling ONLY one representative
+    per distinct text) must be row-identical to the member-level
+    artifacts restricted to the rep ids — signatures are local
+    functions of the text, which is exactly why rep-level candidate
+    generation and verification stay exact."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators.dedup import (
+        session_doc_reps,
+        session_profile,
+        session_rep_profile,
+        session_rep_simhash,
+        session_simhash,
+    )
+
+    rep_ids = (
+        session_doc_reps(spark, sf_smoke)
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id")
+    )
+    for member, rep in [
+        (session_profile, session_rep_profile),
+        (session_simhash, session_rep_simhash),
+    ]:
+        want = member(spark, sf_smoke).join(rep_ids, "doc_id", "semi")
+        got = rep(spark, sf_smoke)
+        assert got.exceptAll(want).count() == 0, member.__name__
+        assert want.exceptAll(got).count() == 0, member.__name__
+        assert got.count() > 0

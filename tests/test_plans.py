@@ -75,10 +75,7 @@ def test_minhash_band_join_is_equi(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["d_minhash_lsh_pairs", "d_simhash_pairs", "d_embedding_near_dup_lsh"],
-)
+@pytest.mark.parametrize("name", ["d_embedding_near_dup_lsh"])
 def test_dedup_collapse_is_a_plan_property(spark, sf_smoke, name):
     """The r13 exact-duplicate collapse must be visible in the physical
     plan, not just in the output: candidates are generated from a
@@ -97,14 +94,23 @@ def test_dedup_collapse_is_a_plan_property(spark, sf_smoke, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["d_ngram_jaccard_pairs", "d_containment_pairs"]
+    "name",
+    [
+        "d_ngram_jaccard_pairs",
+        "d_containment_pairs",
+        # r14 late: the minhash/simhash signature artifacts went
+        # rep-level too (session_rep_profile / session_rep_simhash),
+        # so their semi-filters also live in the artifact builds now
+        "d_minhash_lsh_pairs",
+        "d_simhash_pairs",
+    ],
 )
 def test_prefix_collapse_is_a_plan_property(spark, sf_smoke, name):
-    """The r14 collapse of the prefix paths lives in the memoized
-    ARTIFACT build (the query plan shows only the artifact scan plus
-    the expansion Union), so the pin is split: the registered query's
-    plan must carry the member expansion, and the named PRODUCTION
-    build function must carry the rep semi-filter.  Same rationale as
+    """The r14 collapses live in the memoized ARTIFACT builds (the
+    query plans show only the artifact scans plus the expansion
+    Union), so the pin is split: the registered query's plan must
+    carry the member expansion, and the named PRODUCTION build
+    function must carry the rep semi-filter.  Same rationale as
     test_dedup_collapse_is_a_plan_property — output-equality tests
     can't catch a refactor that silently drops the collapse; the
     quadratic candidate floor would only resurface on the next
@@ -112,16 +118,19 @@ def test_prefix_collapse_is_a_plan_property(spark, sf_smoke, name):
     from kafka_spark_streaming_spark.operators.dedup import (
         _build_containment_candidates,
         _build_prefix_candidates,
+        _build_rep_profile,
+        _build_rep_simhash,
     )
 
     plan = plan_of(spark, name, sf_smoke)
     assert "Union" in plan, f"{name}: member expansion missing"
     assert "CartesianProduct" not in plan
-    build = (
-        _build_prefix_candidates
-        if name == "d_ngram_jaccard_pairs"
-        else _build_containment_candidates
-    )
+    build = {
+        "d_ngram_jaccard_pairs": _build_prefix_candidates,
+        "d_containment_pairs": _build_containment_candidates,
+        "d_minhash_lsh_pairs": _build_rep_profile,
+        "d_simhash_pairs": _build_rep_simhash,
+    }[name]
     bplan = (
         build(spark, sf_smoke)
         ._jdf.queryExecution()
