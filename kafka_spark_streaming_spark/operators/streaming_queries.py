@@ -124,11 +124,11 @@ def _drain_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
 def s_stream_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = file_stream_messages(spark, _events_path(sf_dir))
     agg = msgs.groupBy("value").agg(F.count(F.lit(1)).alias("n"))
-    # 8 state-store partitions (A/B in _state_store_partitions: this
+    # 8 state-store partitions (A/B in _scoped_shuffle_partitions: this
     # query 1.26 -> 0.81 s); foreachBatch-based entries keep the
     # session default — their per-batch aggregations want parallelism
     # and measured slightly worse at 8.
-    with _state_store_partitions(spark, 8):
+    with _scoped_shuffle_partitions(spark, 8):
         return _drain_to_memory(agg, "complete")
 
 
@@ -144,7 +144,7 @@ def s_stream_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = file_stream_messages(spark, _events_path(sf_dir))
-    with _state_store_partitions(spark, 8):  # A/B: 1.27 -> 1.00 s
+    with _scoped_shuffle_partitions(spark, 8):  # A/B: 1.27 -> 1.00 s
         return _drain_to_memory(windowed_counts(msgs, "1 hour"), "complete")
 
 
@@ -179,7 +179,7 @@ def s_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = file_stream_messages(spark, _events_path(sf_dir))
-    with _state_store_partitions(spark, 8):  # A/B: 1.86 -> 1.19 s
+    with _scoped_shuffle_partitions(spark, 8):  # A/B: 1.86 -> 1.19 s
         return _drain_to_memory(
             sessionized_counts(msgs, gap="30 minutes"), "complete"
         )
@@ -193,7 +193,7 @@ def s_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = file_stream_messages(spark, _events_path(sf_dir))
     distinct = msgs.select("key", "value").dropDuplicates(["key", "value"])
-    with _state_store_partitions(spark, 8):  # A/B: 1.08 -> 0.72 s
+    with _scoped_shuffle_partitions(spark, 8):  # A/B: 1.08 -> 0.72 s
         return _drain_to_memory(distinct, "append")
 
 
@@ -262,7 +262,7 @@ def s_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = dedup_within_watermark(msgs, watermark="2 hours").select(
         "key", "value"
     )
-    with _state_store_partitions(spark, 8):  # A/B: 1.78 -> 1.22 s
+    with _scoped_shuffle_partitions(spark, 8):  # A/B: 1.78 -> 1.22 s
         return _drain_to_memory(dd, "append")
 
 
@@ -334,29 +334,36 @@ def s_stateful_user_stats(
     # spot is 16 (A/B at sf0.1, min-of-4: 4→2.75s, 8→2.03s, 16→1.79s,
     # 24→2.27s, 32→2.07s — Arrow-worker parallelism beats per-store
     # commit overhead up to half the cores, then task churn wins).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
-        snapshots = _drain_to_memory(user_lifetime_stats(stream), "update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _scoped_shuffle_partitions(spark, 16):
+        snapshots = _drain_to_memory(
+            user_lifetime_stats(stream), "update"
+        )
     return fold_snapshots_to_final(snapshots)
 
 
 @contextmanager
-def _state_store_partitions(spark: SparkSession, n: int):
-    """Scope spark.sql.shuffle.partitions for a stateful stream run.
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Scope spark.sql.shuffle.partitions to a streaming drain and
+    restore it afterwards (exception-safe), making the partition count
+    an explicit per-query decision instead of whatever the session
+    default is.  Two distinct reasons to use it:
 
-    The state-store count is fixed at stream start from this conf and
-    never AQE-coalesced, and for JVM-side stateful operators the
-    per-batch floor is dominated by per-store task + commit overhead:
-    A/B on s_stream_stream_join at sf0.1 (min-of-2 settled, 4 batches,
-    stores = partitions x 4 join state stores): 32 -> 13.3-26.7 s,
-    16 -> 7.2-7.6 s, 8 -> 4.5-5.1 s, 4 -> 3.7 s, 2 -> 4.1 s; row
-    count identical throughout.  Locally fewer stores win until the
-    per-partition batch volume bites; on a cluster you size stores to
-    executors instead (same rule as the applyInPandasWithState
-    operator, whose Arrow workers push ITS sweet spot up to 16)."""
+    - STATEFUL drains: the state-store count is fixed at stream start
+      from this conf and never AQE-coalesced, and for JVM-side
+      stateful operators the per-batch floor is dominated by per-store
+      task + commit overhead.  A/B on s_stream_stream_join at sf0.1
+      (min-of-2 settled, 4 batches, stores = partitions x 4 join
+      state stores): 32 -> 13.3-26.7 s, 16 -> 7.2-7.6 s,
+      8 -> 4.5-5.1 s, 4 -> 3.7 s, 2 -> 4.1 s; row count identical
+      throughout.  Locally fewer stores win until the per-partition
+      batch volume bites; on a cluster you size stores to executors
+      (the applyInPandasWithState operator's Arrow workers push ITS
+      sweet spot up to 16).
+    - STATELESS foreachBatch drains: each batch's plans read the
+      session conf at execution, so the scope also bounds ordinary
+      batch shuffles — small micro-batches lose to 32-way task
+      scheduling overhead (s_incremental_near_dedup A/B: 32 -> 6.57 s,
+      8 -> 5.76 s)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
@@ -417,11 +424,11 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
     )
-    # 8 state-store partitions (see _state_store_partitions A/B): the
+    # 8 state-store partitions (see _scoped_shuffle_partitions A/B): the
     # 32-store default paid ~13-27 s of pure commit overhead for a
     # 371-row join — 8 lands within ~0.8 s of the local optimum while
     # keeping parallelism headroom for bigger corpora.
-    with _state_store_partitions(spark, 8):
+    with _scoped_shuffle_partitions(spark, 8):
         return _drain_to_memory(out, "append").orderBy(
             "purchase_id", "click_id"
         )
@@ -727,7 +734,7 @@ def s_incremental_near_dedup(
     # scheduling overhead beats the parallelism it buys.  foreachBatch
     # plans read the session conf at each batch, so the scope covers
     # the drain, not just the stream start.
-    with _state_store_partitions(spark, 8):
+    with _scoped_shuffle_partitions(spark, 8):
         q = (
             stream.writeStream.foreachBatch(dedup_batch)
             .option("checkpointLocation", os.path.join(run_dir, "ckpt"))

@@ -164,9 +164,11 @@ def test_reps_build_is_skew_safe(spark, sf_smoke):
             )
         )
         assert "Window" not in plan, f"{tbl}: window build is back"
-        # partial + final aggregate pair = map-side combine present
-        assert "partial_count" in plan or "HashAggregate" in plan, (
-            f"{tbl}: no partial aggregation in the build plan"
+        # the PARTIAL aggregate functions are the map-side combine —
+        # "HashAggregate" alone would also match a combine-less plan
+        # (code-review r14 second pass)
+        assert "partial_min" in plan and "partial_count" in plan, (
+            f"{tbl}: no map-side partial aggregation in the build plan"
         )
 
 

@@ -602,7 +602,7 @@ def test_build_reps_properties(spark, keys):
     - rep_id = min id among rows sharing the key, with all NULLs one
       group (SQL grouping semantics, matching the window it replaced);
     - n_members = the key's multiplicity."""
-    from collections import Counter, defaultdict
+    from collections import Counter
 
     from kafka_spark_streaming_spark.operators.dedup import _build_reps
 
@@ -613,7 +613,6 @@ def test_build_reps_properties(spark, keys):
         for r in _build_reps(d, "doc_id", "text").collect()
     }
     assert len(got) == len(rows), "build must be total over the input"
-    rep = defaultdict(lambda: None)
     counts = Counter(keys)
     mins: dict = {}
     for i, k in enumerate(keys):
@@ -623,19 +622,19 @@ def test_build_reps_properties(spark, keys):
         assert got[i] == (mins[k], counts[k]), (i, k, got[i])
 
 
-def test_state_store_partitions_restores_conf_on_error(spark):
-    """The scoped state-store conf (r14) must restore the session
+def test_scoped_shuffle_partitions_restores_conf_on_error(spark):
+    """The scoped shuffle-partitions conf (r14) must restore the session
     default even when the drain raises — a leaked 8 would silently
     reshape every later batch query's shuffles."""
     import pytest as _pytest
 
     from kafka_spark_streaming_spark.operators.streaming_queries import (
-        _state_store_partitions,
+        _scoped_shuffle_partitions,
     )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     with _pytest.raises(RuntimeError, match="boom"):
-        with _state_store_partitions(spark, 8):
+        with _scoped_shuffle_partitions(spark, 8):
             assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev

@@ -253,7 +253,16 @@ def main() -> int:
     # SWEEP_r14's first run recorded pq_codebook at 4.03 s whose
     # settled min-of-2 is 1.4 s.  session_checkpoint keeps the min
     # across rebuilds, so one cleared-cache replay of the
-    # artifact-bearing queries turns every entry into min-of-2.
+    # artifact-bearing queries below makes their entries min-of-2;
+    # any artifact built ONLY by a query outside this list keeps its
+    # one-shot sample and is NAMED in derived_one_shot so the record
+    # never silently claims a protocol it didn't run (code-review r14
+    # second pass).
+    before_keys = {
+        k[1].split("@", 1)[0]
+        for k in _tables._DERIVED_CACHE
+        if sf_dir in k[1]
+    }
     _tables.reset_derived_cache()
     for name in (
         "d_minhash_lsh_pairs",
@@ -271,6 +280,14 @@ def main() -> int:
             force(QUERIES[name](spark, sf_dir))
         except Exception:  # noqa: BLE001 — sampling must not fail the sweep
             pass
+    resampled = {
+        k[1].split("@", 1)[0]
+        for k in _tables._DERIVED_CACHE
+        if sf_dir in k[1]
+    }
+    one_shot = sorted(
+        k.split(":", 1)[0] for k in (before_keys - resampled)
+    )
     derived = {
         k.split(":", 1)[0]: v
         for k, v in _tables.DERIVED_BUILD_SEC.items()
@@ -291,6 +308,7 @@ def main() -> int:
         "confirm_errors": confirm_errors,
         "new_in_baseline": new_queries,
         "derived_build_sec": derived,
+        "derived_one_shot": one_shot,
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
         "notes": {
             "protocol": (
