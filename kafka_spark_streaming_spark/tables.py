@@ -358,6 +358,20 @@ def _artifact_parquet_roundtrip(spark, key: str, built: DataFrame) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _build_plan_has_join(built: DataFrame) -> bool:
+    """True when the build's optimized logical plan contains a Join
+    node — the exact condition under which a localCheckpoint inherits
+    a product-of-children size estimate (see session_checkpoint).
+    Detected on the optimizedPlan (post-rewrite: a semi/anti written
+    as EXISTS still surfaces as Join) via toJSON class names, so a
+    column literally named 'Join' can't false-positive a string
+    match."""
+    plan_json = built._jdf.queryExecution().optimizedPlan().toJSON()
+    return '"class":"org.apache.spark.sql.catalyst.plans.logical.Join"' in (
+        plan_json
+    )
+
+
 def session_checkpoint(
     spark,
     key: str,
@@ -391,9 +405,13 @@ def session_checkpoint(
     regression across the embedding dedup family).  A parquet scan's
     stats are the actual file bytes, immune to the build plan's
     estimate — and persisted-next-to-the-corpus is exactly how a
-    production pipeline stores these artifacts anyway.  Use it for any
-    artifact whose build contains a join; localCheckpoint stays the
-    default for pure scan/agg/window builds (no serialization
+    production pipeline stores these artifacts anyway.  r15: the rule
+    "join in build ⇒ parquet" is ENFORCED here, not opt-in — every
+    default-storage build is checked for a Join node in its optimized
+    plan (_build_plan_has_join) and auto-grounded when one is found;
+    pass storage="parquet" only to document intent (or for join-free
+    builds that still want file-backed stats).  localCheckpoint stays
+    the fast path for pure scan/agg/window builds (no serialization
     round-trip, stats inherit fine)."""
     base_key = key
     if sf_dir is not None:
@@ -423,7 +441,18 @@ def session_checkpoint(
     sidecar = None
     if with_sidecar:
         built, sidecar = built
-    if storage == "parquet":
+    if storage == "parquet" or (
+        storage == "memory" and _build_plan_has_join(built)
+    ):
+        # auto-grounding (r15, VERDICT r14 #4): the parquet rule used
+        # to be opt-in, policed only by the artifact families the
+        # grounded-stats sweep test happens to touch — a NEW
+        # join-bearing build registered outside them would silently
+        # reintroduce the 496 GB-estimate class.  Now the Join check
+        # runs on every default-storage build and routes to parquet
+        # itself; explicit storage="memory" cannot occur (the keyword
+        # only distinguishes "parquet" from default), so there is no
+        # bypass to misuse.
         df = _artifact_parquet_roundtrip(spark, key, built)
     else:
         df = built.localCheckpoint(eager=True)

@@ -209,8 +209,10 @@ def test_all_derived_artifacts_have_grounded_stats(spark, sf_smoke):
     trade_edges 625 rows at 1.3e27, pq_codebook 512 rows at 6e16,
     pq_dists, prefix_candidates and containment_candidates at 1.3e10)
     — every downstream join against one silently refused to broadcast.
-    Any FUTURE artifact whose build grows a join must opt into
-    storage='parquet'; this test is what catches the omission."""
+    r15: session_checkpoint now auto-grounds any default-storage build
+    whose optimized plan contains a Join (_build_plan_has_join), so
+    this sweep is the belt-and-braces end check, not the only line of
+    defense."""
     from kafka_spark_streaming_spark import tables as T
     from kafka_spark_streaming_spark.operators import QUERIES
 
@@ -797,3 +799,46 @@ def test_bucketed_band_store_join_is_colocated(spark, sf_smoke, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+
+
+def test_band_store_probe_prunes_partitions(spark, tmp_path):
+    """The r15 production form of the incremental-dedup lever: the
+    band store is WRITTEN partitioned by pb = pmod(bh, buckets) and a
+    micro-batch's candidate lookup reads it through
+    _bucketed_band_probe, which must show PartitionFilters on the scan
+    (directory pruning, not a filter over a full listing).  Exactness:
+    pb is a function of the join key bh, so pruned rows cannot collide
+    with any incoming band — asserted by comparing against the
+    unpruned filter."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _BAND_STORE_BUCKETS,
+        _bucketed_band_probe,
+    )
+
+    bands = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.xxhash64(F.col("id")).alias("bh"),
+        )
+        .withColumn("pb", F.pmod(F.col("bh"), F.lit(_BAND_STORE_BUCKETS)))
+    )
+    d = str(tmp_path / "bands")
+    bands.write.partitionBy("pb").parquet(d)
+
+    probe = _bucketed_band_probe(spark, d, [1, 3])
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "pb" in pf[0], f"band probe not partition-pruned:\n{plan}"
+    # the pruned read returns exactly the rows whose pb is probed
+    expected = bands.filter(F.col("pb").isin([1, 3])).count()
+    assert probe.count() == expected and expected > 0
+    # probing every bucket returns the full store (nothing silently lost)
+    all_pbs = list(range(_BAND_STORE_BUCKETS))
+    assert _bucketed_band_probe(spark, d, all_pbs).count() == 500
