@@ -1510,7 +1510,14 @@ def d_semantic_only_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session_lsh_buckets — the self-join no longer re-derives buckets
     per side) plus the Arrow cosine kernel (bit-identical doubles,
     test_emb_verify_kernel_bit_identical) took the sf0.1 warm probe
-    8.7 s -> ~2.8 s with output byte-identical at all three SFs."""
+    8.7 s -> ~2.8 s with output byte-identical at all three SFs.
+    r15: a JVM-side upper-bound prefilter before the Arrow verify was
+    measured and REJECTED (PERF_NOTES r15) — block-norm Cauchy-Schwarz
+    bounds prune 0.00% of the 808 k candidates at every geometry
+    (near-orthogonal 64-dim embeddings keep the bound at 0.79-1.0,
+    never under tau=0.25), and the only partial-dot bound that prunes
+    (k=dim) is the full dot on the JVM expression path r10 already
+    measured 6 s slower. The 2.5-2.9 s floor stands."""
     sem = _emb_lsh_verified(spark, sf_dir, 0.25).select(
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),

@@ -311,7 +311,15 @@ def reset_derived_cache() -> None:
     External callers (bench.py / sf1_smoke.py cold-rebuild sampling)
     must use this instead of clearing _DERIVED_CACHE directly — a
     cache-only clear would leave sidecars alive with no DataFrame twin,
-    breaking the paired-eviction invariant the two dicts share."""
+    breaking the paired-eviction invariant the two dicts share.
+    Auto-grounded artifacts (persist() over the checkpoint) are
+    unpersisted so dropped entries release their columnar cache and
+    CacheManager slots instead of pinning them for the session."""
+    for df in _DERIVED_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # a dead session's handle: nothing to release
     _DERIVED_CACHE.clear()
     _DERIVED_SIDECAR.clear()
 
@@ -405,14 +413,16 @@ def session_checkpoint(
     regression across the embedding dedup family).  A parquet scan's
     stats are the actual file bytes, immune to the build plan's
     estimate — and persisted-next-to-the-corpus is exactly how a
-    production pipeline stores these artifacts anyway.  r15: the rule
-    "join in build ⇒ parquet" is ENFORCED here, not opt-in — every
+    production pipeline stores these artifacts anyway.  r15: the
+    grounding rule is ENFORCED here, not opt-in — every
     default-storage build is checked for a Join node in its optimized
-    plan (_build_plan_has_join) and auto-grounded when one is found;
-    pass storage="parquet" only to document intent (or for join-free
-    builds that still want file-backed stats).  localCheckpoint stays
-    the fast path for pure scan/agg/window builds (no serialization
-    round-trip, stats inherit fine)."""
+    plan (_build_plan_has_join) and auto-grounded via a materialized
+    persist() over the checkpoint (accurate InMemoryRelation bytes, no
+    per-read parquet tax); pass storage="parquet" for the heavyweight
+    join-bearing artifacts where file-backed stats plus
+    spill-to-disk-by-construction is the production posture.
+    localCheckpoint alone stays the fast path for pure
+    scan/agg/window builds (stats inherit fine)."""
     base_key = key
     if sf_dir is not None:
         key = f"{key}@{fixture_fingerprint(sf_dir)}"
@@ -432,6 +442,10 @@ def session_checkpoint(
         # case — drop it so its checkpoint blocks can be reclaimed
         or (s[1].startswith(f"{base_key}@") and s[1] != key)
     ]:
+        try:
+            _DERIVED_CACHE[stale].unpersist()
+        except Exception:
+            pass  # other app's handle or already released
         del _DERIVED_CACHE[stale]
         _DERIVED_SIDECAR.pop(stale, None)
     import time
@@ -441,19 +455,29 @@ def session_checkpoint(
     sidecar = None
     if with_sidecar:
         built, sidecar = built
-    if storage == "parquet" or (
-        storage == "memory" and _build_plan_has_join(built)
-    ):
-        # auto-grounding (r15, VERDICT r14 #4): the parquet rule used
+    if storage == "parquet":
+        df = _artifact_parquet_roundtrip(spark, key, built)
+    elif _build_plan_has_join(built):
+        # auto-grounding (r15, VERDICT r14 #4): the grounding rule used
         # to be opt-in, policed only by the artifact families the
         # grounded-stats sweep test happens to touch — a NEW
-        # join-bearing build registered outside them would silently
-        # reintroduce the 496 GB-estimate class.  Now the Join check
-        # runs on every default-storage build and routes to parquet
-        # itself; explicit storage="memory" cannot occur (the keyword
-        # only distinguishes "parquet" from default), so there is no
-        # bypass to misuse.
-        df = _artifact_parquet_roundtrip(spark, key, built)
+        # join-bearing build would silently reintroduce the
+        # 496 GB-estimate class.  Now every default-storage build is
+        # checked for a Join and grounded IN MEMORY: a materialized
+        # persist() over the checkpoint makes the InMemoryRelation
+        # report its real cached bytes (measured: 96 MB product
+        # estimate → 112 KB actual; downstream joins and projections
+        # broadcast again), with none of the per-read parquet tax that
+        # a blanket parquet flip was measured to cost warm consumers
+        # (d_simhash_pairs 0.95 → 1.83 s when session_rep_simhash's
+        # semi-join build briefly round-tripped through parquet).
+        # Cache eviction would only revert stats to the estimate until
+        # re-materialization — at these artifact sizes (KB–MB) against
+        # the local heap that window is theoretical; at cluster scale
+        # the big join-bearing artifacts pass storage="parquet"
+        # explicitly, which is also the production posture.
+        df = built.localCheckpoint(eager=True).persist()
+        df.count()
     else:
         df = built.localCheckpoint(eager=True)
     dt = round(time.perf_counter() - t0, 3)

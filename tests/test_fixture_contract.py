@@ -203,13 +203,14 @@ def test_engine_confs_pinned_on_foreign_session(spark):
 
 
 def test_session_checkpoint_autogrounds_join_builds(spark):
-    """A join-bearing build with DEFAULT storage must auto-ground via
-    the parquet round-trip (r15 — the 'join in build ⇒ parquet' rule
-    is enforced in session_checkpoint, not left to call-site opt-in):
-    the memoized artifact's propagated sizeInBytes must be the real
-    file bytes, not the product-of-children join estimate, and the
-    plan must be a file scan.  A join-free build keeps the
-    localCheckpoint fast path (LogicalRDD)."""
+    """A join-bearing build with DEFAULT storage must auto-ground
+    (r15 — the grounding rule is enforced in session_checkpoint, not
+    left to call-site opt-in): the memoized artifact's propagated
+    sizeInBytes must be the real cached bytes (materialized persist
+    over the checkpoint), not the product-of-children join estimate,
+    so downstream joins against the artifact still broadcast.  A
+    join-free build keeps the plain-localCheckpoint fast path (no
+    InMemoryRelation)."""
     from pyspark.sql import functions as F
 
     from kafka_spark_streaming_spark import tables
@@ -222,17 +223,30 @@ def test_session_checkpoint_autogrounds_join_builds(spark):
         return a.join(b, "k")
 
     df = tables.session_checkpoint(spark, "probe_autoground_join", join_build)
-    plan = df._jdf.queryExecution().optimizedPlan()
-    size = int(str(plan.stats().sizeInBytes()))
-    assert 0 < size < 1024 * 1024, (
-        f"join build not stats-grounded: sizeInBytes={size}"
-    )
-    assert "LogicalRDD" not in plan.toString(), "join build not parquet-backed"
-    assert df.count() == 2000
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        size = int(str(plan.stats().sizeInBytes()))
+        assert 0 < size < 1024 * 1024, (
+            f"join build not stats-grounded: sizeInBytes={size}"
+        )
+        assert "InMemoryRelation" in plan.toString(), (
+            "join build not grounded through a materialized persist"
+        )
+        assert df.count() == 2000
 
-    def scan_build():
-        return spark.range(100).groupBy((F.col("id") % 10).alias("g")).count()
+        def scan_build():
+            return (
+                spark.range(100)
+                .groupBy((F.col("id") % 10).alias("g"))
+                .count()
+            )
 
-    df2 = tables.session_checkpoint(spark, "probe_autoground_scan", scan_build)
-    assert "LogicalRDD" in df2._jdf.queryExecution().optimizedPlan().toString()
-    assert df2.count() == 10
+        df2 = tables.session_checkpoint(
+            spark, "probe_autoground_scan", scan_build
+        )
+        assert "InMemoryRelation" not in (
+            df2._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert df2.count() == 10
+    finally:
+        df.unpersist()
