@@ -229,6 +229,15 @@ def main() -> None:
             dt = round(time.perf_counter() - q0, 3)
             if n not in timings or dt < timings[n]:
                 timings[n] = dt
+            if QUERIES[n].__module__.endswith("streaming_queries"):
+                # belt-and-braces for the quiesce decision (ADVICE
+                # r14): the listener flag rides the async listener
+                # bus, so in principle teardown can outrun the
+                # onQueryStarted delivery of a just-run stream; every
+                # stream-starting HEADLINE query is defined in
+                # streaming_queries, so this synchronous mark closes
+                # the window.
+                ran_streaming["flag"] = True
     total = round(sum(timings.values()), 3)
 
     # One-time derived-artifact build cost at the bench SF (ADVICE r4

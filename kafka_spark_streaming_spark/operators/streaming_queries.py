@@ -363,7 +363,17 @@ def _scoped_shuffle_partitions(spark: SparkSession, n: int):
       session conf at execution, so the scope also bounds ordinary
       batch shuffles — small micro-batches lose to 32-way task
       scheduling overhead (s_incremental_near_dedup A/B: 32 -> 6.57 s,
-      8 -> 5.76 s)."""
+      8 -> 5.76 s).
+
+    SINGLE-THREADED BY ASSUMPTION (ADVICE r14): this mutates the
+    SHARED session conf, so overlapping scopes from concurrent query
+    functions on one SparkSession would restore stale values, and a
+    DataFrame returned from inside the scope but executed after exit
+    plans under the restored default.  Both are fine here — the
+    registry drains queries sequentially and every scoped drain fully
+    materializes before returning — but a caller that wants
+    concurrency must scope per-query instead (the stream-level
+    spark.sql.shuffle.partitions option on writeStream)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:

@@ -148,22 +148,33 @@ class KeyedUpsertSink:
                  cf: str = "cf1", batch_id: int | None = None) -> None:
         """S4 intent: distinct (key,value) records → one cell each
         (HbaseWriter.scala:42-74), null keys → sentinel row."""
-        rows = (
-            messages_df.select(
-                F.when(
-                    F.col("key").isNull(),
-                    F.lit(f"{rowkey_prefix}-kafka empty message"),
-                )
-                .otherwise(F.concat(F.lit(f"{rowkey_prefix}-"), F.col("key")))
-                .alias("rowkey"),
-                F.lit(cf).alias("cf"),
-                F.lit("content").alias("qualifier"),
-                F.when(F.col("key").isNull(), F.lit("kafka empty message"))
-                .otherwise(F.concat_ws("--|--", F.col("key"), F.col("value")))
-                .alias("value"),
-            )
-            .dropDuplicates()
-        )
         self.write_batch(
-            rows, self._next_batch_id() if batch_id is None else batch_id
+            bulk_cells(messages_df, rowkey_prefix, cf),
+            self._next_batch_id() if batch_id is None else batch_id,
         )
+
+
+def bulk_cells(
+    messages_df: DataFrame, rowkey_prefix: str, cf: str = "cf1"
+) -> DataFrame:
+    """The S4 bulk rows in cell shape (rowkey, cf, qualifier, value) —
+    shared by put_bulk and the pipeline's merged per-batch write.
+    Bulk rowkeys are '{prefix}-{key}' with qualifier 'content', so
+    they can never collide with the batch summary cell (bare-epoch
+    rowkey, qualifier 'message'/'messages')."""
+    return (
+        messages_df.select(
+            F.when(
+                F.col("key").isNull(),
+                F.lit(f"{rowkey_prefix}-kafka empty message"),
+            )
+            .otherwise(F.concat(F.lit(f"{rowkey_prefix}-"), F.col("key")))
+            .alias("rowkey"),
+            F.lit(cf).alias("cf"),
+            F.lit("content").alias("qualifier"),
+            F.when(F.col("key").isNull(), F.lit("kafka empty message"))
+            .otherwise(F.concat_ws("--|--", F.col("key"), F.col("value")))
+            .alias("value"),
+        )
+        .dropDuplicates()
+    )

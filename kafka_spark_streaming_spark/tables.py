@@ -336,10 +336,12 @@ def _artifact_parquet_roundtrip(spark, key: str, built: DataFrame) -> DataFrame:
     artifacts no matter how long it runs (reads advance no mtime, so
     an age test alone cannot distinguish a dead session's leftovers
     from a 25-hour session's working set; code-review r14).  Dirs of
-    OTHER apps age out at 24 h — looser than prune_stale_siblings'
-    2 h because the bound must exceed the longest plausible foreign
-    session, not the longest single read.  The dirs are kilobytes; the
-    disk cost of the loose bound is nil."""
+    OTHER apps age out at 24 h — and since r15 every session
+    HEARTBEATS its own dirs (_touch_own_artifacts, ≤10 min cadence on
+    any session_checkpoint call), so a live peer running past 24 h
+    keeps fresh mtimes and the age test only ever catches genuinely
+    dead sessions (ADVICE r14: reads alone advance no mtime).  The
+    dirs are kilobytes; the disk cost of the loose bound is nil."""
     import glob as _glob
     import hashlib as _hashlib
     import shutil as _shutil
@@ -363,7 +365,36 @@ def _artifact_parquet_roundtrip(spark, key: str, built: DataFrame) -> DataFrame:
         except OSError:
             pass
     built.write.mode("overwrite").parquet(path)
+    _OWN_ARTIFACT_DIRS.add(path)
     return spark.read.parquet(path)
+
+
+# Parquet artifact dirs this session owns — heartbeat targets for
+# _touch_own_artifacts (ADVICE r14: reads never advance mtime, so
+# without a heartbeat a FOREIGN session's 24 h scrub could rmtree a
+# >24 h-old but still-live artifact out from under this session's
+# memoized scan).
+_OWN_ARTIFACT_DIRS: set[str] = set()
+_LAST_HEARTBEAT = [0.0]
+
+
+def _touch_own_artifacts() -> None:
+    """Advance mtime on this session's live parquet artifacts so peer
+    sessions' age-based scrubs never classify them as dead.  Called on
+    every session_checkpoint entry (hit or build) and throttled to one
+    pass per 10 min — the scrub bound is 24 h, so any session still
+    executing queries stays ~144 heartbeats ahead of deletion."""
+    import time as _time
+
+    now = _time.time()
+    if now - _LAST_HEARTBEAT[0] < 600:
+        return
+    _LAST_HEARTBEAT[0] = now
+    for p in list(_OWN_ARTIFACT_DIRS):
+        try:
+            os.utime(p, (now, now))
+        except OSError:
+            _OWN_ARTIFACT_DIRS.discard(p)  # gone (evicted/overwritten)
 
 
 def _build_plan_has_join(built: DataFrame) -> bool:
@@ -427,6 +458,7 @@ def session_checkpoint(
     if sf_dir is not None:
         key = f"{key}@{fixture_fingerprint(sf_dir)}"
     k = (spark.sparkContext.applicationId, key)
+    _touch_own_artifacts()
     hit = _DERIVED_CACHE.get(k)
     if hit is not None:
         if not with_sidecar:

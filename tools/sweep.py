@@ -264,6 +264,7 @@ def main() -> int:
         if sf_dir in k[1]
     }
     _tables.reset_derived_cache()
+    resample_errors: list[dict] = []
     for name in (
         "d_minhash_lsh_pairs",
         "d_simhash_pairs",
@@ -278,8 +279,12 @@ def main() -> int:
     ):
         try:
             force(QUERIES[name](spark, sf_dir))
-        except Exception:  # noqa: BLE001 — sampling must not fail the sweep
-            pass
+        except Exception as exc:  # noqa: BLE001 — sampling must not fail
+            # the sweep, but a hard failure here means the query
+            # regressed into breakage AFTER its timed pass — surface
+            # it instead of letting it read as a benign protocol gap
+            # (ADVICE r14).
+            resample_errors.append({"query": name, "err": repr(exc)})
     resampled = {
         k[1].split("@", 1)[0]
         for k in _tables._DERIVED_CACHE
@@ -308,6 +313,7 @@ def main() -> int:
         "confirm_errors": confirm_errors,
         "new_in_baseline": new_queries,
         "derived_build_sec": derived,
+        "resample_errors": resample_errors,
         "derived_one_shot": one_shot,
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])),
         "notes": {
