@@ -782,23 +782,30 @@ def s_incremental_near_dedup(
         # deterministic verdict against the same prior store, so
         # replayed rows are exact duplicates the dedup collapses (same
         # pattern as the daily rollup's (day, batch_id) partials).
+        # bands append BEFORE the profile append, so the crash-retry
+        # invariant "a store profile row always has its band rows in
+        # the band store" holds at every failure point (a crash after
+        # bands but before profiles only leaves extra band rows for
+        # this batch, which the retry re-appends — duplicates surface
+        # as duplicate candidates the dropDuplicates collapses, and
+        # the probe DF above snapshotted its file listing anyway).
+        # The repartition lands exactly one file per (batch, pb) so
+        # probe listings stay O(batches × buckets), not O(tasks ×
+        # buckets).  (coalesce(1) was measured WORSE — it collapses
+        # the upstream band computation into a single task: 9.1 vs
+        # 7.6 s min-of-3.)
+        (
+            incoming.repartition("pb")
+            .write.mode("append")
+            .partitionBy("pb")
+            .parquet(bands_dir)
+        )
         (
             prof.join(rejected, "doc_id", "left")
             .withColumn("kept", F.col("_rej").isNull())
             .drop("_rej")
             .write.mode("append")
             .parquet(store_dir)
-        )
-        # append this batch's bands into their pb partitions — the
-        # repartition lands exactly one file per (batch, pb) so probe
-        # listings stay O(batches × buckets), not O(tasks × buckets).
-        # (coalesce(1) was measured WORSE — it collapses the upstream
-        # band computation into a single task: 9.1 vs 7.6 s min-of-3.)
-        (
-            incoming.repartition("pb")
-            .write.mode("append")
-            .partitionBy("pb")
-            .parquet(bands_dir)
         )
 
     # 8 shuffle partitions for the whole drain (A/B min-of-2 settled:
