@@ -229,14 +229,18 @@ def main() -> None:
             dt = round(time.perf_counter() - q0, 3)
             if n not in timings or dt < timings[n]:
                 timings[n] = dt
-            if QUERIES[n].__module__.endswith("streaming_queries"):
+            if any(
+                "streaming" in f.__module__ for f in (fns[n], QUERIES[n])
+            ):
                 # belt-and-braces for the quiesce decision (ADVICE
                 # r14): the listener flag rides the async listener
                 # bus, so in principle teardown can outrun the
                 # onQueryStarted delivery of a just-run stream; every
-                # stream-starting HEADLINE query is defined in
-                # streaming_queries, so this synchronous mark closes
-                # the window.
+                # stream-starting query lives in a streaming module
+                # (operators.streaming_queries / streaming.*), and the
+                # EXECUTED fn (an OVERRIDES entry may differ from the
+                # registered one — code-review r15) is checked too, so
+                # this synchronous mark closes the window.
                 ran_streaming["flag"] = True
     total = round(sum(timings.values()), 3)
 

@@ -664,6 +664,115 @@ def _bucketed_band_probe(
     )
 
 
+def _incremental_dedup_batch(
+    batch_df: DataFrame, store_dir: str, bands_dir: str
+) -> None:
+    """One micro-batch of the incremental near-dedup — module-level
+    (not a closure) so the replay-idempotence argument is directly
+    testable: tests/test_streaming.py::
+    test_incremental_dedup_batch_replay_idempotent re-runs a batch and
+    pins that the kept set is unchanged."""
+    from kafka_spark_streaming_spark.operators.dedup import (
+        band_buckets,
+        minhash_profile,
+        shingles_of,
+        verified_pairs,
+    )
+
+    sess = batch_df.sparkSession
+    prof = minhash_profile(shingles_of(batch_df)).localCheckpoint(
+        eager=True
+    )
+    # this batch's band rows — cheap on top of the checkpointed
+    # profile (16 xxhash64 per row, no shuffle), so NOT separately
+    # checkpointed despite three consumers below.
+    incoming = band_buckets(prof).withColumn(
+        "pb", F.pmod(F.col("bh"), F.lit(_BAND_STORE_BUCKETS))
+    )
+    if os.path.exists(store_dir):
+        # the store keeps ALL seen docs (kept and rejected): a
+        # future doc duplicating a rejected doc must still be
+        # rejected — so the universe ignores the kept flag.  NO
+        # per-batch dropDuplicates replay guard here (r15): that
+        # was a full-history shuffle of the hs arrays every batch;
+        # replayed rows are bit-identical (deterministic profiles),
+        # duplicate verify matches carry identical jaccard values,
+        # and `rejected` is distinct'd — so duplicates can't change
+        # the verdict, only the final read dedups by doc_id.
+        store = sess.read.parquet(store_dir)
+        universe = store.drop("kept").unionByName(prof)
+        # bounded collect: ≤ _BAND_STORE_BUCKETS scalars.  Equal
+        # band hashes have equal pb, so pruning the store to the
+        # batch's pb values drops only rows that cannot join —
+        # exactness is by construction, not recall-traded.
+        pbs = [r[0] for r in incoming.select("pb").distinct().collect()]
+        seen_bands = _bucketed_band_probe(
+            sess, bands_dir, pbs
+        ).unionByName(incoming.select("doc_id", "bh"))
+    else:
+        universe = prof
+        seen_bands = incoming.select("doc_id", "bh")
+    # candidate generator: pruned store bands ∪ this batch's bands
+    # against this batch's bands; only pairs whose LARGER side is
+    # in this batch matter — earlier docs were already decided in
+    # their own batch.  Replayed band rows (a retry that re-appends)
+    # only duplicate candidates, which the dropDuplicates collapses.
+    cand = (
+        seen_bands.alias("x")
+        .join(
+            incoming.alias("y"),
+            (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates()
+    )
+    rejected = (
+        verified_pairs(cand, universe)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_rej", F.lit(True))
+    )
+    # ONE append per batch (r14; was two — the kept projection and
+    # the full profile were written to separate dirs, double the
+    # write jobs and double the profile bytes): every profile row
+    # is stored once with its verdict as a `kept` flag; the read
+    # side filters. Append-only + read-side dropDuplicates(doc_id)
+    # stays replay-idempotent — each doc belongs to exactly one
+    # ordered batch, and a foreachBatch retry recomputes the same
+    # deterministic verdict against the same prior store, so
+    # replayed rows are exact duplicates the dedup collapses (same
+    # pattern as the daily rollup's (day, batch_id) partials).
+    # bands append BEFORE the profile append, so the crash-retry
+    # invariant "a store profile row always has its band rows in
+    # the band store" holds at every failure point (a crash after
+    # bands but before profiles only leaves extra band rows for
+    # this batch, which the retry re-appends — duplicates surface
+    # as duplicate candidates the dropDuplicates collapses, and
+    # the probe DF above snapshotted its file listing anyway).
+    # The repartition lands exactly one file per (batch, pb) so
+    # probe listings stay O(batches × buckets), not O(tasks ×
+    # buckets).  (coalesce(1) was measured WORSE — it collapses
+    # the upstream band computation into a single task: 9.1 vs
+    # 7.6 s min-of-3.)
+    (
+        incoming.repartition("pb")
+        .write.mode("append")
+        .partitionBy("pb")
+        .parquet(bands_dir)
+    )
+    (
+        prof.join(rejected, "doc_id", "left")
+        .withColumn("kept", F.col("_rej").isNull())
+        .drop("_rej")
+        .write.mode("append")
+        .parquet(store_dir)
+    )
+
+
 @register(
     "s_incremental_near_dedup",
     f"""
@@ -700,113 +809,13 @@ def s_incremental_near_dedup(
     The remaining full-store read is the verify side's profile lookup
     (an equi-join on doc_id, candidate-bounded rows); at 100 TB that
     store would be bucketed by doc_id the same way."""
-    from kafka_spark_streaming_spark.operators.dedup import (
-        band_buckets,
-        minhash_profile,
-        shingles_of,
-        verified_pairs,
-    )
-
     stream = _docs_ordered_batches(spark, sf_dir, n_batches)
     run_dir = _scratch_dir("kss_increddup_")
     store_dir = os.path.join(run_dir, "store")
     bands_dir = os.path.join(run_dir, "bands")
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        prof = minhash_profile(shingles_of(batch_df)).localCheckpoint(
-            eager=True
-        )
-        # this batch's band rows — cheap on top of the checkpointed
-        # profile (16 xxhash64 per row, no shuffle), so NOT separately
-        # checkpointed despite three consumers below.
-        incoming = band_buckets(prof).withColumn(
-            "pb", F.pmod(F.col("bh"), F.lit(_BAND_STORE_BUCKETS))
-        )
-        if os.path.exists(store_dir):
-            # the store keeps ALL seen docs (kept and rejected): a
-            # future doc duplicating a rejected doc must still be
-            # rejected — so the universe ignores the kept flag.  NO
-            # per-batch dropDuplicates replay guard here (r15): that
-            # was a full-history shuffle of the hs arrays every batch;
-            # replayed rows are bit-identical (deterministic profiles),
-            # duplicate verify matches carry identical jaccard values,
-            # and `rejected` is distinct'd — so duplicates can't change
-            # the verdict, only the final read dedups by doc_id.
-            store = sess.read.parquet(store_dir)
-            universe = store.drop("kept").unionByName(prof)
-            # bounded collect: ≤ _BAND_STORE_BUCKETS scalars.  Equal
-            # band hashes have equal pb, so pruning the store to the
-            # batch's pb values drops only rows that cannot join —
-            # exactness is by construction, not recall-traded.
-            pbs = [
-                r[0] for r in incoming.select("pb").distinct().collect()
-            ]
-            seen_bands = _bucketed_band_probe(
-                sess, bands_dir, pbs
-            ).unionByName(incoming.select("doc_id", "bh"))
-        else:
-            universe = prof
-            seen_bands = incoming.select("doc_id", "bh")
-        # candidate generator: pruned store bands ∪ this batch's bands
-        # against this batch's bands; only pairs whose LARGER side is
-        # in this batch matter — earlier docs were already decided in
-        # their own batch.  Replayed band rows (a retry that re-appends)
-        # only duplicate candidates, which the dropDuplicates collapses.
-        cand = (
-            seen_bands.alias("x")
-            .join(
-                incoming.alias("y"),
-                (F.col("x.bh") == F.col("y.bh"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            )
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-            )
-            .dropDuplicates()
-        )
-        rejected = (
-            verified_pairs(cand, universe)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
-            .withColumn("_rej", F.lit(True))
-        )
-        # ONE append per batch (r14; was two — the kept projection and
-        # the full profile were written to separate dirs, double the
-        # write jobs and double the profile bytes): every profile row
-        # is stored once with its verdict as a `kept` flag; the read
-        # side filters. Append-only + read-side dropDuplicates(doc_id)
-        # stays replay-idempotent — each doc belongs to exactly one
-        # ordered batch, and a foreachBatch retry recomputes the same
-        # deterministic verdict against the same prior store, so
-        # replayed rows are exact duplicates the dedup collapses (same
-        # pattern as the daily rollup's (day, batch_id) partials).
-        # bands append BEFORE the profile append, so the crash-retry
-        # invariant "a store profile row always has its band rows in
-        # the band store" holds at every failure point (a crash after
-        # bands but before profiles only leaves extra band rows for
-        # this batch, which the retry re-appends — duplicates surface
-        # as duplicate candidates the dropDuplicates collapses, and
-        # the probe DF above snapshotted its file listing anyway).
-        # The repartition lands exactly one file per (batch, pb) so
-        # probe listings stay O(batches × buckets), not O(tasks ×
-        # buckets).  (coalesce(1) was measured WORSE — it collapses
-        # the upstream band computation into a single task: 9.1 vs
-        # 7.6 s min-of-3.)
-        (
-            incoming.repartition("pb")
-            .write.mode("append")
-            .partitionBy("pb")
-            .parquet(bands_dir)
-        )
-        (
-            prof.join(rejected, "doc_id", "left")
-            .withColumn("kept", F.col("_rej").isNull())
-            .drop("_rej")
-            .write.mode("append")
-            .parquet(store_dir)
-        )
+        _incremental_dedup_batch(batch_df, store_dir, bands_dir)
 
     # 8 shuffle partitions for the whole drain (A/B min-of-2 settled:
     # 32 -> 6.57 s, 16 -> 5.95 s, 8 -> 5.76 s): the per-batch band

@@ -138,11 +138,10 @@ class KeyedUpsertSink:
         fixed default would make every later call drop all prior state.
         Pass an explicit id only for replay-idempotent streaming use.
         """
-        df = self.spark.createDataFrame(
-            [(rowkey, cf, qualifier, value)],
-            "rowkey string, cf string, qualifier string, value string",
+        self.write_batch(
+            single_cell(self.spark, rowkey, qualifier, value, cf),
+            self._next_batch_id() if batch_id is None else batch_id,
         )
-        self.write_batch(df, self._next_batch_id() if batch_id is None else batch_id)
 
     def put_bulk(self, messages_df: DataFrame, rowkey_prefix: str,
                  cf: str = "cf1", batch_id: int | None = None) -> None:
@@ -152,6 +151,23 @@ class KeyedUpsertSink:
             bulk_cells(messages_df, rowkey_prefix, cf),
             self._next_batch_id() if batch_id is None else batch_id,
         )
+
+
+def single_cell(
+    spark: SparkSession,
+    rowkey: str,
+    qualifier: str,
+    value: str,
+    cf: str = "cf1",
+) -> DataFrame:
+    """One summary cell in cell shape — the single source of the
+    (rowkey, cf, qualifier, value) construction, shared by put_single
+    and the pipeline's merged per-batch write (code-review r15: two
+    inline copies could drift)."""
+    return spark.createDataFrame(
+        [(rowkey, cf, qualifier, value)],
+        "rowkey string, cf string, qualifier string, value string",
+    )
 
 
 def bulk_cells(

@@ -33,6 +33,7 @@ from kafka_spark_streaming_spark.sinks.kafka import (
 from kafka_spark_streaming_spark.sinks.upsert import (
     KeyedUpsertSink,
     bulk_cells,
+    single_cell,
 )
 
 
@@ -104,16 +105,11 @@ class StreamerPipeline:
             if self.sink is not None:
                 rowkey = str(epoch)  # Streamer.scala:163: epoch-second rowkey
                 qualifier = "messages" if self.cfg.bulk else "message"
-                summary_cell = self.spark.createDataFrame(
-                    [(rowkey, "cf1", qualifier, summary)],
-                    "rowkey string, cf string, qualifier string,"
-                    " value string",
-                )
-                cells = summary_cell
+                cells = single_cell(self.spark, rowkey, qualifier, summary)
                 if self.cfg.bulk:
                     # S4 intent: distinct records of the batch, one cell
                     # each, null keys → sentinel (HbaseWriter.scala:42-74)
-                    cells = summary_cell.unionByName(
+                    cells = cells.unionByName(
                         bulk_cells(batch_df, rowkey_prefix=rowkey)
                     )
                 # ONE merged LWW write per batch (r15 tail audit): the
@@ -123,10 +119,16 @@ class StreamerPipeline:
                 # equivalent to the old put_single + put_bulk pair while
                 # paying the merge cycle (prior read + key window +
                 # state write + prune) once instead of twice — measured
-                # 1.54 -> 0.9 s of the batch body at sf0.1. batch_id is
-                # used directly (the 2b/2b+1 spacing only existed to
-                # keep the two writes' versions ordered).
-                self.sink.write_batch(cells, batch_id)
+                # 1.54 -> 0.9 s of the batch body at sf0.1. The stamp
+                # stays 2*batch_id: a stream resuming over sink state
+                # written by the old two-write scheme (cells at 2b and
+                # 2b+1) must write ABOVE the old head — a bare batch_id
+                # would sort below v_{2N-1}, be invisible to current(),
+                # and get pruned (code-review r15); 2N > 2N-1 keeps
+                # version order and the prior-filter monotone across
+                # the upgrade, and a foreachBatch retry still rewrites
+                # the same version idempotently.
+                self.sink.write_batch(cells, 2 * batch_id)
         finally:
             batch_df.unpersist()
 

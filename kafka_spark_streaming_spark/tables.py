@@ -233,6 +233,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     executable fixture contract so silent drift fails loudly.
     """
     ensure_engine_confs(spark)
+    # heartbeat here as well as in session_checkpoint (code-review
+    # r15): a session doing hours of non-artifact work still passes
+    # through table() constantly, so its parquet artifacts keep fresh
+    # mtimes against peer sessions' age scrubs.
+    _touch_own_artifacts()
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _TS_COLUMNS.get(name, []):
         df = normalize_ts(df, col)
@@ -338,10 +343,11 @@ def _artifact_parquet_roundtrip(spark, key: str, built: DataFrame) -> DataFrame:
     from a 25-hour session's working set; code-review r14).  Dirs of
     OTHER apps age out at 24 h — and since r15 every session
     HEARTBEATS its own dirs (_touch_own_artifacts, ≤10 min cadence on
-    any session_checkpoint call), so a live peer running past 24 h
-    keeps fresh mtimes and the age test only ever catches genuinely
-    dead sessions (ADVICE r14: reads alone advance no mtime).  The
-    dirs are kilobytes; the disk cost of the loose bound is nil."""
+    any session_checkpoint or table() call), so a live peer running
+    past 24 h keeps fresh mtimes and the age test only catches
+    sessions that stopped doing work a full day ago (ADVICE r14:
+    reads alone advance no mtime).  The dirs are kilobytes; the disk
+    cost of the loose bound is nil."""
     import glob as _glob
     import hashlib as _hashlib
     import shutil as _shutil
@@ -381,9 +387,15 @@ _LAST_HEARTBEAT = [0.0]
 def _touch_own_artifacts() -> None:
     """Advance mtime on this session's live parquet artifacts so peer
     sessions' age-based scrubs never classify them as dead.  Called on
-    every session_checkpoint entry (hit or build) and throttled to one
-    pass per 10 min — the scrub bound is 24 h, so any session still
-    executing queries stays ~144 heartbeats ahead of deletion."""
+    every session_checkpoint entry (hit or build) AND on every table()
+    read — the path every registry query passes through, so even a
+    session doing hours of artifact-free work keeps heartbeating
+    (code-review r15) — throttled to one pass per 10 min; the scrub
+    bound is 24 h, so any session still executing queries stays ~144
+    heartbeats ahead of deletion.  A session idle for >24 h can still
+    lose dirs to a peer's scrub — its next session_checkpoint would
+    serve a missing-file scan — but an idle-for-a-day local session
+    is a dead one in every workflow this repo runs."""
     import time as _time
 
     now = _time.time()

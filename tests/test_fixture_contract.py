@@ -249,4 +249,10 @@ def test_session_checkpoint_autogrounds_join_builds(spark):
         )
         assert df2.count() == 10
     finally:
+        # evict the probe entries WITH the unpersist: leaving the
+        # unpersisted df memoized would plant exactly the ungrounded
+        # cache-hit the feature guards against (code-review r15)
         df.unpersist()
+        app = spark.sparkContext.applicationId
+        for probe_key in ("probe_autoground_join", "probe_autoground_scan"):
+            tables._DERIVED_CACHE.pop((app, probe_key), None)

@@ -837,3 +837,61 @@ def test_explain_cli_prints_plan(spark, capsys):
     # it from getOrCreate, it doesn't own it. The fixture session has
     # to stay usable for every test that runs after this one.
     assert spark.range(1).count() == 1, "explain CLI stopped the ambient session"
+
+
+def test_incremental_dedup_batch_replay_idempotent(spark, sf_smoke, tmp_path):
+    """r15 removed the per-batch dropDuplicates replay guard on the
+    profile-store read (it was a full-history shuffle of the hs arrays
+    every batch) on the ARGUMENT that a foreachBatch retry appends
+    bit-identical rows whose duplicate verify matches cannot change
+    any verdict.  This test makes that argument executable: run two
+    batches, then REPLAY the second (exactly what a retry after a
+    post-write crash does — the store already holds the replayed
+    batch's own profile and band rows), and pin that the kept set is
+    unchanged row-for-row.  Also pins the band store's pb= directory
+    layout, which the partition-pruned probe relies on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _incremental_dedup_batch,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    store_dir = str(tmp_path / "store")
+    bands_dir = str(tmp_path / "bands")
+    docs = table(spark, sf_smoke, "documents")
+    half0 = docs.filter(F.col("doc_id") < 250)
+    half1 = docs.filter(F.col("doc_id") >= 250)
+
+    def kept_rows():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(store_dir)
+            .filter(F.col("kept"))
+            .select("doc_id", "n")
+            .dropDuplicates(["doc_id"])
+            .collect()
+        )
+
+    _incremental_dedup_batch(half0, store_dir, bands_dir)
+    _incremental_dedup_batch(half1, store_dir, bands_dir)
+    before = kept_rows()
+    assert len(before) > 0
+    # the band store is directory-partitioned on pb
+    assert any(
+        d.startswith("pb=") for d in os.listdir(bands_dir)
+    ), "band store lost its pb= partition layout"
+
+    # retry of batch 1: same input against a store that already holds
+    # batch 1's own rows
+    _incremental_dedup_batch(half1, store_dir, bands_dir)
+    after = kept_rows()
+    assert after == before, "replayed batch changed the kept set"
+    # and the replay appended duplicates rather than rewriting state:
+    # raw row count grew, deduped verdict set did not
+    raw = spark.read.parquet(store_dir).count()
+    assert raw > len(
+        set(r[0] for r in before)
+    ), "replay should append duplicate rows (append-only store)"
