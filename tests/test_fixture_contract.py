@@ -256,3 +256,69 @@ def test_session_checkpoint_autogrounds_join_builds(spark):
         app = spark.sparkContext.applicationId
         for probe_key in ("probe_autoground_join", "probe_autoground_scan"):
             tables._DERIVED_CACHE.pop((app, probe_key), None)
+
+
+def test_artifact_heartbeat_advances_mtime(spark, tmp_path):
+    """ADVICE r14 (medium): reads never advance mtime, so a foreign
+    session's 24 h scrub could rmtree a live session's parquet
+    artifacts.  The fix is an owner-side heartbeat: any
+    session_checkpoint or table() call advances mtime on every dir in
+    _OWN_ARTIFACT_DIRS (10-min throttle).  Pin it: age a registered
+    dir artificially, reset the throttle, enter session_checkpoint,
+    and assert the mtime is fresh again — and that a vanished dir is
+    dropped from the registry instead of erroring."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark import tables
+
+    d = tmp_path / "fake_artifact"
+    d.mkdir()
+    old = time.time() - 90000  # ~25 h ago: past the 24 h scrub bound
+    os.utime(d, (old, old))
+    gone = str(tmp_path / "never_existed")
+    tables._OWN_ARTIFACT_DIRS.add(str(d))
+    tables._OWN_ARTIFACT_DIRS.add(gone)
+    tables._LAST_HEARTBEAT[0] = 0.0  # defeat the 10-min throttle
+    try:
+        tables.session_checkpoint(
+            spark,
+            "probe_heartbeat",
+            lambda: spark.range(3).select(F.col("id")),
+        )
+        assert time.time() - os.path.getmtime(d) < 3600, (
+            "heartbeat did not advance the artifact dir's mtime"
+        )
+        assert gone not in tables._OWN_ARTIFACT_DIRS, (
+            "vanished dir should be dropped from the heartbeat registry"
+        )
+    finally:
+        tables._OWN_ARTIFACT_DIRS.discard(str(d))
+        tables._OWN_ARTIFACT_DIRS.discard(gone)
+        tables._DERIVED_CACHE.pop(
+            (spark.sparkContext.applicationId, "probe_heartbeat"), None
+        )
+
+
+def test_build_plan_join_detection_sees_exists_rewrite(spark):
+    """_build_plan_has_join's docstring claims an EXISTS-style filter
+    still surfaces as a Join on the optimizedPlan (Catalyst rewrites
+    it to a semi join) — pin the claim, plus the cross-join and
+    no-join-under-union cases."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.tables import _build_plan_has_join
+
+    a = spark.range(50).select(F.col("id").alias("k"))
+    b = spark.range(10).select(F.col("id").alias("k"))
+    a.createOrReplaceTempView("probe_join_a")
+    b.createOrReplaceTempView("probe_join_b")
+    exists = spark.sql(
+        "SELECT k FROM probe_join_a x WHERE EXISTS "
+        "(SELECT 1 FROM probe_join_b y WHERE y.k = x.k)"
+    )
+    assert _build_plan_has_join(exists), "EXISTS rewrite not detected"
+    assert _build_plan_has_join(a.crossJoin(b.withColumnRenamed("k", "k2")))
+    assert not _build_plan_has_join(a.unionByName(b).groupBy("k").count())
