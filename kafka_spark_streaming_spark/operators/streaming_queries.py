@@ -680,12 +680,17 @@ def _incremental_dedup_batch(
     )
 
     sess = batch_df.sparkSession
-    prof = minhash_profile(shingles_of(batch_df)).localCheckpoint(
-        eager=True
-    )
-    # this batch's band rows — cheap on top of the checkpointed
-    # profile (16 xxhash64 per row, no shuffle), so NOT separately
-    # checkpointed despite three consumers below.
+    # persist + materialize-via-the-pb-collect instead of an eager
+    # localCheckpoint + separate collect (r15): the pb collect below
+    # is the batch's first action, so it fills the cache as a side
+    # effect and one scheduling-floor job per batch disappears; the
+    # profile build (scan + one agg, no join) recomputes
+    # deterministically on the cold batch-0 path where no collect
+    # runs, and the cache is dropped at the end of the batch.
+    prof = minhash_profile(shingles_of(batch_df)).persist()
+    # this batch's band rows — cheap on top of the cached profile
+    # (16 xxhash64 per row, no shuffle), so NOT separately persisted
+    # despite three consumers below.
     incoming = band_buckets(prof).withColumn(
         "pb", F.pmod(F.col("bh"), F.lit(_BAND_STORE_BUCKETS))
     )
@@ -771,6 +776,8 @@ def _incremental_dedup_batch(
         .write.mode("append")
         .parquet(store_dir)
     )
+    # the batch's cache must not accumulate across micro-batches
+    prof.unpersist()
 
 
 @register(
