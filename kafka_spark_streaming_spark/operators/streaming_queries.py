@@ -673,13 +673,10 @@ def _incremental_dedup_batch(
     test_incremental_dedup_batch_replay_idempotent re-runs a batch and
     pins that the kept set is unchanged."""
     from kafka_spark_streaming_spark.operators.dedup import (
-        band_buckets,
         minhash_profile,
         shingles_of,
-        verified_pairs,
     )
 
-    sess = batch_df.sparkSession
     # persist + materialize-via-the-pb-collect instead of an eager
     # localCheckpoint + separate collect (r15): the pb collect below
     # is the batch's first action, so it fills the cache as a side
@@ -688,6 +685,25 @@ def _incremental_dedup_batch(
     # deterministically on the cold batch-0 path where no collect
     # runs, and the cache is dropped at the end of the batch.
     prof = minhash_profile(shingles_of(batch_df)).persist()
+    try:
+        _incremental_dedup_batch_body(prof, store_dir, bands_dir)
+    finally:
+        # the batch's cache must not accumulate across micro-batches —
+        # including across foreachBatch RETRIES, so the unpersist sits
+        # in a finally (a failed attempt's cached blocks would
+        # otherwise linger until GC; code-review r15)
+        prof.unpersist()
+
+
+def _incremental_dedup_batch_body(
+    prof: DataFrame, store_dir: str, bands_dir: str
+) -> None:
+    from kafka_spark_streaming_spark.operators.dedup import (
+        band_buckets,
+        verified_pairs,
+    )
+
+    sess = prof.sparkSession
     # this batch's band rows — cheap on top of the cached profile
     # (16 xxhash64 per row, no shuffle), so NOT separately persisted
     # despite three consumers below.
@@ -776,8 +792,6 @@ def _incremental_dedup_batch(
         .write.mode("append")
         .parquet(store_dir)
     )
-    # the batch's cache must not accumulate across micro-batches
-    prof.unpersist()
 
 
 @register(

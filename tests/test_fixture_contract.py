@@ -315,10 +315,20 @@ def test_build_plan_join_detection_sees_exists_rewrite(spark):
     b = spark.range(10).select(F.col("id").alias("k"))
     a.createOrReplaceTempView("probe_join_a")
     b.createOrReplaceTempView("probe_join_b")
-    exists = spark.sql(
-        "SELECT k FROM probe_join_a x WHERE EXISTS "
-        "(SELECT 1 FROM probe_join_b y WHERE y.k = x.k)"
-    )
-    assert _build_plan_has_join(exists), "EXISTS rewrite not detected"
-    assert _build_plan_has_join(a.crossJoin(b.withColumnRenamed("k", "k2")))
-    assert not _build_plan_has_join(a.unionByName(b).groupBy("k").count())
+    try:
+        exists = spark.sql(
+            "SELECT k FROM probe_join_a x WHERE EXISTS "
+            "(SELECT 1 FROM probe_join_b y WHERE y.k = x.k)"
+        )
+        assert _build_plan_has_join(exists), "EXISTS rewrite not detected"
+        assert _build_plan_has_join(
+            a.crossJoin(b.withColumnRenamed("k", "k2"))
+        )
+        assert not _build_plan_has_join(
+            a.unionByName(b).groupBy("k").count()
+        )
+    finally:
+        # the spark fixture is session-scoped: leaked views would make
+        # later tests' name resolution order-dependent
+        spark.catalog.dropTempView("probe_join_a")
+        spark.catalog.dropTempView("probe_join_b")

@@ -50,7 +50,11 @@ def main() -> int:
     from kafka_spark_streaming_spark.tables import table
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    mults = [1, int(sys.argv[2])] if len(sys.argv) > 2 else [1, 10]
+    # dict.fromkeys dedupes while keeping order, so `replicate 1`
+    # doesn't re-run (and re-write) the mult=1 iteration
+    mults = list(
+        dict.fromkeys([1, int(sys.argv[2])] if len(sys.argv) > 2 else [1, 10])
+    )
     spark = get_spark(app_name="kss-trickle-probe", cpus=8,
                       shuffle_partitions=8)
     docs = table(spark, sf, "documents")
@@ -115,6 +119,13 @@ def main() -> int:
                 )
 
             def new():
+                # the PRODUCTION probe helper, not a re-implementation
+                # — so this tool keeps timing the real code path if the
+                # store layout or pruning predicate ever changes
+                from kafka_spark_streaming_spark.operators import (
+                    streaming_queries as SQ,
+                )
+
                 pbs = [
                     r[0]
                     for r in incoming.select(
@@ -123,11 +134,7 @@ def main() -> int:
                     .distinct()
                     .collect()
                 ]
-                probe = (
-                    spark.read.parquet(bdir)
-                    .filter(F.col("pb").isin(pbs))
-                    .select("doc_id", "bh")
-                )
+                probe = SQ._bucketed_band_probe(spark, bdir, pbs)
                 return cand(probe.unionByName(incoming)), len(pbs)
 
             c_old = old()

@@ -60,6 +60,9 @@ def main() -> int:
     true_cos = np.einsum("ij,ij->i", V[ia], V[ib]) / (norms[ia] * norms[ib])
     print(f"candidates={len(cands)} dim={dim} tau={TAU} "
           f"true survivors={int((true_cos >= TAU).sum())}")
+    if not cands:
+        print("no candidate pairs at this SF/geometry — nothing to bound")
+        return 0
 
     for nblocks in (2, 4, 8, 16, 32):
         if dim % nblocks:
