@@ -104,6 +104,13 @@ SMOKE = [
     # quant_embeddings artifact (build cost lands in derived_build_sec;
     # the gated number is the candidate join + Arrow verify).
     "d_embedding_near_dup_lsh",
+    # r15: the bucketed-band-store streaming dedup at 10x corpus —
+    # per-batch work must scale with batch bands + probed partitions +
+    # collisions, never the full history, so the 10x corpus should
+    # cost ~flat-ish per batch (measured 10.5 s vs ~7.9 s at sf0.1 =
+    # 1.3x at 10x data; the replicas all collapse to rejected, kept
+    # set identical to sf0.1's 4756).
+    "s_incremental_near_dedup",
 ]
 
 
