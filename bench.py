@@ -230,7 +230,9 @@ def main() -> None:
             if n not in timings or dt < timings[n]:
                 timings[n] = dt
             if any(
-                "streaming" in f.__module__ for f in (fns[n], QUERIES[n])
+                "streaming"
+                in f.__module__.removeprefix("kafka_spark_streaming_spark")
+                for f in (fns[n], QUERIES[n])
             ):
                 # belt-and-braces for the quiesce decision (ADVICE
                 # r14): the listener flag rides the async listener
@@ -240,7 +242,11 @@ def main() -> None:
                 # (operators.streaming_queries / streaming.*), and the
                 # EXECUTED fn (an OVERRIDES entry may differ from the
                 # registered one — code-review r15) is checked too, so
-                # this synchronous mark closes the window.
+                # this synchronous mark closes the window.  The package
+                # prefix is stripped first (ADVICE r15): the package
+                # name itself contains 'streaming', so the raw
+                # substring test was vacuously true for EVERY query and
+                # silently defeated the batch-only quiesce skip.
                 ran_streaming["flag"] = True
     total = round(sum(timings.values()), 3)
 

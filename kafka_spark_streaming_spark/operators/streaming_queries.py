@@ -639,34 +639,74 @@ def _docs_ordered_batches(
     )
 
 
-# Band-store bucket count for s_incremental_near_dedup.  16 directory
-# partitions keeps local file counts trivial; on a 1000-executor
-# cluster the same column would carry thousands of buckets — the
-# constant is the knob, the probe/layout code is scale-invariant.
-_BAND_STORE_BUCKETS = 16
+# Store-bucket knobs for s_incremental_near_dedup live in engine
+# config (VERDICT r15 #4): spark.kss.dedup.bandStoreBuckets /
+# spark.kss.dedup.profileStoreBuckets, defaults 16.  See
+# kafka_spark_streaming_spark/config.py for the 100 TB sizing rule
+# (≈ store_bytes / 256MB–1GB, power of two → thousands of buckets on
+# a 1000-executor cluster); the probe/layout code here is
+# scale-invariant, the knob is the only thing that changes.
+from kafka_spark_streaming_spark.config import (  # noqa: E402
+    BAND_STORE_BUCKETS_DEFAULT as _BAND_STORE_BUCKETS,  # test-pinned alias
+    band_store_buckets as _band_store_buckets,
+    profile_store_buckets as _profile_store_buckets,
+)
+
+
+# The incremental-dedup store is ONE parquet dataset partitioned by
+# (kind, pk): kind='b' rows are (doc_id, bh) band entries with
+# pk = pmod(bh, band_store_buckets); kind='p' rows are full MinHash
+# profiles with a `kept` verdict flag and
+# pk = pmod(doc_id, profile_store_buckets).  One layout, two pruned
+# probes, and — the point of the merge (r16) — ONE append job per
+# micro-batch whose job commit lands a batch's band and profile rows
+# together (no partial-pair crash states; the r15 two-dir layout
+# needed a write-ordering argument instead).
 
 
 def _bucketed_band_probe(
-    spark: SparkSession, bands_dir: str, pbs: list
+    spark: SparkSession, store_dir: str, pbs: list
 ) -> DataFrame:
-    """Partition-pruned read of the incremental-dedup band store:
-    only the `pb=` directories named by the incoming batch's band
-    hashes are listed and scanned (PartitionFilters on the parquet
-    scan — pinned by tests/test_plans.py::
+    """Partition-pruned read of the incremental-dedup store's BAND
+    rows: only the `kind=b/pk=` directories named by the incoming
+    batch's band hashes are listed and scanned (PartitionFilters on
+    the parquet scan — pinned by tests/test_plans.py::
     test_band_store_probe_prunes_partitions).  Exact by construction:
-    `pb = pmod(bh, _BAND_STORE_BUCKETS)` is a function of the join key
+    `pk = pmod(bh, band_store_buckets)` is a function of the join key
     `bh`, so a store row outside the probed partitions cannot collide
     with any incoming band."""
     return (
-        spark.read.parquet(bands_dir)
-        .filter(F.col("pb").isin(pbs))
+        spark.read.parquet(store_dir)
+        .filter((F.col("kind") == "b") & F.col("pk").isin(pbs))
         .select("doc_id", "bh")
     )
 
 
-def _incremental_dedup_batch(
-    batch_df: DataFrame, store_dir: str, bands_dir: str
-) -> None:
+def _bucketed_profile_probe(
+    spark: SparkSession, store_dir: str, pds: list
+) -> DataFrame:
+    """Partition-pruned read of the incremental-dedup store's PROFILE
+    rows (r16 — this was the last per-batch full-store scan in the
+    engine): only the `kind=p/pk=` directories named by this batch's
+    candidate `doc_a` values are listed and scanned (PartitionFilters
+    plan-pinned in tests/test_plans.py::
+    test_profile_store_probe_prunes_partitions).  Exact by
+    construction: `pk = pmod(doc_id, profile_store_buckets)` is a
+    function of the verify join key `doc_id`, so a profile row outside
+    the probed partitions cannot match any candidate; doc_b profiles
+    always come from the in-batch `prof`.  Mirrors the key-partitioned
+    HBase region store the reference models (HbaseWriter.scala:26-29).
+    The drop removes the layout/verdict columns plus the band-only
+    `bh` (null on every profile row) — what remains is exactly the
+    in-batch profile shape, so unionByName with `prof` lines up."""
+    return (
+        spark.read.parquet(store_dir)
+        .filter((F.col("kind") == "p") & F.col("pk").isin(pds))
+        .drop("kind", "pk", "kept", "bh")
+    )
+
+
+def _incremental_dedup_batch(batch_df: DataFrame, store_dir: str) -> None:
     """One micro-batch of the incremental near-dedup — module-level
     (not a closure) so the replay-idempotence argument is directly
     testable: tests/test_streaming.py::
@@ -686,7 +726,7 @@ def _incremental_dedup_batch(
     # runs, and the cache is dropped at the end of the batch.
     prof = minhash_profile(shingles_of(batch_df)).persist()
     try:
-        _incremental_dedup_batch_body(prof, store_dir, bands_dir)
+        _incremental_dedup_batch_body(prof, store_dir)
     finally:
         # the batch's cache must not accumulate across micro-batches —
         # including across foreachBatch RETRIES, so the unpersist sits
@@ -695,49 +735,42 @@ def _incremental_dedup_batch(
         prof.unpersist()
 
 
-def _incremental_dedup_batch_body(
-    prof: DataFrame, store_dir: str, bands_dir: str
-) -> None:
+def _incremental_dedup_batch_body(prof: DataFrame, store_dir: str) -> None:
     from kafka_spark_streaming_spark.operators.dedup import (
         band_buckets,
         verified_pairs,
     )
 
     sess = prof.sparkSession
+    n_pb = _band_store_buckets(sess)
+    n_pd = _profile_store_buckets(sess)
     # this batch's band rows — cheap on top of the cached profile
     # (16 xxhash64 per row, no shuffle), so NOT separately persisted
     # despite three consumers below.
     incoming = band_buckets(prof).withColumn(
-        "pb", F.pmod(F.col("bh"), F.lit(_BAND_STORE_BUCKETS))
+        "pk", F.pmod(F.col("bh"), F.lit(n_pb))
     )
-    if os.path.exists(store_dir):
-        # the store keeps ALL seen docs (kept and rejected): a
-        # future doc duplicating a rejected doc must still be
-        # rejected — so the universe ignores the kept flag.  NO
-        # per-batch dropDuplicates replay guard here (r15): that
-        # was a full-history shuffle of the hs arrays every batch;
-        # replayed rows are bit-identical (deterministic profiles),
-        # duplicate verify matches carry identical jaccard values,
-        # and `rejected` is distinct'd — so duplicates can't change
-        # the verdict, only the final read dedups by doc_id.
-        store = sess.read.parquet(store_dir)
-        universe = store.drop("kept").unionByName(prof)
-        # bounded collect: ≤ _BAND_STORE_BUCKETS scalars.  Equal
-        # band hashes have equal pb, so pruning the store to the
-        # batch's pb values drops only rows that cannot join —
+    store_exists = os.path.exists(store_dir)
+    if store_exists:
+        # bounded collect: ≤ band_store_buckets scalars.  Equal
+        # band hashes have equal pk, so pruning the store to the
+        # batch's pk values drops only rows that cannot join —
         # exactness is by construction, not recall-traded.
-        pbs = [r[0] for r in incoming.select("pb").distinct().collect()]
+        pbs = [r[0] for r in incoming.select("pk").distinct().collect()]
         seen_bands = _bucketed_band_probe(
-            sess, bands_dir, pbs
+            sess, store_dir, pbs
         ).unionByName(incoming.select("doc_id", "bh"))
     else:
-        universe = prof
         seen_bands = incoming.select("doc_id", "bh")
     # candidate generator: pruned store bands ∪ this batch's bands
     # against this batch's bands; only pairs whose LARGER side is
     # in this batch matter — earlier docs were already decided in
     # their own batch.  Replayed band rows (a retry that re-appends)
     # only duplicate candidates, which the dropDuplicates collapses.
+    # Persisted: the pd collect below is its materializing action
+    # (same persist+collect-as-materializer pattern as prof), and the
+    # verify join then reads the cached pairs instead of re-running
+    # the band join.
     cand = (
         seen_bands.alias("x")
         .join(
@@ -750,48 +783,90 @@ def _incremental_dedup_batch_body(
             F.col("y.doc_id").alias("doc_b"),
         )
         .dropDuplicates()
+        .persist()
     )
-    rejected = (
-        verified_pairs(cand, universe)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("_rej", F.lit(True))
-    )
-    # ONE append per batch (r14; was two — the kept projection and
-    # the full profile were written to separate dirs, double the
-    # write jobs and double the profile bytes): every profile row
-    # is stored once with its verdict as a `kept` flag; the read
-    # side filters. Append-only + read-side dropDuplicates(doc_id)
-    # stays replay-idempotent — each doc belongs to exactly one
-    # ordered batch, and a foreachBatch retry recomputes the same
-    # deterministic verdict against the same prior store, so
-    # replayed rows are exact duplicates the dedup collapses (same
-    # pattern as the daily rollup's (day, batch_id) partials).
-    # bands append BEFORE the profile append, so the crash-retry
-    # invariant "a store profile row always has its band rows in
-    # the band store" holds at every failure point (a crash after
-    # bands but before profiles only leaves extra band rows for
-    # this batch, which the retry re-appends — duplicates surface
-    # as duplicate candidates the dropDuplicates collapses, and
-    # the probe DF above snapshotted its file listing anyway).
-    # The repartition lands exactly one file per (batch, pb) so
-    # probe listings stay O(batches × buckets), not O(tasks ×
-    # buckets).  (coalesce(1) was measured WORSE — it collapses
-    # the upstream band computation into a single task: 9.1 vs
-    # 7.6 s min-of-3.)
-    (
-        incoming.repartition("pb")
-        .write.mode("append")
-        .partitionBy("pb")
-        .parquet(bands_dir)
-    )
-    (
-        prof.join(rejected, "doc_id", "left")
-        .withColumn("kept", F.col("_rej").isNull())
-        .drop("_rej")
-        .write.mode("append")
-        .parquet(store_dir)
-    )
+    try:
+        if store_exists:
+            # the store keeps ALL seen docs (kept and rejected): a
+            # future doc duplicating a rejected doc must still be
+            # rejected — so the universe ignores the kept flag.  NO
+            # per-batch dropDuplicates replay guard here (r15): that
+            # was a full-history shuffle of the hs arrays every batch;
+            # replayed rows are bit-identical (deterministic profiles),
+            # duplicate verify matches carry identical jaccard values,
+            # and `rejected` is distinct'd — so duplicates can't change
+            # the verdict, only the final read dedups by doc_id.
+            # r16: the verify-side profile lookup is PARTITION-PRUNED —
+            # only candidate doc_a values can need an out-of-batch
+            # profile (doc_b is always in-batch by the join above), so
+            # the ≤ profile_store_buckets pd values they hash to name
+            # the only store directories worth scanning.  This was the
+            # last per-batch full-store read in the engine.
+            pds = [
+                r[0]
+                for r in cand.select(
+                    F.pmod(F.col("doc_a"), F.lit(n_pd)).alias("pd")
+                )
+                .distinct()
+                .collect()
+            ]
+            universe = (
+                _bucketed_profile_probe(sess, store_dir, pds).unionByName(
+                    prof
+                )
+                if pds
+                else prof
+            )
+        else:
+            universe = prof
+        rejected = (
+            verified_pairs(cand, universe)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("_rej", F.lit(True))
+        )
+        # ONE append job per batch (r16; r14 merged the kept/profile
+        # split, r16 merges bands + profiles into one kind-partitioned
+        # dataset): every profile row is stored once with its verdict
+        # as a `kept` flag under kind=p/pk=pmod(doc_id, n_pd), and its
+        # band rows land under kind=b/pk=pmod(bh, n_pb) — IN THE SAME
+        # JOB, so the job commit makes a batch's band and profile rows
+        # visible together and the r15 "bands append BEFORE profile
+        # append" crash-ordering argument is no longer needed: every
+        # crash point leaves either the whole batch or none of it (a
+        # crash mid-commit can at worst expose the pair together on
+        # retry as exact duplicates, which the read-side
+        # dropDuplicates(doc_id) / candidate dropDuplicates collapse —
+        # deterministic profiles make replayed rows bit-identical).
+        # Read-side dedup keeps the append replay-idempotent the same
+        # way as before: each doc belongs to exactly one ordered
+        # batch, and a foreachBatch retry recomputes the same verdict
+        # against the same prior store (the probe DFs snapshotted
+        # their file listings before this write).
+        # The repartition lands exactly one file per (batch, kind, pk)
+        # so probe listings stay O(batches × buckets), not O(tasks ×
+        # buckets).  (coalesce(1) was measured WORSE — it collapses
+        # the upstream band computation into a single task: 9.1 vs
+        # 7.6 s min-of-3.)
+        combined = incoming.withColumn("kind", F.lit("b")).unionByName(
+            prof.join(rejected, "doc_id", "left")
+            .withColumn("kept", F.col("_rej").isNull())
+            .drop("_rej")
+            .withColumn("kind", F.lit("p"))
+            .withColumn("pk", F.pmod(F.col("doc_id"), F.lit(n_pd))),
+            allowMissingColumns=True,
+        )
+        (
+            combined.repartition("kind", "pk")
+            .write.mode("append")
+            .partitionBy("kind", "pk")
+            .parquet(store_dir)
+        )
+    finally:
+        # cached candidate pairs must not accumulate across
+        # micro-batches or across foreachBatch retries (same
+        # rationale as prof's unpersist one level up).
+        cand.unpersist()
 
 
 @register(
@@ -818,25 +893,27 @@ def s_incremental_near_dedup(
 ) -> DataFrame:
     """Streaming MinHash near-dedup against an append-only,
     BAND-HASH-BUCKETED store: each micro-batch bands only its own
-    profiles, probes the band store with a partition-pruned read
-    (`_bucketed_band_probe` — the batch's ≤ _BAND_STORE_BUCKETS
-    distinct `pb` values select directories; PartitionFilters
-    plan-pinned in tests/test_plans.py), verifies candidates exactly,
-    and appends (a) every profile row ONCE with a `kept` verdict flag
-    and (b) its band rows into their `pb` partitions.  r15: the
-    history re-band this docstring used to name as the 100 TB lever is
-    now code — per-batch work is O(batch bands + store rows in the
-    probed partitions + collisions), never a full-history re-band.
-    The remaining full-store read is the verify side's profile lookup
-    (an equi-join on doc_id, candidate-bounded rows); at 100 TB that
-    store would be bucketed by doc_id the same way."""
+    profiles, probes the store's band rows with a partition-pruned
+    read (`_bucketed_band_probe` — the batch's ≤ band_store_buckets
+    distinct `pk` values select directories; PartitionFilters
+    plan-pinned in tests/test_plans.py), verifies candidates exactly
+    against the store's PROFILE rows likewise partition-pruned by
+    `pk = pmod(doc_id, profile_store_buckets)` (r16,
+    `_bucketed_profile_probe` — only candidate doc_a values can need
+    an out-of-batch profile), and appends band + profile rows in ONE
+    kind-partitioned job per batch (commit-atomic pair).  r15 made
+    the band side pruned; r16 closed the verify side — per-batch work
+    is now O(batch bands + store rows in the probed band/profile
+    partitions + collisions) with NO full-store read anywhere in the
+    batch.  Bucket counts are engine config (config.py — 100 TB
+    sizing rule there; thousands of buckets at the design point, 16
+    locally)."""
     stream = _docs_ordered_batches(spark, sf_dir, n_batches)
     run_dir = _scratch_dir("kss_increddup_")
     store_dir = os.path.join(run_dir, "store")
-    bands_dir = os.path.join(run_dir, "bands")
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _incremental_dedup_batch(batch_df, store_dir, bands_dir)
+        _incremental_dedup_batch(batch_df, store_dir)
 
     # 8 shuffle partitions for the whole drain (A/B min-of-2 settled:
     # 32 -> 6.57 s, 16 -> 5.95 s, 8 -> 5.76 s): the per-batch band
@@ -854,7 +931,10 @@ def s_incremental_near_dedup(
         q.awaitTermination()
     return (
         spark.read.parquet(store_dir)
-        .filter(F.col("kept"))
+        # kind=p prunes to the profile partitions (band rows have a
+        # null `kept`, so the flag filter alone would also drop them —
+        # the kind filter makes the pruning explicit in the plan)
+        .filter((F.col("kind") == "p") & F.col("kept"))
         .select("doc_id", F.col("n").alias("n_shingles"))
         .dropDuplicates(["doc_id"])
         .orderBy("doc_id")

@@ -7,10 +7,24 @@ overwrites it (last-write-wins). The reference offers a single-row put
 driver-side ArrayList mutated on executors; we implement the intent).
 
 Design for scale:
-- State lives in versioned parquet dirs `v_{batch_id}`; each batch
-  computes new_state = LWW(old_state ∪ batch) as one distributed plan
-  (shuffle on the cell key only), writes the new version, then prunes
-  old versions. No driver-side data movement.
+- State lives in versioned parquet dirs `v_{batch_id}`, each
+  partitioned by `rb = pmod(xxhash64(rowkey), buckets)` — the parquet
+  analogue of the rowkey-range region sharding of the HBase table the
+  reference writes through (HbaseWriter.scala:26-29; a hash of the
+  key gives the same pruning with none of the range-boundary skew).
+  Each batch LWW-merges ONLY the rb partitions its rowkeys touch —
+  the prior-state read is partition-pruned (PartitionFilters,
+  plan-pinned in tests/test_plans.py::
+  test_upsert_merge_prunes_state_partitions) and the merge shuffle
+  moves |touched partitions| + |batch| rows, not |state| (VERDICT
+  r15 #3: the per-batch one-shuffle-of-|state| was the next shape to
+  go if the sink carries volume).  Untouched partitions are carried
+  into the new version as hard links — O(#files) driver metadata
+  work, zero data movement (the HDFS deployment analogue is a
+  manifest/Delta MERGE, which rewrites only touched files the same
+  way).  Bucket count is engine config
+  (spark.kss.sink.upsertStateBuckets — config.py has the 100 TB
+  sizing rule).
 - Idempotent / exactly-once under foreachBatch retries: a re-run of
   batch N deterministically rewrites `v_N` from `v_{N-1}` + the same
   input (SURVEY.md §7 "what's hard" #4).
@@ -47,8 +61,14 @@ STATE_SCHEMA = T.StructType(
 
 class KeyedUpsertSink:
     def __init__(self, spark: SparkSession, path: str):
+        from kafka_spark_streaming_spark.config import upsert_state_buckets
+
         self.spark = spark
         self.path = path
+        # resolved ONCE at attach: the bucket count is a property of
+        # the store layout, so a conf change mid-run must not make the
+        # writer and the prune filter disagree (config.py contract)
+        self.buckets = upsert_state_buckets(spark)
         os.makedirs(path, exist_ok=True)
 
     # -- state management -------------------------------------------------
@@ -62,43 +82,121 @@ class KeyedUpsertSink:
             and os.path.isdir(os.path.join(self.path, d))
         )
 
-    def current(self) -> DataFrame:
-        """Current cell state as a DataFrame (empty if no writes yet)."""
+    def _rb(self, col) -> "F.Column":
+        return F.pmod(F.xxhash64(col), F.lit(self.buckets)).cast("int")
+
+    def _head_rb_dirs(self, version: str) -> list[str]:
+        """rb= partition dirs of a committed version ([] for a store
+        written by the pre-r16 unpartitioned layout — the merge then
+        falls back to a full-state LWW once and writes the new layout,
+        a self-migrating upgrade)."""
+        vdir = os.path.join(self.path, version)
+        return sorted(
+            d for d in os.listdir(vdir)
+            if d.startswith("rb=")
+            and os.path.isdir(os.path.join(vdir, d))
+        )
+
+    def _current_raw(self) -> DataFrame:
+        """Current state INCLUDING the rb layout column."""
         versions = self._versions()
         if not versions:
-            return self.spark.createDataFrame([], STATE_SCHEMA)
-        return self.spark.read.parquet(os.path.join(self.path, versions[-1]))
+            return self.spark.createDataFrame([], STATE_SCHEMA).withColumn(
+                "rb", F.lit(None).cast("int")
+            )
+        df = self.spark.read.parquet(os.path.join(self.path, versions[-1]))
+        if "rb" not in df.columns:  # pre-r16 unpartitioned store
+            df = df.withColumn("rb", self._rb(F.col("rowkey")))
+        return df
+
+    def current(self) -> DataFrame:
+        """Current cell state as a DataFrame (empty if no writes yet).
+        The rb layout column is internal — consumers see cell shape."""
+        return self._current_raw().drop("rb")
 
     # -- the upsert -------------------------------------------------------
-    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """MERGE-style last-write-wins upsert of (rowkey, cf, qualifier, value).
-
-        One shuffle on the cell key; everything stays distributed.
-        """
-        stamped = batch_df.select(
-            *CELL_KEY, F.col("value").cast("string")
-        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-
-        prior = self.current().filter(F.col("batch_id") < batch_id)
+    def _merged_state(
+        self, stamped: DataFrame, batch_id: int, rbs: list
+    ) -> DataFrame:
+        """LWW(touched prior partitions ∪ batch) — the distributed half
+        of write_batch, factored out so the partition-pruned prior read
+        is a testable plan property.  Rows outside `rbs` never enter
+        the shuffle; they are carried forward file-for-file by
+        write_batch."""
+        prior = self._current_raw().filter(
+            F.col("rb").isin(rbs) & (F.col("batch_id") < batch_id)
+        )
         merged = prior.unionByName(stamped)
         w = W.partitionBy(*CELL_KEY).orderBy(
             F.desc("batch_id"), F.desc("value")
         )
-        new_state = (
+        return (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
 
-        out = os.path.join(self.path, f"v_{batch_id:012d}")
-        tmp = out + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        new_state.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(out):
-            shutil.rmtree(out)
-        os.rename(tmp, out)
-        self._prune(keep=2)
+    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """MERGE-style last-write-wins upsert of (rowkey, cf, qualifier, value).
+
+        One shuffle on the TOUCHED rb partitions' cells only (r16 —
+        was the full state); untouched partitions are hard-linked into
+        the new version with no data movement.  Safe under foreachBatch
+        replay: a retry of batch N sees head v_N whose untouched
+        partitions hold only batch_id < N rows (a deterministic replay
+        touches the same rb set it touched before), and the touched
+        partitions re-merge from the batch_id < N residue exactly as
+        the first attempt did.
+        """
+        stamped = (
+            batch_df.select(*CELL_KEY, F.col("value").cast("string"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("rb", self._rb(F.col("rowkey")))
+            .persist()
+        )
+        try:
+            # bounded collect (≤ buckets scalars) — names the touched
+            # partitions AND materializes the batch cache in one job,
+            # the same collect-as-materializer pattern as the
+            # incremental-dedup batch body
+            rbs = [r[0] for r in stamped.select("rb").distinct().collect()]
+            versions = self._versions()
+            head = versions[-1] if versions else None
+            head_rb_dirs = self._head_rb_dirs(head) if head else []
+            if head and not head_rb_dirs:
+                # pre-r16 unpartitioned head: one full merge migrates
+                # the layout (no pruning is possible — there are no
+                # partition dirs to prune or carry forward)
+                rbs = list(range(self.buckets))
+            new_state = self._merged_state(stamped, batch_id, rbs)
+
+            out = os.path.join(self.path, f"v_{batch_id:012d}")
+            tmp = out + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            new_state.write.mode("overwrite").partitionBy("rb").parquet(tmp)
+            # carry untouched partitions forward as hard links:
+            # O(#files) driver metadata, no read, no shuffle, no copy
+            # (rmtree on a pruned old version only drops link counts).
+            touched = {f"rb={r}" for r in rbs}
+            for d in head_rb_dirs:
+                if d in touched:
+                    continue
+                src = os.path.join(self.path, head, d)
+                dst = os.path.join(tmp, d)
+                os.makedirs(dst, exist_ok=True)
+                for fname in os.listdir(src):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    os.link(
+                        os.path.join(src, fname), os.path.join(dst, fname)
+                    )
+            if os.path.exists(out):
+                shutil.rmtree(out)
+            os.rename(tmp, out)
+            self._prune(keep=2)
+        finally:
+            stamped.unpersist()
 
     def _prune(self, keep: int) -> None:
         versions = self._versions()

@@ -127,7 +127,17 @@ class StreamerPipeline:
                 # and get pruned (code-review r15); 2N > 2N-1 keeps
                 # version order and the prior-filter monotone across
                 # the upgrade, and a foreachBatch retry still rewrites
-                # the same version idempotently.
+                # the same version idempotently.  One benign corner
+                # (ADVICE r15): if the last PRE-upgrade batch N
+                # committed both of its sink versions (v_2N and
+                # v_2N+1) but the stream checkpoint did not, the
+                # replayed merged write lands at 2N, BELOW the stale
+                # v_2N+1 head — current() keeps serving v_2N+1 until
+                # batch N+1 writes v_2N+2.  That stale head's cell
+                # values are identical to the merged rewrite (same
+                # deterministic batch, same cells, split across two
+                # versions instead of one), so no reader ever observes
+                # wrong state and the head converges one batch later.
                 self.sink.write_batch(cells, 2 * batch_id)
         finally:
             batch_df.unpersist()

@@ -801,15 +801,69 @@ def test_bucketed_band_store_join_is_colocated(spark, sf_smoke, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
 
 
+def _combined_dedup_store(spark, tmp_path, n_rows=500):
+    """A miniature of the r16 combined incremental-dedup store: band
+    rows (kind=b, pk=pmod(bh, band buckets)) and profile rows
+    (kind=p, pk=pmod(doc_id, profile buckets)) in ONE (kind, pk)-
+    partitioned dataset, written the way the batch body writes it
+    (unionByName with allowMissingColumns)."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.config import (
+        BAND_STORE_BUCKETS_DEFAULT,
+        PROFILE_STORE_BUCKETS_DEFAULT,
+    )
+
+    bands = (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.xxhash64(F.col("id")).alias("bh"),
+        )
+        .withColumn(
+            "pk", F.pmod(F.col("bh"), F.lit(BAND_STORE_BUCKETS_DEFAULT))
+        )
+        .withColumn("kind", F.lit("b"))
+    )
+    profiles = (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array(F.xxhash64(F.col("id"))).alias("hs"),
+            F.lit(1).alias("n"),
+            (F.col("id") % 2 == 0).alias("kept"),
+        )
+        .withColumn(
+            "pk",
+            F.pmod(F.col("doc_id"), F.lit(PROFILE_STORE_BUCKETS_DEFAULT)),
+        )
+        .withColumn("kind", F.lit("p"))
+    )
+    d = str(tmp_path / "store")
+    bands.unionByName(profiles, allowMissingColumns=True).write.partitionBy(
+        "kind", "pk"
+    ).parquet(d)
+    return d, bands, profiles
+
+
+def _partition_filter_lines(spark, df):
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    return [ln for ln in plan.splitlines() if "PartitionFilters" in ln], plan
+
+
 def test_band_store_probe_prunes_partitions(spark, tmp_path):
-    """The r15 production form of the incremental-dedup lever: the
-    band store is WRITTEN partitioned by pb = pmod(bh, buckets) and a
-    micro-batch's candidate lookup reads it through
-    _bucketed_band_probe, which must show PartitionFilters on the scan
-    (directory pruning, not a filter over a full listing).  Exactness:
-    pb is a function of the join key bh, so pruned rows cannot collide
-    with any incoming band — asserted by comparing against the
-    unpruned filter."""
+    """The r15 production form of the incremental-dedup lever (r16:
+    now the kind=b slice of the combined store): band rows are WRITTEN
+    partitioned by (kind, pk = pmod(bh, buckets)) and a micro-batch's
+    candidate lookup reads them through _bucketed_band_probe, which
+    must show PartitionFilters on the scan (directory pruning, not a
+    filter over a full listing).  Exactness: pk is a function of the
+    join key bh, so pruned rows cannot collide with any incoming band
+    — asserted by comparing against the unpruned filter."""
     from pyspark.sql import functions as F
 
     from kafka_spark_streaming_spark.operators.streaming_queries import (
@@ -817,28 +871,147 @@ def test_band_store_probe_prunes_partitions(spark, tmp_path):
         _bucketed_band_probe,
     )
 
-    bands = (
-        spark.range(500)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.xxhash64(F.col("id")).alias("bh"),
-        )
-        .withColumn("pb", F.pmod(F.col("bh"), F.lit(_BAND_STORE_BUCKETS)))
-    )
-    d = str(tmp_path / "bands")
-    bands.write.partitionBy("pb").parquet(d)
+    d, bands, _ = _combined_dedup_store(spark, tmp_path)
 
     probe = _bucketed_band_probe(spark, d, [1, 3])
-    plan = probe._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+    pf, plan = _partition_filter_lines(spark, probe)
+    assert pf and "pk" in pf[0] and "kind" in pf[0], (
+        f"band probe not partition-pruned:\n{plan}"
+    )
+    # the pruned read returns exactly the band rows whose pk is probed
+    # (and no profile rows — the kind filter is partition-level too)
+    expected = bands.filter(F.col("pk").isin([1, 3])).count()
+    assert probe.count() == expected and expected > 0
+    # probing every bucket returns the full band slice (nothing
+    # silently lost)
+    all_pbs = list(range(_BAND_STORE_BUCKETS))
+    assert _bucketed_band_probe(spark, d, all_pbs).count() == 500
+
+
+def test_profile_store_probe_prunes_partitions(spark, tmp_path):
+    """The r16 verify-side lever: profile rows live in the combined
+    store under (kind=p, pk = pmod(doc_id, buckets)) and the verify
+    join's out-of-batch profile lookup reads them through
+    _bucketed_profile_probe, which must show PartitionFilters on the
+    scan (directory pruning — this was the engine's last per-batch
+    full-store read).  Exactness: pk is a function of the verify join
+    key doc_id, so pruned rows cannot match any candidate doc_a."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.config import (
+        PROFILE_STORE_BUCKETS_DEFAULT,
+    )
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _bucketed_profile_probe,
+    )
+
+    d, _, profiles = _combined_dedup_store(spark, tmp_path)
+
+    probe = _bucketed_profile_probe(spark, d, [0, 5, 9])
+    pf, plan = _partition_filter_lines(spark, probe)
+    assert pf and "pk" in pf[0] and "kind" in pf[0], (
+        f"profile probe not pruned:\n{plan}"
+    )
+    # probe drops exactly the layout/verdict columns (kind, pk, kept)
+    # plus the band-only bh: what remains is the in-batch profile
+    # shape, so the batch body's unionByName with prof lines up
+    # (production rows also carry the h0..h31 signature columns —
+    # untouched by the drop)
+    assert set(probe.columns) == {"doc_id", "hs", "n"}
+    expected = profiles.filter(F.col("pk").isin([0, 5, 9])).count()
+    assert probe.count() == expected and expected > 0
+    all_pds = list(range(PROFILE_STORE_BUCKETS_DEFAULT))
+    assert _bucketed_profile_probe(spark, d, all_pds).count() == 500
+
+
+def test_upsert_merge_prunes_state_partitions(spark, tmp_path):
+    """VERDICT r15 #3: the KeyedUpsertSink state is partitioned by
+    rb = pmod(xxhash64(rowkey), buckets) and a batch's LWW merge must
+    read ONLY the rb partitions its rowkeys touch — PartitionFilters
+    on the prior-state scan (the per-batch one-shuffle-of-|state| is
+    gone; untouched partitions are hard-linked forward).  Also pins
+    that the carried-forward partitions keep their cells verbatim and
+    current() hides the layout column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    cells0 = spark.createDataFrame(
+        [(f"k{i}", "cf1", "q", f"v{i}") for i in range(40)],
+        "rowkey string, cf string, qualifier string, value string",
+    )
+    sink.write_batch(cells0, 0)
+    head0 = sink._versions()[-1]
+    assert any(
+        d.startswith("rb=")
+        for d in os.listdir(os.path.join(sink.path, head0))
+    ), "state version lost its rb= partition layout"
+
+    # batch 1 touches ONE rowkey → ≤1 rb partition enters the merge
+    one = spark.createDataFrame(
+        [("k3", "cf1", "q", "v3-new")],
+        "rowkey string, cf string, qualifier string, value string",
+    )
+    stamped = (
+        one.select("rowkey", "cf", "qualifier", "value")
+        .withColumn("batch_id", F.lit(1).cast("long"))
+        .withColumn("rb", sink._rb(F.col("rowkey")))
+    )
+    rbs = [r[0] for r in stamped.select("rb").distinct().collect()]
+    assert len(rbs) == 1
+    plan = (
+        sink._merged_state(stamped, 1, rbs)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
         )
     )
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and "pb" in pf[0], f"band probe not partition-pruned:\n{plan}"
-    # the pruned read returns exactly the rows whose pb is probed
-    expected = bands.filter(F.col("pb").isin([1, 3])).count()
-    assert probe.count() == expected and expected > 0
-    # probing every bucket returns the full store (nothing silently lost)
-    all_pbs = list(range(_BAND_STORE_BUCKETS))
-    assert _bucketed_band_probe(spark, d, all_pbs).count() == 500
+    assert pf and "rb" in pf[0], f"upsert merge not pruned:\n{plan}"
+
+    # end-to-end: the write carries untouched partitions forward intact
+    sink.write_batch(one, 1)
+    state = {
+        r["rowkey"]: r["value"] for r in sink.current().collect()
+    }
+    assert state["k3"] == "v3-new"
+    assert len(state) == 40 and state["k7"] == "v7"
+    assert "rb" not in sink.current().columns
+
+
+def test_upsert_sink_migrates_unpartitioned_state(spark, tmp_path):
+    """A store written by the pre-r16 UNPARTITIONED layout must keep
+    working: the first write_batch over it detects the missing rb=
+    dirs, falls back to one full-state merge (nothing to prune or
+    hard-link), and writes the new partitioned layout — a
+    self-migrating upgrade, no state lost."""
+    import os
+
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    path = str(tmp_path / "cells")
+    sink = KeyedUpsertSink(spark, path)
+    old = spark.createDataFrame(
+        [(f"k{i}", "cf1", "q", f"v{i}", 0) for i in range(20)],
+        "rowkey string, cf string, qualifier string, value string,"
+        " batch_id long",
+    )
+    # hand-write an old-layout committed version (flat, no rb= dirs)
+    old.write.parquet(os.path.join(path, "v_000000000000"))
+    assert sink._head_rb_dirs("v_000000000000") == []
+
+    one = spark.createDataFrame(
+        [("k5", "cf1", "q", "v5-new")],
+        "rowkey string, cf string, qualifier string, value string",
+    )
+    sink.write_batch(one, 1)
+    state = {r["rowkey"]: r["value"] for r in sink.current().collect()}
+    assert len(state) == 20 and state["k5"] == "v5-new"
+    assert state["k11"] == "v11"
+    # and the store is now on the partitioned layout
+    assert sink._head_rb_dirs(sink._versions()[-1])

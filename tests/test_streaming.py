@@ -860,7 +860,6 @@ def test_incremental_dedup_batch_replay_idempotent(spark, sf_smoke, tmp_path):
     from kafka_spark_streaming_spark.tables import table
 
     store_dir = str(tmp_path / "store")
-    bands_dir = str(tmp_path / "bands")
     docs = table(spark, sf_smoke, "documents")
     half0 = docs.filter(F.col("doc_id") < 250)
     half1 = docs.filter(F.col("doc_id") >= 250)
@@ -869,29 +868,34 @@ def test_incremental_dedup_batch_replay_idempotent(spark, sf_smoke, tmp_path):
         return sorted(
             tuple(r)
             for r in spark.read.parquet(store_dir)
-            .filter(F.col("kept"))
+            .filter((F.col("kind") == "p") & F.col("kept"))
             .select("doc_id", "n")
             .dropDuplicates(["doc_id"])
             .collect()
         )
 
-    _incremental_dedup_batch(half0, store_dir, bands_dir)
-    _incremental_dedup_batch(half1, store_dir, bands_dir)
+    _incremental_dedup_batch(half0, store_dir)
+    _incremental_dedup_batch(half1, store_dir)
     before = kept_rows()
     assert len(before) > 0
-    # the band store is directory-partitioned on pb
+    # the combined store is directory-partitioned on (kind, pk):
+    # band rows under kind=b, profile rows under kind=p (r16 — both
+    # pruned probes rely on this layout)
+    kinds = set(os.listdir(store_dir)) - {"_SUCCESS"}
+    assert {"kind=b", "kind=p"} <= kinds, f"store layout: {kinds}"
     assert any(
-        d.startswith("pb=") for d in os.listdir(bands_dir)
-    ), "band store lost its pb= partition layout"
+        d.startswith("pk=")
+        for d in os.listdir(os.path.join(store_dir, "kind=b"))
+    ), "band rows lost their pk= partition layout"
 
     # retry of batch 1: same input against a store that already holds
     # batch 1's own rows
-    _incremental_dedup_batch(half1, store_dir, bands_dir)
+    _incremental_dedup_batch(half1, store_dir)
     after = kept_rows()
     assert after == before, "replayed batch changed the kept set"
     # and the replay appended duplicates rather than rewriting state:
-    # raw row count grew, deduped verdict set did not
-    raw = spark.read.parquet(store_dir).count()
+    # raw profile row count grew, deduped verdict set did not
+    raw = spark.read.parquet(store_dir).filter(F.col("kind") == "p").count()
     assert raw > len(
         set(r[0] for r in before)
     ), "replay should append duplicate rows (append-only store)"

@@ -101,12 +101,16 @@ def main() -> int:
                 )
             pdir = os.path.join(work, f"prof{mult}")
             minhash_profile(shingles_of(h)).write.parquet(pdir)
-            bdir = os.path.join(work, f"bands{mult}")
+            # r16 combined-store layout: band rows live under
+            # kind=b/pk= in the one (kind, pk)-partitioned dataset
+            # the production probe reads
+            bdir = os.path.join(work, f"store{mult}")
             (
                 band_buckets(spark.read.parquet(pdir))
-                .withColumn("pb", F.pmod(F.col("bh"), F.lit(NB)))
-                .repartition("pb")
-                .write.partitionBy("pb")
+                .withColumn("pk", F.pmod(F.col("bh"), F.lit(NB)))
+                .withColumn("kind", F.lit("b"))
+                .repartition("kind", "pk")
+                .write.partitionBy("kind", "pk")
                 .parquet(bdir)
             )
             n_hist = spark.read.parquet(pdir).count()
@@ -129,7 +133,7 @@ def main() -> int:
                 pbs = [
                     r[0]
                     for r in incoming.select(
-                        F.pmod(F.col("bh"), F.lit(NB)).alias("pb")
+                        F.pmod(F.col("bh"), F.lit(NB)).alias("pk")
                     )
                     .distinct()
                     .collect()
