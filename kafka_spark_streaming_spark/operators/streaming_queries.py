@@ -434,11 +434,17 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("gap_s"),
     )
-    # 8 state-store partitions (see _scoped_shuffle_partitions A/B): the
-    # 32-store default paid ~13-27 s of pure commit overhead for a
-    # 371-row join — 8 lands within ~0.8 s of the local optimum while
-    # keeping parallelism headroom for bigger corpora.
-    with _scoped_shuffle_partitions(spark, 8):
+    # 4 state-store partitions (r16 tail audit, VERDICT r15 #5): the
+    # stateless drain floor of this 4-batch stream is ~1.1 s, so the
+    # join's cost is almost entirely per-partition state-store commit
+    # work (4 stores/partition for a stream-stream join).  A/B
+    # min-of-N at BOTH scales: sf0.1 (371 rows) 8→5.6 s, 4→3.6 s,
+    # 2→3.3 s; 10x corpus (3 710 rows) 8→5.65 s, 4→4.15 s, 2→4.24 s —
+    # 4 is the optimum once per-partition batch volume matters and
+    # within noise of 2 below that, so the r14 "8 for headroom" choice
+    # was paying ~1.2-1.5 s of pure commit overhead at every scale we
+    # can measure.  On a cluster you size this to executors.
+    with _scoped_shuffle_partitions(spark, 4):
         return _drain_to_memory(out, "append").orderBy(
             "purchase_id", "click_id"
         )
