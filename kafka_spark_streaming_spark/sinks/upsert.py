@@ -168,6 +168,15 @@ class KeyedUpsertSink:
                 # the layout (no pruning is possible — there are no
                 # partition dirs to prune or carry forward)
                 rbs = list(range(self.buckets))
+            if not rbs and not head_rb_dirs:
+                # empty batch over empty state: a 0-row partitionBy
+                # write emits NO files, so the version dir would hold
+                # only _SUCCESS and break schema inference on the next
+                # read.  Nothing to record — skip the version.  (An
+                # empty batch over a partitioned head still writes a
+                # version below: the hard-linked partitions carry the
+                # schema.)
+                return
             new_state = self._merged_state(stamped, batch_id, rbs)
 
             out = os.path.join(self.path, f"v_{batch_id:012d}")
@@ -186,7 +195,11 @@ class KeyedUpsertSink:
                 dst = os.path.join(tmp, d)
                 os.makedirs(dst, exist_ok=True)
                 for fname in os.listdir(src):
-                    if not fname.endswith(".parquet"):
+                    # data files plus their .crc sidecars (linking the
+                    # checksum keeps LocalFileSystem verification
+                    # active on carried-forward files; a missing crc
+                    # would merely skip it)
+                    if not fname.endswith((".parquet", ".parquet.crc")):
                         continue
                     os.link(
                         os.path.join(src, fname), os.path.join(dst, fname)
