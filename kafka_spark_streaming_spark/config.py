@@ -28,10 +28,14 @@ file counts trivial at test scale.  The probe/layout code is
 scale-invariant — the knob is the only thing that changes.
 
 Consistency contract: a store's bucket count is fixed at the first
-write (the writer embeds it in the directory layout).  Set the conf
-before the stream/sink starts; changing it mid-run would make probes
-and layout disagree.  The in-repo consumers resolve the knob once
-per run (sink __init__ / stream setup) for exactly this reason.
+write — and ENFORCED, not just documented (code-review r16): the
+upsert sink persists its count in a `_BUCKETS` marker inside the
+store, and the incremental-dedup store persists both counts in a
+sidecar `<store>.layout` marker before the first append.  Every
+later attach/batch reads the marker, so a conf change mid-run or
+across a restart re-seeds nothing and can never make probes disagree
+with the directories on disk.  The conf values only seed brand-new
+stores.
 """
 
 from __future__ import annotations

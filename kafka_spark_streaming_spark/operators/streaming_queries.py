@@ -712,6 +712,29 @@ def _bucketed_profile_probe(
     )
 
 
+def _store_layout(spark: SparkSession, store_dir: str) -> tuple:
+    """(band_buckets, profile_buckets) for a dedup store — persisted
+    in a sidecar marker next to the store (code-review r16): the
+    bucket counts are properties of the STORE layout, so re-resolving
+    the session conf on every micro-batch would let a mid-run (or
+    across-restart) conf change make the probe's pmod disagree with
+    the directories on disk — silently dropping true candidates.  The
+    conf only seeds the marker before the first append; every later
+    batch reads the marker.  The marker is a SIBLING of store_dir so
+    writing it never creates the store dir itself (the batch body
+    keys the has-history branch on os.path.exists(store_dir))."""
+    marker = store_dir.rstrip("/") + ".layout"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            n_pb, n_pd = (int(x) for x in fh.read().split())
+        return n_pb, n_pd
+    n_pb = _band_store_buckets(spark)
+    n_pd = _profile_store_buckets(spark)
+    with open(marker, "w") as fh:
+        fh.write(f"{n_pb} {n_pd}")
+    return n_pb, n_pd
+
+
 def _incremental_dedup_batch(batch_df: DataFrame, store_dir: str) -> None:
     """One micro-batch of the incremental near-dedup — module-level
     (not a closure) so the replay-idempotence argument is directly
@@ -724,12 +747,11 @@ def _incremental_dedup_batch(batch_df: DataFrame, store_dir: str) -> None:
     )
 
     # persist + materialize-via-the-pb-collect instead of an eager
-    # localCheckpoint + separate collect (r15): the pb collect below
-    # is the batch's first action, so it fills the cache as a side
+    # localCheckpoint + separate collect (r15): the pb collect in the
+    # body is the batch's first action (every batch since r16 — it
+    # doubles as the 0-row guard), so it fills the cache as a side
     # effect and one scheduling-floor job per batch disappears; the
-    # profile build (scan + one agg, no join) recomputes
-    # deterministically on the cold batch-0 path where no collect
-    # runs, and the cache is dropped at the end of the batch.
+    # cache is dropped at the end of the batch.
     prof = minhash_profile(shingles_of(batch_df)).persist()
     try:
         _incremental_dedup_batch_body(prof, store_dir)
@@ -748,8 +770,7 @@ def _incremental_dedup_batch_body(prof: DataFrame, store_dir: str) -> None:
     )
 
     sess = prof.sparkSession
-    n_pb = _band_store_buckets(sess)
-    n_pd = _profile_store_buckets(sess)
+    n_pb, n_pd = _store_layout(sess, store_dir)
     # this batch's band rows — cheap on top of the cached profile
     # (16 xxhash64 per row, no shuffle), so NOT separately persisted
     # despite three consumers below.
@@ -757,12 +778,19 @@ def _incremental_dedup_batch_body(prof: DataFrame, store_dir: str) -> None:
         "pk", F.pmod(F.col("bh"), F.lit(n_pb))
     )
     store_exists = os.path.exists(store_dir)
+    # bounded collect: ≤ band_store_buckets scalars.  Equal band
+    # hashes have equal pk, so pruning the store to the batch's pk
+    # values drops only rows that cannot join — exactness is by
+    # construction, not recall-traded.  Collected on EVERY batch (not
+    # just when history exists): an empty pbs means a 0-row batch,
+    # which must not reach the append — a 0-row partitionBy write
+    # would create a store dir holding only _SUCCESS and break schema
+    # inference on the next batch's probe (code-review r16; same
+    # guard class as the upsert sink's).
+    pbs = [r[0] for r in incoming.select("pk").distinct().collect()]
+    if not pbs:
+        return
     if store_exists:
-        # bounded collect: ≤ band_store_buckets scalars.  Equal
-        # band hashes have equal pk, so pruning the store to the
-        # batch's pk values drops only rows that cannot join —
-        # exactness is by construction, not recall-traded.
-        pbs = [r[0] for r in incoming.select("pk").distinct().collect()]
         seen_bands = _bucketed_band_probe(
             sess, store_dir, pbs
         ).unionByName(incoming.select("doc_id", "bh"))

@@ -65,11 +65,22 @@ class KeyedUpsertSink:
 
         self.spark = spark
         self.path = path
-        # resolved ONCE at attach: the bucket count is a property of
-        # the store layout, so a conf change mid-run must not make the
-        # writer and the prune filter disagree (config.py contract)
-        self.buckets = upsert_state_buckets(spark)
         os.makedirs(path, exist_ok=True)
+        # The bucket count is a property of the STORE, not the
+        # session: reopening an rb-partitioned store under a different
+        # count would prune the prior read with the wrong pmod and
+        # hard-link stale rows forward as "untouched" — silent LWW
+        # corruption (code-review r16).  So the count is persisted in
+        # a _BUCKETS marker at attach and every later attach reads the
+        # marker; the conf only seeds brand-new stores.
+        marker = os.path.join(path, "_BUCKETS")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                self.buckets = int(fh.read().strip())
+        else:
+            self.buckets = upsert_state_buckets(spark)
+            with open(marker, "w") as fh:
+                fh.write(str(self.buckets))
 
     # -- state management -------------------------------------------------
     def _versions(self) -> list[str]:
@@ -163,20 +174,25 @@ class KeyedUpsertSink:
             versions = self._versions()
             head = versions[-1] if versions else None
             head_rb_dirs = self._head_rb_dirs(head) if head else []
+            if not rbs and not head_rb_dirs:
+                # empty batch over empty-or-flat state: a 0-row
+                # partitionBy write emits NO files, so the version dir
+                # would hold only _SUCCESS (or, over a flat pre-r16
+                # head, only whatever a 0-row merge emits — possibly
+                # nothing) and break schema inference on the next
+                # read.  Nothing to record — skip the version; a flat
+                # head stays readable as-is and migrates on the first
+                # non-empty batch.  (An empty batch over a PARTITIONED
+                # head still writes a version below: the hard-linked
+                # partitions carry the schema.)  Checked BEFORE the
+                # migration override so the flat-empty-head corner is
+                # covered too (code-review r16).
+                return
             if head and not head_rb_dirs:
                 # pre-r16 unpartitioned head: one full merge migrates
                 # the layout (no pruning is possible — there are no
                 # partition dirs to prune or carry forward)
                 rbs = list(range(self.buckets))
-            if not rbs and not head_rb_dirs:
-                # empty batch over empty state: a 0-row partitionBy
-                # write emits NO files, so the version dir would hold
-                # only _SUCCESS and break schema inference on the next
-                # read.  Nothing to record — skip the version.  (An
-                # empty batch over a partitioned head still writes a
-                # version below: the hard-linked partitions carry the
-                # schema.)
-                return
             new_state = self._merged_state(stamped, batch_id, rbs)
 
             out = os.path.join(self.path, f"v_{batch_id:012d}")

@@ -962,16 +962,9 @@ def test_upsert_merge_prunes_state_partitions(spark, tmp_path):
     )
     rbs = [r[0] for r in stamped.select("rb").distinct().collect()]
     assert len(rbs) == 1
-    plan = (
-        sink._merged_state(stamped, 1, rbs)
-        ._jdf.queryExecution()
-        .explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
+    pf, plan = _partition_filter_lines(
+        spark, sink._merged_state(stamped, 1, rbs)
     )
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "rb" in pf[0], f"upsert merge not pruned:\n{plan}"
 
     # end-to-end: the write carries untouched partitions forward intact
@@ -1101,6 +1094,47 @@ def test_store_bucket_configs_steer_layout(spark, tmp_path, sf_smoke):
             for p in sink._head_rb_dirs(sink._versions()[-1])
         )
         assert rbs == [0, 1, 2]
+
+        # layout is a property of the STORE, not the session
+        # (code-review r16): reopening either store under a different
+        # conf must keep the persisted counts, or pruned probes would
+        # pmod against the wrong directory fan-out
+        spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "7")
+        assert KeyedUpsertSink(spark, sink.path).buckets == 3
+        spark.conf.set(BAND_STORE_BUCKETS_KEY, "9")
+        from kafka_spark_streaming_spark.operators.streaming_queries import (
+            _store_layout,
+        )
+
+        assert _store_layout(spark, store) == (4, 2)
     finally:
         for k, _ in keys:
             spark.conf.unset(k)
+
+
+def test_incremental_dedup_skips_empty_batch(spark, tmp_path, sf_smoke):
+    """A 0-row micro-batch must not create a store dir holding only
+    _SUCCESS (it would break schema inference on the next batch's
+    probe) — same guard class as the upsert sink's empty-batch
+    corner."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _incremental_dedup_batch,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    store = str(tmp_path / "store")
+    docs = table(spark, sf_smoke, "documents")
+    _incremental_dedup_batch(docs.filter(F.col("doc_id") < 0), store)
+    assert not os.path.exists(store)
+    # and a later real batch starts the store normally
+    _incremental_dedup_batch(docs.filter(F.col("doc_id") < 50), store)
+    kept = (
+        spark.read.parquet(store)
+        .filter((F.col("kind") == "p") & F.col("kept"))
+        .count()
+    )
+    assert kept > 0
