@@ -14,6 +14,10 @@ replicated), and min-of-3 time the candidate-generation step two ways:
   store restricted to the batch's pb values, join against the batch's
   bands (per-batch cost is batch + probed-bucket bytes).
 
+r16 note: band rows now live in the combined (kind, pk)-partitioned
+store (kind=b slice); this tool builds that layout and keeps timing
+the production probe.
+
 Committed local result (sf0.1, NB=256, 5-doc batch): old 0.89/0.59 s
 at 5k/50k-doc history vs probe 1.21/0.88 s probing 68/256 buckets —
 at this scale fixed job/file-listing overhead dominates both shapes,
