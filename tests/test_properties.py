@@ -638,3 +638,72 @@ def test_scoped_shuffle_partitions_restores_conf_on_error(spark):
             assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["k0", "k1", "k2", "k3", "k4", "k5"]),
+                st.sampled_from([f"v{i}" for i in range(10)]),
+            ),
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_upsert_sink_equals_lww_model(spark, batches):
+    """Model-based check of the r16 rb-partitioned KeyedUpsertSink: a
+    random sequence of batches (small key/value alphabets force both
+    within-batch collisions and cross-batch overwrites, exercising
+    pruned merges AND hard-linked carry-forward partitions), plus a
+    replay of the final batch, must leave current() equal to the
+    obvious driver-side LWW dict — latest batch wins per cell,
+    max(value) breaks within-batch ties."""
+    import shutil
+    import tempfile
+
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    d = tempfile.mkdtemp(prefix="kss_upsert_prop_")
+    try:
+        sink = KeyedUpsertSink(spark, d)
+        model: dict[str, str] = {}
+        for i, batch in enumerate(batches):
+            if batch:  # 0-row batches skip version creation by design
+                sink.write_batch(
+                    spark.createDataFrame(
+                        [(k, "cf1", "q", v) for k, v in batch],
+                        "rowkey string, cf string, qualifier string,"
+                        " value string",
+                    ),
+                    i,
+                )
+                for k in {k for k, _ in batch}:
+                    model[k] = max(v for kk, v in batch if kk == k)
+        # replay the last non-empty batch (foreachBatch retry shape):
+        # state must be unchanged
+        last = max(
+            (i for i, b in enumerate(batches) if b), default=None
+        )
+        if last is not None:
+            sink.write_batch(
+                spark.createDataFrame(
+                    [(k, "cf1", "q", v) for k, v in batches[last]],
+                    "rowkey string, cf string, qualifier string,"
+                    " value string",
+                ),
+                last,
+            )
+        got = {
+            r["rowkey"]: r["value"] for r in sink.current().collect()
+        }
+        assert got == model
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
