@@ -899,3 +899,30 @@ def test_incremental_dedup_batch_replay_idempotent(spark, sf_smoke, tmp_path):
     assert raw > len(
         set(r[0] for r in before)
     ), "replay should append duplicate rows (append-only store)"
+
+
+def test_incremental_dedup_batching_invariant(spark, sf_smoke):
+    """The kept set must be a property of the CORPUS, not of how the
+    stream happened to batch it: the per-batch candidate generator
+    only pairs a doc against earlier-or-same-batch docs with smaller
+    doc_id, which for ordered batches covers exactly the same
+    (doc_a < doc_b) universe whether the corpus arrives in 1 batch or
+    4.  Pins the r16 combined-store/pruned-probe machinery against
+    the one failure mode oracle parity at a fixed n_batches=4 cannot
+    see: a probe that silently misses cross-batch candidates would
+    still look 'consistent' within one batching."""
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        s_incremental_near_dedup,
+    )
+
+    def kept(n_batches):
+        return sorted(
+            tuple(r)
+            for r in s_incremental_near_dedup(
+                spark, sf_smoke, n_batches=n_batches
+            ).collect()
+        )
+
+    one = kept(1)
+    assert len(one) > 0
+    assert kept(3) == one, "kept set changed with micro-batch count"
