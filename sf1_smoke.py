@@ -111,6 +111,13 @@ SMOKE = [
     # 1.3x at 10x data; the replicas all collapse to rejected, kept
     # set identical to sf0.1's 4756).
     "s_incremental_near_dedup",
+    # r16: the retuned stream-stream join (8 -> 4 state-store
+    # partitions) at 10x events — the r16 A/B showed per-partition
+    # commit overhead dominates at BOTH scales (4.15 s at 10x vs
+    # 5.65 s at 8 partitions); gating it here keeps the choice honest
+    # if corpus growth ever flips the optimum back toward more
+    # partitions.
+    "s_stream_stream_join",
 ]
 
 

@@ -16,7 +16,12 @@ replicated), and min-of-3 time the candidate-generation step two ways:
 
 r16 note: band rows now live in the combined (kind, pk)-partitioned
 store (kind=b slice); this tool builds that layout and keeps timing
-the production probe.
+the production probe.  Re-run on the r16 layout (sf0.1, NB=256,
+5-doc batch): old re-band 0.430/0.608 s at 5k/50k history vs pruned
+probe 1.006/1.083 s (68/256 buckets) — same attribution as r15: the
+probe is FLAT in corpus size while the re-band grows with it; the
+crossover is where history stops fitting the fixed overhead (~10^6+
+docs locally, any realistic cluster corpus).
 
 Committed local result (sf0.1, NB=256, 5-doc batch): old 0.89/0.59 s
 at 5k/50k-doc history vs probe 1.21/0.88 s probing 68/256 buckets —
