@@ -40,6 +40,9 @@ stores.
 
 from __future__ import annotations
 
+import os
+from typing import Callable
+
 from pyspark.sql import SparkSession
 
 # -- incremental near-dedup: band store (bh = band hash) -------------------
@@ -84,3 +87,21 @@ def upsert_state_buckets(spark: SparkSession) -> int:
     return _int_conf(
         spark, UPSERT_STATE_BUCKETS_KEY, UPSERT_STATE_BUCKETS_DEFAULT
     )
+
+
+def persisted_layout(
+    marker_path: str, seed: Callable[[], tuple[int, ...]]
+) -> tuple[int, ...]:
+    """The enforcement half of the consistency contract above: read a
+    store's persisted layout ints from ``marker_path``, seeding the
+    marker from ``seed()`` (typically the session conf) the first
+    time.  Shared by the upsert sink's ``_BUCKETS`` marker and the
+    incremental-dedup store's ``.layout`` sidecar so the
+    persist-or-seed mechanism cannot drift between consumers."""
+    if os.path.exists(marker_path):
+        with open(marker_path) as fh:
+            return tuple(int(x) for x in fh.read().split())
+    vals = seed()
+    with open(marker_path, "w") as fh:
+        fh.write(" ".join(str(v) for v in vals))
+    return vals

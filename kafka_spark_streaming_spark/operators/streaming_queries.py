@@ -712,7 +712,7 @@ def _bucketed_profile_probe(
     )
 
 
-def _store_layout(spark: SparkSession, store_dir: str) -> tuple:
+def _store_layout(spark: SparkSession, store_dir: str) -> tuple[int, int]:
     """(band_buckets, profile_buckets) for a dedup store — persisted
     in a sidecar marker next to the store (code-review r16): the
     bucket counts are properties of the STORE layout, so re-resolving
@@ -723,15 +723,12 @@ def _store_layout(spark: SparkSession, store_dir: str) -> tuple:
     batch reads the marker.  The marker is a SIBLING of store_dir so
     writing it never creates the store dir itself (the batch body
     keys the has-history branch on os.path.exists(store_dir))."""
-    marker = store_dir.rstrip("/") + ".layout"
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            n_pb, n_pd = (int(x) for x in fh.read().split())
-        return n_pb, n_pd
-    n_pb = _band_store_buckets(spark)
-    n_pd = _profile_store_buckets(spark)
-    with open(marker, "w") as fh:
-        fh.write(f"{n_pb} {n_pd}")
+    from kafka_spark_streaming_spark.config import persisted_layout
+
+    n_pb, n_pd = persisted_layout(
+        store_dir.rstrip("/") + ".layout",
+        lambda: (_band_store_buckets(spark), _profile_store_buckets(spark)),
+    )
     return n_pb, n_pd
 
 

@@ -41,7 +41,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -61,7 +61,10 @@ STATE_SCHEMA = T.StructType(
 
 class KeyedUpsertSink:
     def __init__(self, spark: SparkSession, path: str):
-        from kafka_spark_streaming_spark.config import upsert_state_buckets
+        from kafka_spark_streaming_spark.config import (
+            persisted_layout,
+            upsert_state_buckets,
+        )
 
         self.spark = spark
         self.path = path
@@ -73,14 +76,10 @@ class KeyedUpsertSink:
         # corruption (code-review r16).  So the count is persisted in
         # a _BUCKETS marker at attach and every later attach reads the
         # marker; the conf only seeds brand-new stores.
-        marker = os.path.join(path, "_BUCKETS")
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                self.buckets = int(fh.read().strip())
-        else:
-            self.buckets = upsert_state_buckets(spark)
-            with open(marker, "w") as fh:
-                fh.write(str(self.buckets))
+        (self.buckets,) = persisted_layout(
+            os.path.join(path, "_BUCKETS"),
+            lambda: (upsert_state_buckets(spark),),
+        )
 
     # -- state management -------------------------------------------------
     def _versions(self) -> list[str]:
@@ -93,7 +92,7 @@ class KeyedUpsertSink:
             and os.path.isdir(os.path.join(self.path, d))
         )
 
-    def _rb(self, col) -> "F.Column":
+    def _rb(self, col) -> Column:
         return F.pmod(F.xxhash64(col), F.lit(self.buckets)).cast("int")
 
     def _head_rb_dirs(self, version: str) -> list[str]:
