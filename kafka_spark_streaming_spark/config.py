@@ -31,7 +31,7 @@ Consistency contract: a store's bucket count is fixed at the first
 write — and ENFORCED, not just documented (code-review r16): the
 upsert sink persists its count in a `_BUCKETS` marker inside the
 store, and the incremental-dedup store persists both counts in a
-sidecar `<store>.layout` marker before the first append.  Every
+sidecar `<store>.layout` marker at its first non-empty append.  Every
 later attach/batch reads the marker, so a conf change mid-run or
 across a restart re-seeds nothing and can never make probes disagree
 with the directories on disk.  The conf values only seed brand-new
@@ -89,19 +89,67 @@ def upsert_state_buckets(spark: SparkSession) -> int:
     )
 
 
+def read_layout(marker_path: str, arity: int) -> tuple[int, ...] | None:
+    """Read a store's persisted layout ints from ``marker_path``,
+    or None if no marker exists yet.  VALIDATED (ADVICE r16
+    config.py:105): a marker that parses but has the wrong arity or a
+    value < 1 is corruption — a truncated write could turn '16' into
+    '1', which parses cleanly and would make every later pruned probe
+    pmod against the wrong directory fan-out.  Better to crash the
+    attach with a pointed error than to serve silently-wrong LWW
+    merges."""
+    if not os.path.exists(marker_path):
+        return None
+    with open(marker_path) as fh:
+        raw = fh.read()
+    try:
+        vals = tuple(int(x) for x in raw.split())
+    except ValueError:
+        vals = ()
+    if len(vals) != arity or any(v < 1 for v in vals):
+        raise ValueError(
+            f"corrupt layout marker {marker_path!r}: expected {arity} "
+            f"int(s) >= 1, got {raw!r} — the store's bucket fan-out can "
+            "no longer be trusted; restore the marker from the store's "
+            "directory layout before reattaching"
+        )
+    return vals
+
+
+def commit_layout(
+    marker_path: str, vals: tuple[int, ...]
+) -> tuple[int, ...]:
+    """Persist a store's layout ints ATOMICALLY (ADVICE r16): write a
+    sibling temp file, fsync, then os.replace() into place so a crash
+    mid-write can never leave a truncated marker that parses to a
+    wrong bucket count.  First-writer-wins under a concurrent-attach
+    race: if a marker appeared since we read None, the replace would
+    silently overwrite it, so re-read and keep the existing one —
+    both attaches then agree on whichever layout landed first."""
+    existing = read_layout(marker_path, len(vals))
+    if existing is not None:
+        return existing
+    tmp = marker_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(" ".join(str(v) for v in vals))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, marker_path)
+    return vals
+
+
 def persisted_layout(
-    marker_path: str, seed: Callable[[], tuple[int, ...]]
+    marker_path: str, seed: Callable[[], tuple[int, ...]], arity: int
 ) -> tuple[int, ...]:
     """The enforcement half of the consistency contract above: read a
     store's persisted layout ints from ``marker_path``, seeding the
     marker from ``seed()`` (typically the session conf) the first
     time.  Shared by the upsert sink's ``_BUCKETS`` marker and the
     incremental-dedup store's ``.layout`` sidecar so the
-    persist-or-seed mechanism cannot drift between consumers."""
-    if os.path.exists(marker_path):
-        with open(marker_path) as fh:
-            return tuple(int(x) for x in fh.read().split())
-    vals = seed()
-    with open(marker_path, "w") as fh:
-        fh.write(" ".join(str(v) for v in vals))
-    return vals
+    persist-or-seed mechanism cannot drift between consumers.  Reads
+    validate arity and positivity; the seed write is tmp+rename
+    atomic (ADVICE r16)."""
+    vals = read_layout(marker_path, arity)
+    if vals is not None:
+        return vals
+    return commit_layout(marker_path, seed())

@@ -712,23 +712,35 @@ def _bucketed_profile_probe(
     )
 
 
-def _store_layout(spark: SparkSession, store_dir: str) -> tuple[int, int]:
+def _store_layout(
+    spark: SparkSession, store_dir: str, commit: bool = False
+) -> tuple[int, int]:
     """(band_buckets, profile_buckets) for a dedup store — persisted
     in a sidecar marker next to the store (code-review r16): the
     bucket counts are properties of the STORE layout, so re-resolving
     the session conf on every micro-batch would let a mid-run (or
     across-restart) conf change make the probe's pmod disagree with
     the directories on disk — silently dropping true candidates.  The
-    conf only seeds the marker before the first append; every later
-    batch reads the marker.  The marker is a SIBLING of store_dir so
-    writing it never creates the store dir itself (the batch body
-    keys the has-history branch on os.path.exists(store_dir))."""
-    from kafka_spark_streaming_spark.config import persisted_layout
+    conf only seeds the marker at the first NON-EMPTY append (ADVICE
+    r16 streaming_queries.py:770: a 0-row first micro-batch must not
+    pin the layout of a store that does not exist yet — a conf retune
+    before the first real data batch would be silently ignored), so
+    reads here are commit=False and the batch body calls back with
+    commit=True only after its 0-row guard passes.  The marker is a
+    SIBLING of store_dir so writing it never creates the store dir
+    itself (the batch body keys the has-history branch on
+    os.path.exists(store_dir)); the write itself is tmp+rename atomic
+    with first-writer-wins under a concurrent-attach race
+    (config.commit_layout)."""
+    from kafka_spark_streaming_spark.config import commit_layout, read_layout
 
-    n_pb, n_pd = persisted_layout(
-        store_dir.rstrip("/") + ".layout",
-        lambda: (_band_store_buckets(spark), _profile_store_buckets(spark)),
-    )
+    marker = store_dir.rstrip("/") + ".layout"
+    vals = read_layout(marker, arity=2)
+    if vals is None:
+        vals = (_band_store_buckets(spark), _profile_store_buckets(spark))
+        if commit:
+            vals = commit_layout(marker, vals)
+    n_pb, n_pd = vals
     return n_pb, n_pd
 
 
@@ -787,6 +799,20 @@ def _incremental_dedup_batch_body(prof: DataFrame, store_dir: str) -> None:
     pbs = [r[0] for r in incoming.select("pk").distinct().collect()]
     if not pbs:
         return
+    # first non-empty batch pins the store layout (ADVICE r16: seeding
+    # before this guard would let a 0-row first micro-batch freeze the
+    # bucket counts for a store that doesn't exist yet).  Under a
+    # concurrent-attach race commit_layout is first-writer-wins; if a
+    # racer pinned a DIFFERENT layout between our read and this
+    # commit, the pk values computed above are wrong for the store —
+    # refuse to append rather than corrupt the fan-out.
+    pinned = _store_layout(sess, store_dir, commit=True)
+    if pinned != (n_pb, n_pd):
+        raise RuntimeError(
+            f"dedup store {store_dir!r} layout was pinned to {pinned} by a "
+            f"concurrent attach while this batch computed {(n_pb, n_pd)}; "
+            "re-run the batch (it will read the pinned marker)"
+        )
     if store_exists:
         seen_bands = _bucketed_band_probe(
             sess, store_dir, pbs

@@ -79,6 +79,7 @@ class KeyedUpsertSink:
         (self.buckets,) = persisted_layout(
             os.path.join(path, "_BUCKETS"),
             lambda: (upsert_state_buckets(spark),),
+            arity=1,
         )
 
     # -- state management -------------------------------------------------

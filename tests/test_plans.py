@@ -1112,6 +1112,42 @@ def test_store_bucket_configs_steer_layout(spark, tmp_path, sf_smoke):
             spark.conf.unset(k)
 
 
+def test_layout_marker_atomic_and_validated(tmp_path):
+    """ADVICE r16 config.py:105: the layout marker must be written
+    atomically (tmp + os.replace) and VALIDATED on read — a truncated
+    '1' left by a crash mid-write of '16' parses cleanly to a wrong
+    bucket count, which is exactly the silent corruption the marker
+    exists to prevent.  Wrong arity, non-int, empty, and < 1 markers
+    must all raise a pointed error instead."""
+    import os
+
+    import pytest
+
+    from kafka_spark_streaming_spark.config import (
+        commit_layout,
+        persisted_layout,
+        read_layout,
+    )
+
+    marker = str(tmp_path / "_BUCKETS")
+    assert read_layout(marker, arity=2) is None
+    assert persisted_layout(marker, lambda: (16, 8), arity=2) == (16, 8)
+    # no stray tmp left behind, and the persisted value reads back
+    assert not os.path.exists(marker + ".tmp")
+    assert read_layout(marker, arity=2) == (16, 8)
+    # re-seed attempts keep the existing marker (first writer wins)
+    assert commit_layout(marker, (9, 9)) == (16, 8)
+    assert persisted_layout(marker, lambda: (9, 9), arity=2) == (16, 8)
+
+    for bad in ("1", "", "16 0", "16 8 4", "sixteen 8"):
+        with open(marker, "w") as fh:
+            fh.write(bad)
+        with pytest.raises(ValueError, match="layout marker"):
+            read_layout(marker, arity=2)
+        with pytest.raises(ValueError, match="layout marker"):
+            persisted_layout(marker, lambda: (16, 8), arity=2)
+
+
 def test_incremental_dedup_skips_empty_batch(spark, tmp_path, sf_smoke):
     """A 0-row micro-batch must not create a store dir holding only
     _SUCCESS (it would break schema inference on the next batch's
@@ -1130,8 +1166,22 @@ def test_incremental_dedup_skips_empty_batch(spark, tmp_path, sf_smoke):
     docs = table(spark, sf_smoke, "documents")
     _incremental_dedup_batch(docs.filter(F.col("doc_id") < 0), store)
     assert not os.path.exists(store)
-    # and a later real batch starts the store normally
-    _incremental_dedup_batch(docs.filter(F.col("doc_id") < 50), store)
+    # ADVICE r16: the 0-row batch must not pin the layout marker either
+    # — a conf retune BEFORE the first real data batch is still honored
+    assert not os.path.exists(store + ".layout")
+    from kafka_spark_streaming_spark.config import BAND_STORE_BUCKETS_KEY
+
+    try:
+        spark.conf.set(BAND_STORE_BUCKETS_KEY, "5")
+        # and a later real batch starts the store normally
+        _incremental_dedup_batch(docs.filter(F.col("doc_id") < 50), store)
+        from kafka_spark_streaming_spark.operators.streaming_queries import (
+            _store_layout,
+        )
+
+        assert _store_layout(spark, store)[0] == 5
+    finally:
+        spark.conf.unset(BAND_STORE_BUCKETS_KEY)
     kept = (
         spark.read.parquet(store)
         .filter((F.col("kind") == "p") & F.col("kept"))
