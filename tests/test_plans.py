@@ -1010,6 +1010,95 @@ def test_upsert_sink_migrates_unpartitioned_state(spark, tmp_path):
     assert sink._head_rb_dirs(sink._versions()[-1])
 
 
+def test_upsert_sink_migrates_hardlink_layout(spark, tmp_path):
+    """A store written by the r16 HARD-LINK layout (rb= dirs, no
+    _MANIFEST.json) must keep working: the head owning all its
+    physical rb= dirs IS its manifest (degenerate case), so the first
+    write over it carries untouched partitions forward as manifest
+    entries and the store is on the manifest layout from then on —
+    no state lost, no rewrite of untouched data."""
+    import json
+    import os
+
+    from kafka_spark_streaming_spark.sinks.upsert import (
+        MANIFEST_NAME,
+        KeyedUpsertSink,
+    )
+
+    sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    cells0 = spark.createDataFrame(
+        [(f"k{i}", "cf1", "q", f"v{i}") for i in range(40)],
+        "rowkey string, cf string, qualifier string, value string",
+    )
+    sink.write_batch(cells0, 0)
+    head0 = sink._versions()[-1]
+    # simulate the r16 layout: physically-complete head, no manifest
+    os.remove(os.path.join(sink.path, head0, MANIFEST_NAME))
+
+    one = spark.createDataFrame(
+        [("k3", "cf1", "q", "v3-new")],
+        "rowkey string, cf string, qualifier string, value string",
+    )
+    sink.write_batch(one, 1)
+    state = {r["rowkey"]: r["value"] for r in sink.current().collect()}
+    assert len(state) == 40 and state["k3"] == "v3-new"
+    assert state["k7"] == "v7"
+    head1 = sink._versions()[-1]
+    with open(os.path.join(sink.path, head1, MANIFEST_NAME)) as fh:
+        man = json.load(fh)
+    owners = set(man.values())
+    assert owners == {head0, head1}, "untouched partitions not carried"
+    # and the new version physically holds ONLY the touched partition
+    assert len(sink._head_rb_dirs(head1)) == 1
+
+
+def test_upsert_manifest_compaction_bounds_read_fanout(spark, tmp_path):
+    """spark.kss.sink.upsertCompactVersions caps how many distinct
+    versions a manifest may reference: a long run of single-key
+    batches would otherwise scatter live partitions over one version
+    per batch (unbounded union fan-out at read).  With the knob at 3,
+    every committed manifest references <= 3 versions, compaction
+    folds everything into one version when the cap would be exceeded,
+    and prune deletes version dirs no kept manifest references."""
+    import json
+    import os
+
+    from kafka_spark_streaming_spark.config import (
+        UPSERT_COMPACT_VERSIONS_KEY,
+    )
+    from kafka_spark_streaming_spark.sinks.upsert import (
+        MANIFEST_NAME,
+        KeyedUpsertSink,
+    )
+
+    try:
+        spark.conf.set(UPSERT_COMPACT_VERSIONS_KEY, "3")
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+        assert sink.compact_versions == 3
+        model = {}
+        for i in range(8):
+            # k{i} spread over rb buckets; one new key per batch
+            df = spark.createDataFrame(
+                [(f"k{i}", "cf1", "q", f"v{i}-b{i}")],
+                "rowkey string, cf string, qualifier string, value string",
+            )
+            sink.write_batch(df, i)
+            model[f"k{i}"] = f"v{i}-b{i}"
+            head = sink._versions()[-1]
+            with open(os.path.join(sink.path, head, MANIFEST_NAME)) as fh:
+                owners = set(json.load(fh).values())
+            assert len(owners) <= 3, f"batch {i}: fan-out {len(owners)}"
+        # every on-disk version is either a kept head or referenced
+        live = set(sink._versions()[-2:])
+        for v in list(live):
+            live.update(sink._manifest(v).values())
+        assert set(sink._versions()) == live
+        got = {r["rowkey"]: r["value"] for r in sink.current().collect()}
+        assert got == model
+    finally:
+        spark.conf.unset(UPSERT_COMPACT_VERSIONS_KEY)
+
+
 def test_upsert_sink_empty_batch_corners(spark, tmp_path):
     """A 0-row batch must not write a schema-less version dir (a 0-row
     partitionBy write emits no files): over an empty store it skips

@@ -245,6 +245,48 @@ def test_upsert_sink_idempotent_replay(spark, tmp_path):
     assert state == {"k1": "v1b", "k2": "v2"}
 
 
+def test_upsert_retry_with_drifted_rowkeys_purges_first_attempt(
+    spark, tmp_path
+):
+    """ADVICE r16 upsert.py:205: a foreachBatch retry of batch N that
+    is NOT bit-deterministic (wall-clock epoch rowkeys drift between
+    attempts) must still purge the first attempt's rows — even when
+    the two attempts' rowkeys land in DIFFERENT rb buckets, so the
+    retry's touched-partition set alone would never reach the ghost.
+    The sink detects the retry (committed head >= batch_id) and full-
+    merges, purging batch_id >= N everywhere."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    # find two rowkeys that hash to different rb buckets
+    probe = spark.createDataFrame(
+        [(f"epoch{i}",) for i in range(32)], "rowkey string"
+    ).select("rowkey", sink._rb(F.col("rowkey")).alias("rb"))
+    by_rb: dict[int, str] = {}
+    for r in probe.collect():
+        by_rb.setdefault(r["rb"], r["rowkey"])
+    (rb_a, key_a), (rb_b, key_b) = sorted(by_rb.items())[:2]
+    assert rb_a != rb_b
+
+    def cells(k):
+        return spark.createDataFrame(
+            [(k, "cf1", "q", f"summary-{k}")],
+            "rowkey string, cf string, qualifier string, value string",
+        )
+
+    # batch 0 seeds unrelated state; batch 1 first attempt stamps
+    # rowkey key_a, the retry stamps key_b (clock drift)
+    sink.write_batch(cells("base"), 0)
+    sink.write_batch(cells(key_a), 1)
+    sink.write_batch(cells(key_b), 1)
+    state = {r["rowkey"]: r["value"] for r in sink.current().collect()}
+    assert key_a not in state, "first attempt's ghost row survived retry"
+    assert state[key_b] == f"summary-{key_b}"
+    assert state["base"] == "summary-base"
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A late batch arriving after its window was emitted and its state
     evicted is dropped. (Eviction happens at batch end once the
