@@ -334,7 +334,19 @@ def s_stateful_user_stats(
     # spot is 16 (A/B at sf0.1, min-of-4: 4→2.75s, 8→2.03s, 16→1.79s,
     # 24→2.27s, 32→2.07s — Arrow-worker parallelism beats per-store
     # commit overhead up to half the cores, then task churn wins).
-    with _scoped_shuffle_partitions(spark, 16):
+    # VERDICT r16 #4 re-decomposition (r17): 16 is still the sweet
+    # spot post-r15/r16 (8→4.71s vs 16→3.60s min-of-3 same session);
+    # the extra lever was AQE — per-batch plans are tiny, and AQE's
+    # stage-by-stage jobs only add scheduling floor (16-part A/B:
+    # on 3.99s / off 3.60s).  Same local-small-batch scoping
+    # rationale as the incremental-dedup drain.
+    with _scoped_sql_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": "16",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
         snapshots = _drain_to_memory(
             user_lifetime_stats(stream), "update"
         )
@@ -374,12 +386,24 @@ def _scoped_shuffle_partitions(spark: SparkSession, n: int):
     materializes before returning — but a caller that wants
     concurrency must scope per-query instead (the stream-level
     spark.sql.shuffle.partitions option on writeStream)."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    with _scoped_sql_confs(spark, {"spark.sql.shuffle.partitions": str(n)}):
+        yield
+
+
+@contextmanager
+def _scoped_sql_confs(spark: SparkSession, confs: dict):
+    """Scope a set of SQL confs to a streaming drain and restore them
+    afterwards (exception-safe).  Same single-threaded-by-assumption
+    caveats as _scoped_shuffle_partitions — this mutates the SHARED
+    session conf, fine for the registry's sequential drains only."""
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in prev.items():
+            spark.conf.set(k, v)
 
 
 # --- stream-stream join: purchases ⋈ prior clicks within 1 h -------------
@@ -671,7 +695,7 @@ from kafka_spark_streaming_spark.config import (  # noqa: E402
 
 
 def _bucketed_band_probe(
-    spark: SparkSession, store_dir: str, pbs: list
+    spark: SparkSession, store_dir: str, pbs: list, schema=None
 ) -> DataFrame:
     """Partition-pruned read of the incremental-dedup store's BAND
     rows: only the `kind=b/pk=` directories named by the incoming
@@ -680,16 +704,23 @@ def _bucketed_band_probe(
     test_band_store_probe_prunes_partitions).  Exact by construction:
     `pk = pmod(bh, band_store_buckets)` is a function of the join key
     `bh`, so a store row outside the probed partitions cannot collide
-    with any incoming band."""
+    with any incoming band.  `schema` (when the caller can derive it,
+    as the batch body can from its in-batch profile) skips parquet
+    footer inference — one fewer 1-task driver job per batch (r17
+    job-floor decomposition: inference was 2 of the 17 per-batch job
+    submissions)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
     return (
-        spark.read.parquet(store_dir)
+        reader.parquet(store_dir)
         .filter((F.col("kind") == "b") & F.col("pk").isin(pbs))
         .select("doc_id", "bh")
     )
 
 
 def _bucketed_profile_probe(
-    spark: SparkSession, store_dir: str, pds: list
+    spark: SparkSession, store_dir: str, pds: list, schema=None
 ) -> DataFrame:
     """Partition-pruned read of the incremental-dedup store's PROFILE
     rows (r16 — this was the last per-batch full-store scan in the
@@ -704,9 +735,13 @@ def _bucketed_profile_probe(
     HBase region store the reference models (HbaseWriter.scala:26-29).
     The drop removes the layout/verdict columns plus the band-only
     `bh` (null on every profile row) — what remains is exactly the
-    in-batch profile shape, so unionByName with `prof` lines up."""
+    in-batch profile shape, so unionByName with `prof` lines up.
+    `schema` skips footer inference like the band probe's."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
     return (
-        spark.read.parquet(store_dir)
+        reader.parquet(store_dir)
         .filter((F.col("kind") == "p") & F.col("pk").isin(pds))
         .drop("kind", "pk", "kept", "bh")
     )
@@ -813,9 +848,26 @@ def _incremental_dedup_batch_body(prof: DataFrame, store_dir: str) -> None:
             f"concurrent attach while this batch computed {(n_pb, n_pd)}; "
             "re-run the batch (it will read the pinned marker)"
         )
+    # the store's on-disk schema is fully determined by this batch's
+    # own profile shape + the band/verdict/layout columns, so the
+    # probes never need parquet footer inference — passing it
+    # explicitly removes one 1-task driver job per probe per batch
+    # (r17 job-floor decomposition: inference was 2 of the 17
+    # per-batch job submissions)
+    from pyspark.sql import types as T
+
+    store_schema = T.StructType(
+        list(prof.schema.fields)
+        + [
+            T.StructField("bh", T.LongType()),
+            T.StructField("kept", T.BooleanType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("pk", T.IntegerType()),
+        ]
+    )
     if store_exists:
         seen_bands = _bucketed_band_probe(
-            sess, store_dir, pbs
+            sess, store_dir, pbs, schema=store_schema
         ).unionByName(incoming.select("doc_id", "bh"))
     else:
         seen_bands = incoming.select("doc_id", "bh")
@@ -868,7 +920,9 @@ def _incremental_dedup_batch_body(prof: DataFrame, store_dir: str) -> None:
                 .collect()
             ]
             universe = (
-                _bucketed_profile_probe(sess, store_dir, pds).unionByName(
+                _bucketed_profile_probe(
+                    sess, store_dir, pds, schema=store_schema
+                ).unionByName(
                     prof
                 )
                 if pds
@@ -977,8 +1031,21 @@ def s_incremental_near_dedup(
     # joins and distincts move ~12.5k-doc batches, where 32-way task
     # scheduling overhead beats the parallelism it buys.  foreachBatch
     # plans read the session conf at each batch, so the scope covers
-    # the drain, not just the stream start.
-    with _scoped_shuffle_partitions(spark, 8):
+    # the drain, not just the stream start.  AQE off for the drain
+    # (r17 job-floor decomposition): at this per-batch scale AQE's
+    # stage-by-stage materialization turned each of the 3 designed
+    # actions into 4-6 job submissions (17/batch total) with nothing
+    # to re-plan — the shuffle width is already pinned above.  At the
+    # 100 TB design point batches are large enough that AQE's skew and
+    # coalescing wins dominate; leave it on there (it's the session
+    # default — this scope is the local small-batch tuning).
+    with _scoped_sql_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
         q = (
             stream.writeStream.foreachBatch(dedup_batch)
             .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
