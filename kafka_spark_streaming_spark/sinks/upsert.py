@@ -91,7 +91,7 @@ class KeyedUpsertSink:
         # The bucket count is a property of the STORE, not the
         # session: reopening an rb-partitioned store under a different
         # count would prune the prior read with the wrong pmod and
-        # hard-link stale rows forward as "untouched" — silent LWW
+        # carry stale rows forward as "untouched" — silent LWW
         # corruption (code-review r16).  So the count is persisted in
         # a _BUCKETS marker at attach and every later attach reads the
         # marker; the conf only seeds brand-new stores.
@@ -171,13 +171,23 @@ class KeyedUpsertSink:
         by_owner: dict[str, list[str]] = {}
         for rb_dir, owner in manifest.items():
             by_owner.setdefault(owner, []).append(rb_dir)
+        # explicit schema (STATE_SCHEMA + the rb partition column):
+        # the cell layout is fixed, so none of the per-owner reads
+        # needs a parquet footer-inference job — at one read per
+        # referenced version per merge, that is compact_versions
+        # 1-task driver jobs per batch saved (same job-floor lever as
+        # the dedup store probes, r17)
+        read_schema = T.StructType(
+            STATE_SCHEMA.fields
+            + [T.StructField("rb", T.IntegerType(), True)]
+        )
         parts = []
         for owner, rb_dirs in sorted(by_owner.items()):
             vdir = os.path.join(self.path, owner)
             parts.append(
-                self.spark.read.option("basePath", vdir).parquet(
-                    *[os.path.join(vdir, d) for d in sorted(rb_dirs)]
-                )
+                self.spark.read.schema(read_schema)
+                .option("basePath", vdir)
+                .parquet(*[os.path.join(vdir, d) for d in sorted(rb_dirs)])
             )
         df = parts[0]
         for p in parts[1:]:

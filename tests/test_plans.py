@@ -929,7 +929,7 @@ def test_upsert_merge_prunes_state_partitions(spark, tmp_path):
     rb = pmod(xxhash64(rowkey), buckets) and a batch's LWW merge must
     read ONLY the rb partitions its rowkeys touch — PartitionFilters
     on the prior-state scan (the per-batch one-shuffle-of-|state| is
-    gone; untouched partitions are hard-linked forward).  Also pins
+    gone; untouched partitions carry forward as manifest entries).  Also pins
     that the carried-forward partitions keep their cells verbatim and
     current() hides the layout column."""
     import os
@@ -981,7 +981,7 @@ def test_upsert_sink_migrates_unpartitioned_state(spark, tmp_path):
     """A store written by the pre-r16 UNPARTITIONED layout must keep
     working: the first write_batch over it detects the missing rb=
     dirs, falls back to one full-state merge (nothing to prune or
-    hard-link), and writes the new partitioned layout — a
+    carry), and writes the new partitioned layout — a
     self-migrating upgrade, no state lost."""
     import os
 

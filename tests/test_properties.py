@@ -662,7 +662,7 @@ def test_upsert_sink_equals_lww_model(spark, batches):
     """Model-based check of the r16 rb-partitioned KeyedUpsertSink: a
     random sequence of batches (small key/value alphabets force both
     within-batch collisions and cross-batch overwrites, exercising
-    pruned merges AND hard-linked carry-forward partitions), plus a
+    pruned merges AND manifest-carried untouched partitions), plus a
     replay of the final batch, must leave current() equal to the
     obvious driver-side LWW dict — latest batch wins per cell,
     max(value) breaks within-batch ties."""
