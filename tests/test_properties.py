@@ -657,21 +657,29 @@ def test_scoped_shuffle_partitions_restores_conf_on_error(spark):
         min_size=1,
         max_size=4,
     ),
+    compact=st.integers(min_value=1, max_value=4),
 )
-def test_upsert_sink_equals_lww_model(spark, batches):
+def test_upsert_sink_equals_lww_model(spark, batches, compact):
     """Model-based check of the r16 rb-partitioned KeyedUpsertSink: a
     random sequence of batches (small key/value alphabets force both
     within-batch collisions and cross-batch overwrites, exercising
     pruned merges AND manifest-carried untouched partitions), plus a
     replay of the final batch, must leave current() equal to the
     obvious driver-side LWW dict — latest batch wins per cell,
-    max(value) breaks within-batch ties."""
+    max(value) breaks within-batch ties.  The drawn compaction
+    threshold (r17) makes some examples fold every live partition into
+    one version mid-sequence and others scatter partitions across the
+    manifest — both must be invisible to current()."""
     import shutil
     import tempfile
 
+    from kafka_spark_streaming_spark.config import (
+        UPSERT_COMPACT_VERSIONS_KEY,
+    )
     from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
 
     d = tempfile.mkdtemp(prefix="kss_upsert_prop_")
+    spark.conf.set(UPSERT_COMPACT_VERSIONS_KEY, str(compact))
     try:
         sink = KeyedUpsertSink(spark, d)
         model: dict[str, str] = {}
@@ -706,4 +714,5 @@ def test_upsert_sink_equals_lww_model(spark, batches):
         }
         assert got == model
     finally:
+        spark.conf.unset(UPSERT_COMPACT_VERSIONS_KEY)
         shutil.rmtree(d, ignore_errors=True)
