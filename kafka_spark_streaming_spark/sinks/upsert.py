@@ -163,7 +163,17 @@ class KeyedUpsertSink:
             )
         head = versions[-1]
         manifest = self._manifest(head)
-        if not manifest:  # flat pre-r16 unpartitioned store
+        if not manifest:
+            if os.path.exists(
+                os.path.join(self.path, head, MANIFEST_NAME)
+            ):
+                # a committed EMPTY manifest is a real (empty) state —
+                # the purge-everything outcome of an empty retry over a
+                # first-ever batch — not the flat legacy layout
+                return self.spark.createDataFrame(
+                    [], STATE_SCHEMA
+                ).withColumn("rb", F.lit(None).cast("int"))
+            # flat pre-r16 unpartitioned store
             df = self.spark.read.parquet(os.path.join(self.path, head))
             if "rb" not in df.columns:
                 df = df.withColumn("rb", self._rb(F.col("rowkey")))
@@ -263,18 +273,33 @@ class KeyedUpsertSink:
                     # flat head stays readable as-is and migrates on
                     # the first non-empty batch (code-review r16).
                     return
-                # empty batch over a manifest head: a pure-metadata
-                # version — every live partition carries forward in
-                # the manifest verbatim, no Spark job at all
-                if os.path.exists(tmp):
-                    shutil.rmtree(tmp)
-                os.makedirs(tmp)
-                self._write_manifest(tmp, manifest)
-                if os.path.exists(out):
-                    shutil.rmtree(out)
-                os.rename(tmp, out)
-                self._prune(keep=2)
-                return
+                if int(head[2:]) >= batch_id:
+                    # EMPTY retry of a committed batch whose first
+                    # attempt may have had rows (content drift — the
+                    # same replay-determinism gap as the rowkey-drift
+                    # case below, r17): carrying the manifest forward
+                    # verbatim would keep the first attempt's rows
+                    # forever.  Full purge-merge instead: every live
+                    # partition re-merges under the batch_id < N
+                    # filter against the empty batch.  If that purges
+                    # the whole store the version commits an EMPTY
+                    # manifest, which current() reads as empty state
+                    # (distinct from the flat-legacy no-manifest-file
+                    # case).
+                    rbs = sorted(int(d[3:]) for d in manifest)
+                else:
+                    # empty batch over a manifest head: a pure-metadata
+                    # version — every live partition carries forward in
+                    # the manifest verbatim, no Spark job at all
+                    if os.path.exists(tmp):
+                        shutil.rmtree(tmp)
+                    os.makedirs(tmp)
+                    self._write_manifest(tmp, manifest)
+                    if os.path.exists(out):
+                        shutil.rmtree(out)
+                    os.rename(tmp, out)
+                    self._prune(keep=2)
+                    return
             if flat_head:
                 # pre-r16 unpartitioned head: one full merge migrates
                 # the layout (no partition dirs to prune or carry)

@@ -287,6 +287,45 @@ def test_upsert_retry_with_drifted_rowkeys_purges_first_attempt(
     assert state["base"] == "summary-base"
 
 
+def test_upsert_empty_retry_purges_first_attempt(spark, tmp_path):
+    """Content-drift companion to the rowkey-drift retry test (r17):
+    a replay of a committed batch that is EMPTY on retry must purge
+    the first attempt's rows rather than carry the manifest forward
+    verbatim — converging to the retry's (empty) content.  Also pins
+    the degenerate store-wide case: an empty retry of the only batch
+    ever written commits an empty manifest that reads as empty state,
+    not as the flat legacy layout."""
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    def cells(k):
+        return spark.createDataFrame(
+            [(k, "cf1", "q", f"v-{k}")],
+            "rowkey string, cf string, qualifier string, value string",
+        )
+
+    empty = spark.createDataFrame(
+        [], "rowkey string, cf string, qualifier string, value string"
+    )
+
+    sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    sink.write_batch(cells("base"), 0)
+    sink.write_batch(cells("ghost"), 1)
+    sink.write_batch(empty, 1)  # retry of batch 1 drifted to empty
+    state = {r["rowkey"]: r["value"] for r in sink.current().collect()}
+    assert state == {"base": "v-base"}, state
+
+    # degenerate: the whole store was the replayed batch
+    sink2 = KeyedUpsertSink(spark, str(tmp_path / "cells2"))
+    sink2.write_batch(cells("only"), 0)
+    sink2.write_batch(empty, 0)
+    assert sink2.current().count() == 0
+    # and the store keeps working after the purge-to-empty
+    sink2.write_batch(cells("next"), 1)
+    assert {
+        r["rowkey"] for r in sink2.current().collect()
+    } == {"next"}
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A late batch arriving after its window was emitted and its state
     evicted is dropped. (Eviction happens at batch end once the
