@@ -238,7 +238,10 @@ def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value_4dec"),
         )
     )
-    return _drain_to_memory(agg, "complete")
+    # 7 cohorts need nowhere near 32 state stores (r17 interleaved
+    # A/B at sf0.1, min-of-3: 32 → 1.44 s, 8 → 1.09 s)
+    with _scoped_shuffle_partitions(spark, 8):
+        return _drain_to_memory(agg, "complete")
 
 
 # --- streaming dedup with watermark-bounded state ------------------------
@@ -573,13 +576,18 @@ def s_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", _scratch_dir("kss_rck_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 8 shuffle partitions for the drain (r17 interleaved A/B at
+    # sf0.1, min-of-3: 32 → 3.83 s, 8 → 2.42 s, 4 → 2.45 s; AQE
+    # on/off a wash at 8): each batch's partial aggregate moves ~30
+    # day-groups, where 32-way task scheduling is pure overhead.
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", _scratch_dir("kss_rck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     partials = spark.read.parquet(out).dropDuplicates(["d", "batch_id"])
     return (
         partials.groupBy("d")
