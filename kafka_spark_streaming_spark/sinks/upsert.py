@@ -144,10 +144,18 @@ class KeyedUpsertSink:
         return {d: version for d in self._head_rb_dirs(version)}
 
     def _write_manifest(self, vdir: str, manifest: dict[str, str]) -> None:
+        """Written into the STILL-UNCOMMITTED tmp dir (the version
+        commit is the dir rename), fsync'd so a post-rename crash
+        cannot leave a truncated file (same durability policy as
+        config.commit_layout).  A torn manifest would fail LOUD
+        anyway — a truncated json.dump prefix is invalid JSON and
+        json.load raises — never silently-wrong ownership."""
         import json
 
         with open(os.path.join(vdir, MANIFEST_NAME), "w") as fh:
             json.dump(manifest, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
 
     def _current_raw(self) -> DataFrame:
         """Current state INCLUDING the rb layout column: one
