@@ -305,8 +305,21 @@ def s_pipeline_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipe = StreamerPipeline(spark, cfg)
     msgs = file_stream_messages(spark, _events_path(sf_dir))
-    q = pipe.start(msgs, checkpoint=os.path.join(work, "ckpt"))
-    q.awaitTermination()
+    # drain tuning (r17 interleaved A/B at sf0.1, min-of-3, with the
+    # folded per-batch count job): 32-part+AQE 2.13 s, 8-part+AQE
+    # 1.97 s, 8-part no-AQE 1.74 s — the sink merge moves a few
+    # thousand cells, where 32-way shuffles and AQE's per-stage jobs
+    # are pure floor.  Same local-small-batch scoping rationale as
+    # the incremental-dedup drain.
+    with _scoped_sql_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        q = pipe.start(msgs, checkpoint=os.path.join(work, "ckpt"))
+        q.awaitTermination()
     return pipe.sink.current().select("rowkey", "cf", "qualifier", "value")
 
 

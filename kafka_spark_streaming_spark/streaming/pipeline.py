@@ -70,8 +70,17 @@ class StreamerPipeline:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
-            n = batch_df.count()  # T4, Streamer.scala:130
-            n_distinct = batch_df.dropDuplicates(["key", "value"]).count()  # T2/T3
+            # T4 count + T2/T3 distinct count in ONE aggregate job
+            # (r17 job-floor decomposition: these were two separate
+            # driver jobs per batch).  count_distinct over a STRUCT is
+            # null-safe exactly like dropDuplicates(["key","value"])
+            # was: the struct itself is never null, and struct
+            # comparison treats null fields as equal.
+            counts = batch_df.select(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.struct("key", "value")).alias("nd"),
+            ).collect()[0]
+            n, n_distinct = counts["n"], counts["nd"]
             epoch = int(self.cfg.clock())
             date_str = time.strftime("%Y/%m/%d %H:%M", time.gmtime(epoch))  # T6
             summary = (
