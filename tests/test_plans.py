@@ -1099,6 +1099,59 @@ def test_upsert_manifest_compaction_bounds_read_fanout(spark, tmp_path):
         spark.conf.unset(UPSERT_COMPACT_VERSIONS_KEY)
 
 
+def test_upsert_manifest_read_fanout_is_a_plan_property(spark, tmp_path):
+    """The compaction bound must show up in the READ PLAN, not just in
+    the on-disk manifests: current() unions one pruned parquet scan
+    per referenced version, so after a long scattered-write run the
+    plan must contain <= upsertCompactVersions scan nodes — and each
+    scan must still prune on rb when the merge filters (the
+    single-owner pruning pin alone wouldn't catch a refactor that
+    collapses the per-owner basePath reads into one unpruned listing
+    of every version dir)."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.config import (
+        UPSERT_COMPACT_VERSIONS_KEY,
+    )
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    try:
+        spark.conf.set(UPSERT_COMPACT_VERSIONS_KEY, "3")
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+        for i in range(8):
+            sink.write_batch(
+                spark.createDataFrame(
+                    [(f"k{i}", "cf1", "q", f"v{i}")],
+                    "rowkey string, cf string, qualifier string,"
+                    " value string",
+                ),
+                i,
+            )
+        plan = (
+            sink._current_raw()
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+        )
+        import re
+
+        # formatted mode prints each scan twice (tree + detail block);
+        # count the numbered detail headers only
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert 1 <= n_scans <= 3, f"read fan-out {n_scans} scans:\n{plan}"
+        # and the pruned merge read keeps PartitionFilters per scan
+        rb = sink._rb(F.lit("k3"))
+        probe = sink._current_raw().filter(F.col("rb") == rb)
+        pf, pplan = _partition_filter_lines(spark, probe)
+        assert pf and all("rb" in ln for ln in pf), (
+            f"rb filter not pushed to every owner scan:\n{pplan}"
+        )
+    finally:
+        spark.conf.unset(UPSERT_COMPACT_VERSIONS_KEY)
+
+
 def test_upsert_sink_empty_batch_corners(spark, tmp_path):
     """A 0-row batch must not write a schema-less version dir (a 0-row
     partitionBy write emits no files): over an empty store it skips
