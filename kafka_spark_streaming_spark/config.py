@@ -72,6 +72,20 @@ UPSERT_STATE_BUCKETS_DEFAULT = 8
 UPSERT_COMPACT_VERSIONS_KEY = "spark.kss.sink.upsertCompactVersions"
 UPSERT_COMPACT_VERSIONS_DEFAULT = 8
 
+# -- streaming drains: AQE policy for small-batch drains ---------------------
+# The r17 job-floor decomposition showed AQE's stage-by-stage
+# materialization multiplying tiny per-batch plans into 4-6 job
+# submissions each (17/batch on the incremental-dedup drain) with
+# nothing to re-plan — so the drains that measured a win scope
+# adaptive.enabled off alongside their shuffle width.  That is a
+# LOCAL small-batch tuning: at the 100 TB design point per-batch
+# volumes are large enough that AQE's skew/coalesce wins dominate,
+# so this knob lets a deployment re-enable AQE inside those scoped
+# drains without an engine edit ("true"/"false"; default "false" =
+# the measured local optimum).
+DRAIN_ADAPTIVE_KEY = "spark.kss.drain.adaptiveEnabled"
+DRAIN_ADAPTIVE_DEFAULT = "false"
+
 
 def _int_conf(spark: SparkSession, key: str, default: int) -> int:
     raw = spark.conf.get(key, None)

@@ -311,13 +311,7 @@ def s_pipeline_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thousand cells, where 32-way shuffles and AQE's per-stage jobs
     # are pure floor.  Same local-small-batch scoping rationale as
     # the incremental-dedup drain.
-    with _scoped_sql_confs(
-        spark,
-        {
-            "spark.sql.shuffle.partitions": "8",
-            "spark.sql.adaptive.enabled": "false",
-        },
-    ):
+    with _scoped_sql_confs(spark, _small_batch_drain_confs(spark, 8)):
         q = pipe.start(msgs, checkpoint=os.path.join(work, "ckpt"))
         q.awaitTermination()
     return pipe.sink.current().select("rowkey", "cf", "qualifier", "value")
@@ -356,13 +350,7 @@ def s_stateful_user_stats(
     # stage-by-stage jobs only add scheduling floor (16-part A/B:
     # on 3.99s / off 3.60s).  Same local-small-batch scoping
     # rationale as the incremental-dedup drain.
-    with _scoped_sql_confs(
-        spark,
-        {
-            "spark.sql.shuffle.partitions": "16",
-            "spark.sql.adaptive.enabled": "false",
-        },
-    ):
+    with _scoped_sql_confs(spark, _small_batch_drain_confs(spark, 16)):
         snapshots = _drain_to_memory(
             user_lifetime_stats(stream), "update"
         )
@@ -404,6 +392,25 @@ def _scoped_shuffle_partitions(spark: SparkSession, n: int):
     spark.sql.shuffle.partitions option on writeStream)."""
     with _scoped_sql_confs(spark, {"spark.sql.shuffle.partitions": str(n)}):
         yield
+
+
+def _small_batch_drain_confs(spark: SparkSession, parts: int) -> dict:
+    """Conf set for a drain whose per-batch plans are tiny: a pinned
+    shuffle width plus the engine's drain AQE policy (config.py
+    DRAIN_ADAPTIVE_KEY — default off, the measured local optimum; a
+    deployment whose per-batch volumes benefit from AQE flips the
+    knob, no engine edit)."""
+    from kafka_spark_streaming_spark.config import (
+        DRAIN_ADAPTIVE_DEFAULT,
+        DRAIN_ADAPTIVE_KEY,
+    )
+
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            DRAIN_ADAPTIVE_KEY, DRAIN_ADAPTIVE_DEFAULT
+        ),
+    }
 
 
 @contextmanager
@@ -1060,13 +1067,7 @@ def s_incremental_near_dedup(
     # 100 TB design point batches are large enough that AQE's skew and
     # coalescing wins dominate; leave it on there (it's the session
     # default — this scope is the local small-batch tuning).
-    with _scoped_sql_confs(
-        spark,
-        {
-            "spark.sql.shuffle.partitions": "8",
-            "spark.sql.adaptive.enabled": "false",
-        },
-    ):
+    with _scoped_sql_confs(spark, _small_batch_drain_confs(spark, 8)):
         q = (
             stream.writeStream.foreachBatch(dedup_batch)
             .option("checkpointLocation", os.path.join(run_dir, "ckpt"))

@@ -48,6 +48,12 @@ Design for scale:
   oracle agree.
 - On a real deployment this maps 1:1 onto a Delta/Iceberg MERGE; the
   versioned-parquet variant keeps the harness dependency-free.
+- SINGLE WRITER per store path, by contract: the writer is a
+  foreachBatch body, and Structured Streaming guarantees one live
+  query per checkpoint — concurrent write_batch calls from two
+  queries sharing a path could interleave rename/prune.  Readers are
+  unrestricted (every committed version is immutable; the manifest
+  read snapshots one head).
 """
 
 from __future__ import annotations

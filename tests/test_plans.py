@@ -1254,6 +1254,29 @@ def test_store_bucket_configs_steer_layout(spark, tmp_path, sf_smoke):
             spark.conf.unset(k)
 
 
+def test_drain_adaptive_knob_steers_scoped_confs(spark):
+    """spark.kss.drain.adaptiveEnabled must steer the AQE setting the
+    small-batch drain scopes apply (r17): default off (the measured
+    local optimum), flippable per session for deployments whose
+    per-batch volumes benefit from AQE — no engine edit."""
+    from kafka_spark_streaming_spark.config import DRAIN_ADAPTIVE_KEY
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _small_batch_drain_confs,
+    )
+
+    confs = _small_batch_drain_confs(spark, 8)
+    assert confs["spark.sql.adaptive.enabled"] == "false"
+    assert confs["spark.sql.shuffle.partitions"] == "8"
+    try:
+        spark.conf.set(DRAIN_ADAPTIVE_KEY, "true")
+        assert (
+            _small_batch_drain_confs(spark, 16)["spark.sql.adaptive.enabled"]
+            == "true"
+        )
+    finally:
+        spark.conf.unset(DRAIN_ADAPTIVE_KEY)
+
+
 def test_layout_marker_atomic_and_validated(tmp_path):
     """ADVICE r16 config.py:105: the layout marker must be written
     atomically (tmp + os.replace) and VALIDATED on read — a truncated
