@@ -100,6 +100,31 @@ def test_pipeline_two_batches_and_lww(spark, two_file_stream_dir, tmp_path):
     assert n_bulk == exp
 
 
+def test_pipeline_distinct_count_fold_is_null_safe(spark):
+    """r17 folded the pipeline's T2/T3 distinct count into the T4
+    count job as count_distinct(struct(key, value)).  The fold is only
+    correct if it keeps dropDuplicates' null semantics: rows with null
+    key and/or value still form distinct groups (COUNT(DISTINCT key,
+    value) would SKIP them — the struct wrapper is what makes the
+    aggregate null-safe).  Pin the equivalence on a frame exercising
+    every null shape."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a", "1"), ("a", "1"),
+            (None, "1"), (None, "1"),
+            (None, None),
+            ("b", None), ("b", None),
+        ],
+        "key string, value string",
+    )
+    folded = df.select(
+        F.count_distinct(F.struct("key", "value")).alias("nd")
+    ).collect()[0]["nd"]
+    assert folded == df.dropDuplicates(["key", "value"]).count() == 4
+
+
 def test_foreach_writer_per_record(spark, sf_smoke, tmp_path):
     out_dir = str(tmp_path / "records")
     msgs = file_stream_messages(
