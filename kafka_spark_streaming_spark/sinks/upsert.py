@@ -51,9 +51,12 @@ Design for scale:
 - SINGLE WRITER per store path, by contract: the writer is a
   foreachBatch body, and Structured Streaming guarantees one live
   query per checkpoint — concurrent write_batch calls from two
-  queries sharing a path could interleave rename/prune.  Readers are
-  unrestricted (every committed version is immutable; the manifest
-  read snapshots one head).
+  queries sharing a path could interleave rename/prune.  Readers see
+  a consistent snapshot (the manifest read pins one immutable head),
+  but a LAZY current() DataFrame held across later write_batch calls
+  may reference version dirs prune has since deleted — execute it
+  within the keep window, or before the writer advances (same
+  time-travel caveat as any vacuumed table format).
 """
 
 from __future__ import annotations
