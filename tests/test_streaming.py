@@ -351,6 +351,83 @@ def test_upsert_empty_retry_purges_first_attempt(spark, tmp_path):
     } == {"next"}
 
 
+def test_dedup_store_compaction_preserves_semantics(spark, sf_smoke, tmp_path):
+    """compact_dedup_store folds every (kind, pk) leaf to one file and
+    must be invisible to every consumer: (a) the kept set is unchanged,
+    (b) a crash-window state — an already-deleted original file
+    reappearing next to its compacted copy — changes nothing (the
+    duplicate-tolerance invariant compaction's crash-safety leans on),
+    (c) a store that keeps streaming AFTER compaction converges to the
+    same kept set as an identical store that never compacted."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        _data_files,
+        _leaf_dirs,
+        compact_dedup_store,
+    )
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _incremental_dedup_batch,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    docs = table(spark, sf_smoke, "documents")
+    store = str(tmp_path / "store")
+    control = str(tmp_path / "control")
+    for b in range(4):
+        batch = docs.filter(F.col("doc_id") % 5 == b)
+        _incremental_dedup_batch(batch, store)
+        _incremental_dedup_batch(batch, control)
+
+    def kept(d):
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(d)
+            .filter((F.col("kind") == "p") & F.col("kept"))
+            .dropDuplicates(["doc_id"])
+            .collect()
+        )
+
+    expect = kept(store)
+    saved = None  # an original file, preserved to replay the crash window
+    for leaf in _leaf_dirs(store):
+        files = _data_files(leaf)
+        if len(files) >= 2:
+            saved = (files[0], open(files[0], "rb").read())
+            break
+    assert saved, "4 batches should leave multi-file leaves"
+
+    stats = compact_dedup_store(spark, store)
+    assert stats["rewrote"] and stats["files_after"] < stats["files_before"]
+    assert all(len(_data_files(leaf)) == 1 for leaf in _leaf_dirs(store))
+    assert kept(store) == expect
+
+    # (b) crash window: a deleted original resurfaces beside its
+    # compacted copy — reads must collapse the duplicate rows
+    with open(saved[0], "wb") as fh:
+        fh.write(saved[1])
+    assert kept(store) == expect
+    # and a rerun cleans it back up
+    rerun = compact_dedup_store(spark, store, min_files=1)
+    assert rerun["rewrote"] and kept(store) == expect
+
+    # (c) the compacted store keeps streaming identically to the
+    # never-compacted control
+    last = docs.filter(F.col("doc_id") % 5 == 4)
+    _incremental_dedup_batch(last, store)
+    _incremental_dedup_batch(last, control)
+    assert kept(store) == kept(control)
+    # layout marker untouched by maintenance
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _store_layout,
+    )
+
+    assert _store_layout(spark, store) == _store_layout(spark, control)
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A late batch arriving after its window was emitted and its state
     evicted is dropped. (Eviction happens at batch end once the
