@@ -1,0 +1,45 @@
+"""CLI for the incremental-dedup store maintenance pass.
+
+Usage:
+    python tools/compact_dedup_store.py /path/to/store [more stores...]
+
+Folds every (kind, pk) leaf of each store back to one file (see
+kafka_spark_streaming_spark/operators/store_maintenance.py for the
+crash-safety argument).  Run it between drains — the store has a
+single-writer contract, so never while a stream is appending.
+Prints one JSON line per store.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(paths: list[str]) -> int:
+    if not paths:
+        print(__doc__.strip())
+        return 2
+    from kafka_spark_streaming_spark import get_spark
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        compact_dedup_store,
+    )
+
+    spark = get_spark()
+    rc = 0
+    for p in paths:
+        if not os.path.isdir(p):
+            print(json.dumps({"store": p, "error": "not a directory"}))
+            rc = 1
+            continue
+        stats = compact_dedup_store(spark, p)
+        print(json.dumps({"store": p, **stats}))
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
