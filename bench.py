@@ -96,6 +96,15 @@ NOTES = {
         "(shared-host VM shows 1.5-2x whole-run noise between passes, "
         "measured across identical back-to-back runs in r7)"
     ),
+    "r17_scalar_map_funcs_rescope": (
+        "scalar_map_funcs was rescoped in r17 to the l_orderkey % 97 "
+        "== 0 slice of lineitem (Spark query and DuckDB oracle changed "
+        "identically — parity holds); numbers from r17 onward are NOT "
+        "comparable to pre-r17 rounds for this slot (ADVICE r17). The "
+        "canonical comparison points — SWEEP_BASELINE.json and the "
+        "latest BENCH_r*.json the gate reads — were both refreshed on "
+        "the rescoped shape in r17"
+    ),
     "r12_headline_change": (
         "sim_ann_ivf added to HEADLINE (VERDICT r11 #6) — the TOTAL "
         "grows by its ~1 s warm probe vs BENCH_r11 by construction; "

@@ -41,6 +41,7 @@ stores.
 from __future__ import annotations
 
 import os
+import tempfile
 from typing import Callable
 
 from pyspark.sql import SparkSession
@@ -71,6 +72,22 @@ UPSERT_STATE_BUCKETS_DEFAULT = 8
 # never persisted, because any value yields a correct store.
 UPSERT_COMPACT_VERSIONS_KEY = "spark.kss.sink.upsertCompactVersions"
 UPSERT_COMPACT_VERSIONS_DEFAULT = 8
+
+# -- incremental near-dedup: drain-integrated store compaction ---------------
+# The dedup store appends one file per (batch, touched leaf) by
+# design; compact_dedup_store (operators/store_maintenance.py) folds
+# leaves back to one file but existed only as a manual CLI, so a
+# long-running stream still grew O(batches × buckets) files between
+# operator interventions (VERDICT r17 #2).  With this knob > 0, the
+# incremental-near-dedup drain invokes the compaction pass every N
+# micro-batches from inside its own foreachBatch body — a store-idle
+# point (the batch's append has committed; the next batch cannot
+# start until the callback returns) and the same writer context, so
+# the single-writer contract holds by construction.  Default 0 = off
+# (manual maintenance, the pre-r18 behavior); a POLICY knob, read
+# per drain, never persisted — any cadence yields a correct store.
+DEDUP_COMPACT_EVERY_KEY = "spark.kss.dedup.compactEveryNBatches"
+DEDUP_COMPACT_EVERY_DEFAULT = 0
 
 # -- streaming drains: AQE policy for small-batch drains ---------------------
 # The r17 job-floor decomposition showed AQE's stage-by-stage
@@ -121,6 +138,19 @@ def upsert_compact_versions(spark: SparkSession) -> int:
     )
 
 
+def dedup_compact_every(spark: SparkSession) -> int:
+    """Compaction cadence for the incremental-dedup drain; 0 = off
+    (unlike the bucket knobs, 0 is a valid — and the default —
+    setting, so this one bypasses _int_conf's >= 1 floor)."""
+    raw = spark.conf.get(DEDUP_COMPACT_EVERY_KEY, None)
+    if raw is None:
+        return DEDUP_COMPACT_EVERY_DEFAULT
+    n = int(raw)
+    if n < 0:
+        raise ValueError(f"{DEDUP_COMPACT_EVERY_KEY} must be >= 0, got {n}")
+    return n
+
+
 def read_layout(marker_path: str, arity: int) -> tuple[int, ...] | None:
     """Read a store's persisted layout ints from ``marker_path``,
     or None if no marker exists yet.  VALIDATED (ADVICE r16
@@ -151,23 +181,52 @@ def read_layout(marker_path: str, arity: int) -> tuple[int, ...] | None:
 def commit_layout(
     marker_path: str, vals: tuple[int, ...]
 ) -> tuple[int, ...]:
-    """Persist a store's layout ints ATOMICALLY (ADVICE r16): write a
-    sibling temp file, fsync, then os.replace() into place so a crash
-    mid-write can never leave a truncated marker that parses to a
-    wrong bucket count.  First-writer-wins under a concurrent-attach
-    race: if a marker appeared since we read None, the replace would
-    silently overwrite it, so re-read and keep the existing one —
-    both attaches then agree on whichever layout landed first."""
+    """Persist a store's layout ints ATOMICALLY with TRUE
+    first-writer-wins (ADVICE r17 config.py:164 — the old protocol
+    shared one tmp name between racers and returned its own vals
+    without re-reading, so interleaved open/truncate/replace could
+    commit a torn or last writer's marker while each racer proceeded
+    with its own layout).  Protocol now:
+
+    1. write a UNIQUE temp file (tempfile.mkstemp in the marker's
+       directory) + fsync — racers can no longer scribble over each
+       other's in-flight bytes, and a crash mid-write never leaves a
+       truncated marker;
+    2. publish via ``os.link(tmp, marker)`` — atomic create-if-absent,
+       so exactly ONE racer's complete content becomes the marker and
+       every loser gets FileExistsError (POSIX local FS, where these
+       markers live in this harness; a real deployment's layout
+       record is a catalog entry / conditional PUT with the same
+       create-if-absent semantics);
+    3. ALWAYS re-read the marker and return what actually landed, so
+       every racer proceeds with the winning layout and the batch
+       body's pinned-vs-computed guard (streaming_queries.py) can
+       fire exactly when this attach lost."""
     existing = read_layout(marker_path, len(vals))
     if existing is not None:
         return existing
-    tmp = marker_path + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(" ".join(str(v) for v in vals))
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, marker_path)
-    return vals
+    d = os.path.dirname(marker_path) or "."
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(marker_path) + ".", dir=d
+    )
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(" ".join(str(v) for v in vals))
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, marker_path)
+        except FileExistsError:
+            pass  # a racer published first; the re-read below wins
+    finally:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+    committed = read_layout(marker_path, len(vals))
+    if committed is None:  # pragma: no cover — link+read cannot both vanish
+        raise RuntimeError(f"layout marker {marker_path!r} vanished mid-commit")
+    return committed
 
 
 def persisted_layout(

@@ -1,0 +1,185 @@
+"""Writer fencing for the engine's on-disk incremental stores.
+
+Both versioned stores (the keyed-upsert sink's version dirs and the
+incremental-dedup append store) are SINGLE-writer: the writer is a
+foreachBatch body and Structured Streaming guarantees one live query
+per checkpoint.  That contract held by documentation only (VERDICT
+r17 #1) — the reference got real enforcement for free from HBase
+region leases (a zombie region server's RPCs bounce off the new
+lease holder).  This module is the parquet-store analogue: an EPOCH
+TOKEN file next to (or inside) the store.
+
+Mechanics
+---------
+- ``WriterFence.acquire(marker)`` bumps the epoch in the token file
+  (unique-tmp write + fsync + ``os.replace``, then a read-back that
+  raises if a concurrent acquire landed on top — last acquire wins).
+- ``fence.check()`` re-reads the token before every commit-point
+  mutation (version rename, state prune, store append, compaction
+  delete phase) and raises :class:`StaleWriterError` if any newer
+  writer has acquired since.  A zombie driver that lost a failover
+  therefore fails LOUDLY at its next commit instead of interleaving
+  renames/appends with the new driver's.
+- ``fence.idle()`` marks the token inactive (epoch preserved) so
+  out-of-band maintenance (``compact_dedup_store``) can distinguish
+  "a drain is live" from "a writer once existed"; ``live_writer``
+  is that guard's probe, treating an active token whose pid is dead
+  as stale (single-host liveness heuristic — see caveat).
+
+Guarantee and caveat (same class as any advisory fencing without
+compare-and-swap): once a new writer's acquire is durable, every
+LATER ``check()`` by an older writer raises — the zombie cannot
+start a new commit.  A check that passed immediately before the
+usurper's acquire can still finish its in-flight rename (the window
+is one syscall); both stores tolerate that specific interleaving —
+the upsert sink's retry path purges by ``batch_id`` and the dedup
+store's reads are duplicate-tolerant.  On a real deployment the
+token maps onto a primitive with a true CAS (object-store
+conditional PUT / a catalog lock), and the pid-liveness probe onto
+a lease TTL; the call sites here are the part that carries over.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+
+class StaleWriterError(RuntimeError):
+    """A newer writer has acquired this store's fence token; the
+    holder must stop committing (its state view is no longer the
+    head's)."""
+
+
+def _read_token(marker_path: str) -> dict | None:
+    """Token dict or None when no writer ever acquired.  A torn token
+    cannot happen under the unique-tmp+replace protocol; any unparsable
+    content is outside interference and fails the attach loudly."""
+    try:
+        with open(marker_path) as fh:
+            raw = fh.read()
+    except FileNotFoundError:
+        return None
+    try:
+        tok = json.loads(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"corrupt writer token {marker_path!r}: {raw!r} — remove it "
+            "only after confirming no writer is live"
+        ) from exc
+    if not isinstance(tok, dict) or not isinstance(tok.get("epoch"), int):
+        raise ValueError(
+            f"corrupt writer token {marker_path!r}: {raw!r} — remove it "
+            "only after confirming no writer is live"
+        )
+    return tok
+
+
+def _write_token(marker_path: str, token: dict) -> None:
+    """Unique-tmp + fsync + os.replace: concurrent writers each use
+    their OWN tmp (the shared-tmp-name torn-interleave of ADVICE r17
+    config.py cannot occur) and a crash mid-write never leaves a
+    truncated token at the marker path."""
+    d = os.path.dirname(marker_path) or "."
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(marker_path) + ".", dir=d
+    )
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(token, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, marker_path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+        raise
+
+
+class WriterFence:
+    """One writer's hold on a store — see module docstring."""
+
+    def __init__(self, marker_path: str, token: dict):
+        self.marker_path = marker_path
+        self.token = token
+
+    @property
+    def epoch(self) -> int:
+        return self.token["epoch"]
+
+    @classmethod
+    def acquire(cls, marker_path: str, purpose: str = "writer") -> "WriterFence":
+        """Become the store's newest writer (bump the epoch).  Raises
+        StaleWriterError if a concurrent acquire raced ours out before
+        the read-back — the caller simply lost the election and must
+        not write."""
+        cur = _read_token(marker_path)
+        token = {
+            "epoch": (cur["epoch"] if cur else 0) + 1,
+            "pid": os.getpid(),
+            # nonce disambiguates two acquirers that computed the same
+            # epoch from the same prior read — the read-back equality
+            # then picks exactly one winner
+            "nonce": os.urandom(8).hex(),
+            "purpose": purpose,
+            "active": True,
+        }
+        _write_token(marker_path, token)
+        back = _read_token(marker_path)
+        if back != token:
+            raise StaleWriterError(
+                f"lost writer election for {marker_path!r}: a concurrent "
+                f"acquire ({back and back.get('purpose')!r}) superseded "
+                "this one before it could commit anything"
+            )
+        return cls(marker_path, token)
+
+    def check(self) -> None:
+        """Raise StaleWriterError unless this fence is still the
+        store's newest writer.  Call immediately before every
+        commit-point mutation."""
+        back = _read_token(self.marker_path)
+        # an idle() rewrite by this same holder differs only in the
+        # active flag; any OTHER difference means a newer acquire
+        if back is None or any(
+            back.get(k) != self.token[k] for k in ("epoch", "pid", "nonce")
+        ):
+            raise StaleWriterError(
+                f"writer fence for {self.marker_path!r} is stale (held "
+                f"epoch {self.epoch}, on-disk "
+                f"{back and back.get('epoch')}): a newer writer attached; "
+                "this writer must stop — its next restart will re-attach "
+                "behind the new head"
+            )
+
+    def idle(self) -> None:
+        """Mark the token inactive (drain finished; epoch kept) so
+        maintenance's live-writer guard stops refusing.  Checks first:
+        a stale holder must not overwrite the new writer's token."""
+        self.check()
+        self.token = {**self.token, "active": False}
+        _write_token(self.marker_path, self.token)
+
+
+def live_writer(marker_path: str) -> dict | None:
+    """The store's writer token if it plausibly belongs to a LIVE
+    writer: active flag set and its pid alive.  Single-host heuristic
+    (pid liveness says nothing across machines — a multi-host
+    deployment replaces this probe with a lease TTL on the token);
+    used by ``compact_dedup_store`` to refuse running beside a live
+    drain rather than silently fencing it out."""
+    tok = _read_token(marker_path)
+    if not tok or not tok.get("active"):
+        return None
+    pid = tok.get("pid")
+    if isinstance(pid, int):
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return None  # holder crashed without idle(); token is stale
+        except PermissionError:
+            pass  # pid exists but is not ours — still alive
+    return tok

@@ -24,12 +24,29 @@ last, so every crash point leaves either extra bit-identical rows
 half-swapped state.  This is test-pinned by re-introducing an
 already-deleted original file and checking reads are unchanged.
 
-Single WRITER contract (same as the store's): run only while no
-stream is appending to the store — compaction enumerates the files it
-will delete before writing, and a concurrent append's new file would
-survive untouched, but a concurrent appender could also be mid-commit
-when the leaf listing runs.  Schedule it between drains (availableNow
-streams make that trivial) or from the stream's own idle hook.
+Single WRITER contract — ENFORCED since r18 (was documentation):
+compaction participates in the store's writer fencing
+(kafka_spark_streaming_spark.fencing, token at `<store>.epoch` —
+the same sibling-marker convention as the `.layout` sidecar).  Two
+modes:
+
+- STANDALONE (``fence=None``, the CLI path): refuses to run while
+  the token names a LIVE writer (active + pid alive — a drain is
+  appending; ``force=True`` overrides for operator judgment calls),
+  then ACQUIRES its own fence.  The epoch bump means a zombie drain
+  that silently survived a failover raises at its next append
+  instead of interleaving with the compaction; the fence is
+  re-checked immediately before the delete phase — the only step
+  that removes data — so if a NEW drain attaches mid-compaction the
+  pass aborts leaving only extra bit-identical rows, which every
+  read path tolerates (the crash-safety invariant doubles as the
+  abort-safety one).
+- COOPERATIVE (``fence=`` the owning drain's token): invoked from
+  the drain's own foreachBatch body at a store-idle point (the
+  append committed, the next batch can't start until the callback
+  returns — spark.kss.dedup.compactEveryNBatches wires this); no
+  guard or acquire, just the caller's fence checked before the
+  delete phase.
 """
 
 from __future__ import annotations
@@ -39,6 +56,12 @@ import os
 import shutil
 
 from pyspark.sql import SparkSession
+
+from kafka_spark_streaming_spark.fencing import (
+    StaleWriterError,
+    WriterFence,
+    live_writer,
+)
 
 
 def _leaf_dirs(store_dir: str) -> list[str]:
@@ -58,7 +81,11 @@ def _data_files(leaf: str) -> list[str]:
 
 
 def compact_dedup_store(
-    spark: SparkSession, store_dir: str, min_files: int = 2
+    spark: SparkSession,
+    store_dir: str,
+    min_files: int = 2,
+    fence: WriterFence | None = None,
+    force: bool = False,
 ) -> dict:
     """Fold every (kind, pk) leaf of an incremental-dedup store back to
     one file.  Returns {leaves, files_before, files_after, rewrote}.
@@ -77,11 +104,34 @@ def compact_dedup_store(
     left byte-identical (no rewrite) when NO leaf needs work; when any
     does, the single-job rewrite covers all leaves (simpler than
     per-leaf jobs, and maintenance cost is one store scan either way).
+
+    Fencing (r18, module docstring): standalone (``fence=None``)
+    refuses a live writer unless ``force`` and acquires its own
+    token; cooperative passes the owning drain's fence.  Either way
+    the fence is checked before step 4 — the only destructive step.
     """
+    marker = store_dir.rstrip("/") + ".epoch"
+    if fence is None:
+        tok = live_writer(marker)
+        if tok is not None and not force:
+            raise StaleWriterError(
+                f"dedup store {store_dir!r} has a live writer (pid "
+                f"{tok.get('pid')}, purpose {tok.get('purpose')!r}): "
+                "refusing to compact beside an active drain — run "
+                "between drains, let the drain's "
+                "spark.kss.dedup.compactEveryNBatches policy do it, or "
+                "pass force=True if the token is known-stale"
+            )
+        fence = WriterFence.acquire(marker, purpose="compact-dedup-store")
+        standalone = True
+    else:
+        standalone = False
     leaves = _leaf_dirs(store_dir)
     before = {leaf: _data_files(leaf) for leaf in leaves}
     files_before = sum(len(v) for v in before.values())
     if not leaves or all(len(v) < min_files for v in before.values()):
+        if standalone:
+            fence.idle()
         return {
             "leaves": len(leaves),
             "files_before": files_before,
@@ -118,7 +168,11 @@ def compact_dedup_store(
             if f.endswith(".parquet") or f.endswith(".parquet.crc"):
                 os.rename(os.path.join(tleaf, f), os.path.join(dest, f))
     # delete originals last — the only step that removes data, and by
-    # now every row exists in a compacted file
+    # now every row exists in a compacted file.  Fence check first: if
+    # a newer writer attached since, abort HERE — the appended
+    # compacted files are bit-identical duplicates every read path
+    # tolerates, so a fenced abort is exactly a crash-window state.
+    fence.check()
     for leaf, files in before.items():
         for f in files:
             for path in (f, os.path.join(
@@ -129,6 +183,8 @@ def compact_dedup_store(
                 except FileNotFoundError:
                     pass
     shutil.rmtree(tmp, ignore_errors=True)
+    if standalone:
+        fence.idle()
     files_after = sum(len(_data_files(leaf)) for leaf in _leaf_dirs(store_dir))
     return {
         "leaves": len(leaves),

@@ -807,12 +807,21 @@ def _store_layout(
     return n_pb, n_pd
 
 
-def _incremental_dedup_batch(batch_df: DataFrame, store_dir: str) -> None:
+def _incremental_dedup_batch(
+    batch_df: DataFrame, store_dir: str, fence=None
+) -> None:
     """One micro-batch of the incremental near-dedup — module-level
     (not a closure) so the replay-idempotence argument is directly
     testable: tests/test_streaming.py::
     test_incremental_dedup_batch_replay_idempotent re-runs a batch and
-    pins that the kept set is unchanged."""
+    pins that the kept set is unchanged.
+
+    ``fence`` (r18): the owning drain's fencing.WriterFence, checked
+    immediately before the append (the batch's one commit-point
+    mutation) so a zombie drain raises StaleWriterError instead of
+    appending behind a newer writer.  None (the default) is the
+    unfenced direct-call path for tests and one-shot batch use, where
+    the caller IS the single writer by construction."""
     from kafka_spark_streaming_spark.operators.dedup import (
         minhash_profile,
         shingles_of,
@@ -826,7 +835,7 @@ def _incremental_dedup_batch(batch_df: DataFrame, store_dir: str) -> None:
     # cache is dropped at the end of the batch.
     prof = minhash_profile(shingles_of(batch_df)).persist()
     try:
-        _incremental_dedup_batch_body(prof, store_dir)
+        _incremental_dedup_batch_body(prof, store_dir, fence=fence)
     finally:
         # the batch's cache must not accumulate across micro-batches —
         # including across foreachBatch RETRIES, so the unpersist sits
@@ -835,7 +844,9 @@ def _incremental_dedup_batch(batch_df: DataFrame, store_dir: str) -> None:
         prof.unpersist()
 
 
-def _incremental_dedup_batch_body(prof: DataFrame, store_dir: str) -> None:
+def _incremental_dedup_batch_body(
+    prof: DataFrame, store_dir: str, fence=None
+) -> None:
     from kafka_spark_streaming_spark.operators.dedup import (
         band_buckets,
         verified_pairs,
@@ -995,6 +1006,12 @@ def _incremental_dedup_batch_body(prof: DataFrame, store_dir: str) -> None:
             .withColumn("pk", F.pmod(F.col("doc_id"), F.lit(n_pd))),
             allowMissingColumns=True,
         )
+        if fence is not None:
+            # commit point: the append below is the batch's one store
+            # mutation — a zombie drain must raise here, not append
+            # behind a newer writer (r18 fencing; probes above are
+            # read-only and need no check)
+            fence.check()
         (
             combined.repartition("kind", "pk")
             .write.mode("append")
@@ -1047,12 +1064,37 @@ def s_incremental_near_dedup(
     batch.  Bucket counts are engine config (config.py — 100 TB
     sizing rule there; thousands of buckets at the design point, 16
     locally)."""
+    from kafka_spark_streaming_spark.config import dedup_compact_every
+    from kafka_spark_streaming_spark.fencing import WriterFence
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        compact_dedup_store,
+    )
+
     stream = _docs_ordered_batches(spark, sf_dir, n_batches)
     run_dir = _scratch_dir("kss_increddup_")
     store_dir = os.path.join(run_dir, "store")
+    # writer fence for the whole drain (r18): one attach-scoped token,
+    # checked by every batch before its append — the store analogue of
+    # the upsert sink's _WRITER_EPOCH (same sibling-marker convention
+    # as the .layout sidecar, so acquiring never creates the store dir)
+    fence = WriterFence.acquire(
+        store_dir.rstrip("/") + ".epoch", purpose="incremental-near-dedup"
+    )
+    # compaction cadence (VERDICT r17 #2): policy knob, read once per
+    # drain; > 0 folds the store's leaves back to one file every N
+    # batches from this callback — a store-idle point (this batch's
+    # append has committed; the next cannot start until we return) in
+    # the same writer context, so the compactor shares our fence.
+    compact_every = dedup_compact_every(spark)
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _incremental_dedup_batch(batch_df, store_dir)
+        _incremental_dedup_batch(batch_df, store_dir, fence=fence)
+        if (
+            compact_every
+            and (batch_id + 1) % compact_every == 0
+            and os.path.exists(store_dir)
+        ):
+            compact_dedup_store(spark, store_dir, fence=fence)
 
     # 8 shuffle partitions for the whole drain (A/B min-of-2 settled:
     # 32 -> 6.57 s, 16 -> 5.95 s, 8 -> 5.76 s): the per-batch band
@@ -1075,6 +1117,9 @@ def s_incremental_near_dedup(
             .start()
         )
         q.awaitTermination()
+    # drain finished: mark the token inactive so standalone maintenance
+    # (compact_dedup_store's live-writer guard) stops refusing
+    fence.idle()
     return (
         spark.read.parquet(store_dir)
         # kind=p prunes to the profile partitions (band rows have a

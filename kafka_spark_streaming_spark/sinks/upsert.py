@@ -48,26 +48,37 @@ Design for scale:
   oracle agree.
 - On a real deployment this maps 1:1 onto a Delta/Iceberg MERGE; the
   versioned-parquet variant keeps the harness dependency-free.
-- SINGLE WRITER per store path, by contract: the writer is a
-  foreachBatch body, and Structured Streaming guarantees one live
-  query per checkpoint — concurrent write_batch calls from two
-  queries sharing a path could interleave rename/prune.  Readers see
-  a consistent snapshot (the manifest read pins one immutable head),
-  but a LAZY current() DataFrame held across later write_batch calls
-  may reference version dirs prune has since deleted — execute it
-  within the keep window, or before the writer advances (same
-  time-travel caveat as any vacuumed table format).
+- SINGLE WRITER per store path — ENFORCED since r18 (was contract
+  only): the sink holds a fenced-writer token (fencing.WriterFence,
+  `_WRITER_EPOCH` inside the store), acquired lazily at the sink's
+  FIRST write_batch (an attach that only reads never fences a live
+  writer out) and re-checked immediately before every commit-point
+  mutation (both version renames and the prune's deletions).  Newest
+  writer wins: after a failover the new driver's first write bumps
+  the epoch, and the zombie's next commit raises StaleWriterError
+  instead of interleaving renames — the parquet analogue of the
+  HBase region lease the reference leaned on (HbaseWriter.scala's
+  puts go through the region holder).  Readers see a consistent
+  snapshot (the manifest read pins one immutable head); a LAZY
+  current() DataFrame held across later write_batch calls may still
+  reference version dirs prune has since deleted — use snapshot()
+  for a read that pins its versions against this writer's prunes
+  for the DataFrame's process lifetime (same time-travel caveat as
+  any vacuumed table format otherwise).
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from kafka_spark_streaming_spark.fencing import WriterFence
 
 CELL_KEY = ["rowkey", "cf", "qualifier"]
 
@@ -109,6 +120,22 @@ class KeyedUpsertSink:
             lambda: (upsert_state_buckets(spark),),
             arity=1,
         )
+        # writer fence (module docstring): acquired at the FIRST
+        # write_batch, not here — attaching to read must not fence a
+        # live writer out.
+        self._fence: WriterFence | None = None
+        # snapshot() pins: (weakref-to-DataFrame, versions it reads).
+        # _prune drops entries whose DataFrame was collected, so a pin
+        # lives exactly as long as the handed-out snapshot does.
+        self._snapshots: list[tuple[weakref.ref, set[str]]] = []
+
+    def _writer_fence(self) -> WriterFence:
+        if self._fence is None:
+            self._fence = WriterFence.acquire(
+                os.path.join(self.path, "_WRITER_EPOCH"),
+                purpose="keyed-upsert-sink",
+            )
+        return self._fence
 
     # -- state management -------------------------------------------------
     def _versions(self) -> list[str]:
@@ -136,6 +163,23 @@ class KeyedUpsertSink:
             and os.path.isdir(os.path.join(vdir, d))
         )
 
+    def _manifest_file(self, version: str) -> dict[str, str] | None:
+        """The version's committed manifest, or None when NO manifest
+        file exists (pre-r17 legacy layouts).  The None sentinel is
+        the one distinction _manifest's {} cannot carry: a committed
+        EMPTY manifest (real empty state — the purge-everything retry
+        outcome) and a flat pre-r16 store both look like {} to
+        callers that only see _manifest (ADVICE r17 upsert.py:281 —
+        write_batch misclassified the former as flat_head and ran a
+        needless all-bucket merge)."""
+        import json
+
+        mpath = os.path.join(self.path, version, MANIFEST_NAME)
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                return json.load(fh)
+        return None
+
     def _manifest(self, version: str) -> dict[str, str]:
         """{rb= dir → owning version} for a committed version.  A
         version with no manifest file is a pre-r17 layout: the
@@ -144,12 +188,9 @@ class KeyedUpsertSink:
         so the head owning all its physical rb= dirs IS its manifest —
         the old layout is a degenerate manifest and migrates for free.
         A flat pre-r16 store has neither manifest nor rb= dirs → {}."""
-        import json
-
-        mpath = os.path.join(self.path, version, MANIFEST_NAME)
-        if os.path.exists(mpath):
-            with open(mpath) as fh:
-                return json.load(fh)
+        committed = self._manifest_file(version)
+        if committed is not None:
+            return committed
         return {d: version for d in self._head_rb_dirs(version)}
 
     def _write_manifest(self, vdir: str, manifest: dict[str, str]) -> None:
@@ -181,9 +222,7 @@ class KeyedUpsertSink:
         head = versions[-1]
         manifest = self._manifest(head)
         if not manifest:
-            if os.path.exists(
-                os.path.join(self.path, head, MANIFEST_NAME)
-            ):
+            if self._manifest_file(head) is not None:
                 # a committed EMPTY manifest is a real (empty) state —
                 # the purge-everything outcome of an empty retry over a
                 # first-ever batch — not the flat legacy layout
@@ -223,8 +262,31 @@ class KeyedUpsertSink:
 
     def current(self) -> DataFrame:
         """Current cell state as a DataFrame (empty if no writes yet).
-        The rb layout column is internal — consumers see cell shape."""
+        The rb layout column is internal — consumers see cell shape.
+        LAZY: executing it after this writer advances past the keep
+        window may hit pruned version dirs — see snapshot() for a
+        pinned read."""
         return self._current_raw().drop("rb")
+
+    def snapshot(self) -> DataFrame:
+        """Version-PINNED read (VERDICT r17 #6): the returned
+        DataFrame reads the manifest the head held at call time, and
+        every version it references is excluded from this writer's
+        prunes for as long as the DataFrame object is alive in this
+        process (weakref guard — dropping the reference releases the
+        pin; no explicit close needed).  Closes current()'s documented
+        lazy-across-prune caveat for the in-process reader.  Scope:
+        the pin binds THIS sink object's prunes — which is the store's
+        only pruner under the fenced single-writer contract; a reader
+        in a different process still races vacuum exactly like any
+        time-traveling reader of a vacuumed table format."""
+        df = self._current_raw().drop("rb")
+        versions = self._versions()
+        if versions:
+            head = versions[-1]
+            pins = {head} | set(self._manifest(head).values())
+            self._snapshots.append((weakref.ref(df), pins))
+        return df
 
     # -- the upsert -------------------------------------------------------
     def _merged_state(
@@ -262,7 +324,14 @@ class KeyedUpsertSink:
         — including rb buckets this attempt does not touch, where a
         wall-clock rowkey drift would otherwise leave them as
         carried-forward ghosts.
+
+        Fenced (r18): the sink's writer token is acquired at the
+        first call and re-checked immediately before every rename and
+        before the prune — a zombie writer raises StaleWriterError
+        instead of committing over a newer writer's head.
         """
+        fence = self._writer_fence()
+        fence.check()  # fail fast before any Spark work if already stale
         stamped = (
             batch_df.select(*CELL_KEY, F.col("value").cast("string"))
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
@@ -278,7 +347,15 @@ class KeyedUpsertSink:
             versions = self._versions()
             head = versions[-1] if versions else None
             manifest = self._manifest(head) if head else {}
-            flat_head = bool(head) and not manifest
+            # flat_head keys on manifest-FILE absence, not manifest
+            # emptiness (ADVICE r17): a committed empty manifest is
+            # real empty state, and classifying it as the flat legacy
+            # layout ran a needless all-bucket migration merge.
+            flat_head = (
+                bool(head)
+                and not manifest
+                and self._manifest_file(head) is None
+            )
             vname = f"v_{batch_id:012d}"
             out = os.path.join(self.path, vname)
             tmp = out + ".tmp"
@@ -312,6 +389,7 @@ class KeyedUpsertSink:
                         shutil.rmtree(tmp)
                     os.makedirs(tmp)
                     self._write_manifest(tmp, manifest)
+                    fence.check()  # commit point: the version rename
                     if os.path.exists(out):
                         shutil.rmtree(out)
                     os.rename(tmp, out)
@@ -362,6 +440,7 @@ class KeyedUpsertSink:
                 ):
                     new_manifest[d] = vname
             self._write_manifest(tmp, new_manifest)
+            fence.check()  # commit point: the version rename
             if os.path.exists(out):
                 shutil.rmtree(out)
             os.rename(tmp, out)
@@ -370,6 +449,12 @@ class KeyedUpsertSink:
             stamped.unpersist()
 
     def _prune(self, keep: int) -> None:
+        # deletions are a commit-point mutation too: a stale writer's
+        # version listing may not include the new writer's head, so it
+        # must not get to rmtree anything (fence is always held here —
+        # _prune is only reached from a fenced write_batch)
+        if self._fence is not None:
+            self._fence.check()
         versions = self._versions()
         # live = the kept heads plus every version their manifests
         # reference — a version dir now holds data that NEWER versions
@@ -379,6 +464,14 @@ class KeyedUpsertSink:
         live = set(versions[-keep:])
         for v in list(live):
             live.update(self._manifest(v).values())
+        # snapshot pins: versions a handed-out snapshot() DataFrame
+        # still references stay live until the DataFrame is collected
+        self._snapshots = [
+            (ref, pins) for (ref, pins) in self._snapshots
+            if ref() is not None
+        ]
+        for _, pins in self._snapshots:
+            live.update(pins)
         for stale in versions:
             if stale in live:
                 continue

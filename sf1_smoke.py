@@ -160,6 +160,39 @@ def build(spark) -> None:
     print(f"# built {OUT} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
 
+# JVM-side canary slots for host-drift normalization (VERDICT r17 #3):
+# pure whole-stage-codegen scan/join queries with no Python workers and
+# no streaming state — their round-over-round ratio measures the HOST,
+# not the code (r17's committed records show them drifting 1.5-3x
+# between shared-host windows while same-session A/Bs were flat).
+CANARIES = ("q1_pricing_summary", "q18_large_volume_customers")
+
+
+def host_factor(
+    timings: dict[str, float], prev: dict[str, float]
+) -> float:
+    """Median canary slowdown this run vs the committed baseline,
+    clamped to [1.0, 3.0]: the regressions gate divides by this, so
+    pure host drift (every slot slower by ~the same factor as the
+    canaries) cannot flag, while a real per-query regression still
+    stands out against the canary-measured host speed.  Clamps: never
+    below 1 (a FASTER host must not loosen the gate) and never above
+    3 (a canary regression beyond the observed drift band should
+    surface as a flag, not silently forgive the whole board).  The
+    canaries themselves stay honest through the sf0.1 bench gate,
+    which remains raw."""
+    import statistics
+
+    ratios = [
+        timings[c] / prev[c]
+        for c in CANARIES
+        if timings.get(c) and prev.get(c)
+    ]
+    if not ratios:
+        return 1.0
+    return max(1.0, min(statistics.median(ratios), 3.0))
+
+
 def _prev_sf1() -> dict[str, float]:
     """Per-query sf1 timings from the latest committed BENCH_r*_sf1.json
     (same latest-real-round selection as bench._prev_bench)."""
@@ -255,6 +288,9 @@ def main() -> None:
     timings = {
         k: v["sec"] for k, v in results.items() if "error" not in v
     }
+    prev = _prev_sf1()
+    hf = host_factor(timings, prev)
+    normalized = {k: v / hf for k, v in timings.items()}
     print(
         json.dumps(
             {
@@ -264,14 +300,19 @@ def main() -> None:
                 "derived_dir": OUT,
                 "queries": results,
                 "derived_build_sec": derived,
-                "regressions": regressions(timings, _prev_sf1()),
+                "host_factor": round(hf, 3),
+                "regressions": regressions(normalized, prev),
+                "raw_regressions": regressions(timings, prev),
                 "note": (
                     "scale stress on a K-replicated sf0.1 (exact-duplicate "
                     "documents = adversarial near-dup load); per-query sec "
                     "= min of 3 passes, gated at 1.5x vs the latest "
-                    "committed BENCH_r*_sf1.json (r7's numbers were "
-                    "single-pass, so the first gated comparison is "
-                    "conservative)"
+                    "committed BENCH_r*_sf1.json AFTER dividing by "
+                    "host_factor (median JVM-canary slowdown, clamped to "
+                    "[1,3] — r18, VERDICT r17 #3: raw-seconds gating on "
+                    "this shared host flagged pure CPU-steal drift; "
+                    "raw_regressions keeps the unnormalized view for "
+                    "transparency and the sf0.1 bench gate stays raw)"
                 ),
             }
         )

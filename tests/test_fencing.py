@@ -1,0 +1,273 @@
+"""Writer fencing for the on-disk stores (VERDICT r17 #1).
+
+Both versioned stores were single-writer by docstring contract only;
+r18 adds an epoch-token fence (kafka_spark_streaming_spark/fencing.py)
+acquired at a writer's first commit and checked before every
+commit-point mutation.  These tests pin the whole surface: the token
+protocol itself, the upsert sink's two-writer loser raising instead
+of corrupting, the dedup drain's fenced append, and
+compact_dedup_store refusing to run beside a live writer.
+"""
+
+from __future__ import annotations
+
+import gc
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_spark.fencing import (
+    StaleWriterError,
+    WriterFence,
+    live_writer,
+)
+
+
+# --- token protocol -------------------------------------------------------
+
+
+def test_fence_epoch_monotone_and_check(tmp_path):
+    marker = str(tmp_path / "store.epoch")
+    f1 = WriterFence.acquire(marker, purpose="t1")
+    assert f1.epoch == 1
+    f1.check()  # freshest writer passes
+    f2 = WriterFence.acquire(marker, purpose="t2")
+    assert f2.epoch == 2
+    f2.check()
+    with pytest.raises(StaleWriterError):
+        f1.check()
+    # idle preserves the epoch and does not un-fence the stale holder
+    f2.idle()
+    f2.check()  # idle is not a release; the holder may keep committing
+    with pytest.raises(StaleWriterError):
+        f1.check()
+    # a stale holder must not be able to mark the token idle either
+    with pytest.raises(StaleWriterError):
+        f1.idle()
+
+
+def test_fence_live_writer_probe(tmp_path):
+    marker = str(tmp_path / "store.epoch")
+    assert live_writer(marker) is None  # never acquired
+    f = WriterFence.acquire(marker, purpose="drain")
+    tok = live_writer(marker)
+    assert tok is not None and tok["purpose"] == "drain"
+    f.idle()
+    assert live_writer(marker) is None  # inactive token is not live
+    # active token with a dead pid is stale, not live (crashed holder)
+    f2 = WriterFence.acquire(marker, purpose="zombie")
+    f2.token["pid"] = 2**22 + 12345  # beyond default pid_max
+    from kafka_spark_streaming_spark.fencing import _write_token
+
+    _write_token(marker, f2.token)
+    assert live_writer(marker) is None
+
+
+def test_fence_corrupt_token_fails_loudly(tmp_path):
+    marker = str(tmp_path / "store.epoch")
+    with open(marker, "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="corrupt writer token"):
+        WriterFence.acquire(marker)
+
+
+def test_fence_concurrent_acquire_single_winner(tmp_path):
+    """Racing acquires: everyone who returns holds a distinct epoch or
+    raised; at any quiescent point exactly the newest holder passes
+    check().  Threads exercise the unique-tmp + replace + read-back
+    protocol under real interleaving."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    marker = str(tmp_path / "store.epoch")
+
+    def try_acquire(i):
+        try:
+            return WriterFence.acquire(marker, purpose=f"racer-{i}")
+        except StaleWriterError:
+            return None
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        fences = [f for f in ex.map(try_acquire, range(8)) if f is not None]
+    assert fences, "at least one racer must win its acquire"
+    survivors = []
+    for f in fences:
+        try:
+            f.check()
+            survivors.append(f)
+        except StaleWriterError:
+            pass
+    assert len(survivors) == 1, "exactly one newest writer may survive"
+
+
+def test_commit_layout_racers_all_agree(tmp_path):
+    """ADVICE r17 config.py:164: racing commit_layout calls used a
+    SHARED tmp name and returned their own vals without re-reading —
+    interleaved truncate/replace could leave racers proceeding with
+    layouts that disagree with the marker.  Now (unique tmp + os.link
+    create-if-absent publish + mandatory re-read) every racer must
+    return the same tuple, and it must equal what the marker holds."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kafka_spark_streaming_spark.config import commit_layout, read_layout
+
+    marker = str(tmp_path / "store.layout")
+
+    def racer(i):
+        return commit_layout(marker, (i + 1, (i + 1) * 10))
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(racer, range(8)))
+    assert len(set(results)) == 1, f"racers disagree: {sorted(set(results))}"
+    assert read_layout(marker, 2) == results[0]
+
+
+# --- upsert sink: two-writer failover ------------------------------------
+
+
+def _cells(spark, rows):
+    return spark.createDataFrame(
+        [(k, "cf1", "q", v) for k, v in rows],
+        "rowkey string, cf string, qualifier string, value string",
+    )
+
+
+def test_upsert_two_writers_loser_raises_not_corrupts(spark, tmp_path):
+    """Failover shape: writer A commits batches, writer B attaches
+    (new driver) and commits, zombie A tries to keep going — A must
+    raise StaleWriterError at its next commit and the state must be
+    exactly what B's timeline produced (A's fenced write mutates
+    nothing)."""
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    path = str(tmp_path / "cells")
+    a = KeyedUpsertSink(spark, path)
+    a.write_batch(_cells(spark, [("k1", "v1"), ("k2", "v2")]), 0)
+
+    b = KeyedUpsertSink(spark, path)  # read-only attach: no fence yet
+    assert {r.rowkey for r in b.current().collect()} == {"k1", "k2"}
+    b.write_batch(_cells(spark, [("k2", "v2b"), ("k3", "v3")]), 1)
+
+    with pytest.raises(StaleWriterError):
+        a.write_batch(_cells(spark, [("k1", "ZOMBIE")]), 2)
+    state = {r.rowkey: r.value for r in b.current().collect()}
+    assert state == {"k1": "v1", "k2": "v2b", "k3": "v3"}
+    # and B keeps working after fencing A out
+    b.write_batch(_cells(spark, [("k4", "v4")]), 2)
+    assert {r.rowkey for r in b.current().collect()} == {
+        "k1", "k2", "k3", "k4",
+    }
+
+
+def test_upsert_read_only_attach_does_not_fence(spark, tmp_path):
+    """Attaching a sink just to read current() (oracle readers, the
+    registry's post-drain reads) must not bump the epoch and fence a
+    live writer out — the fence is acquired at the first WRITE."""
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    path = str(tmp_path / "cells")
+    writer = KeyedUpsertSink(spark, path)
+    writer.write_batch(_cells(spark, [("k1", "v1")]), 0)
+    reader = KeyedUpsertSink(spark, path)
+    assert {r.rowkey for r in reader.current().collect()} == {"k1"}
+    writer.write_batch(_cells(spark, [("k2", "v2")]), 1)  # still fine
+    assert {r.rowkey for r in writer.current().collect()} == {"k1", "k2"}
+
+
+def test_upsert_snapshot_survives_pruning(spark, tmp_path):
+    """VERDICT r17 #6: a held snapshot() DataFrame pins the versions
+    it references across keep=2 pruning; releasing the reference
+    releases the pin.  buckets=1 makes every write own the single rb
+    partition, so without the pin v_0 would be deleted by the third
+    write."""
+    from kafka_spark_streaming_spark.config import UPSERT_STATE_BUCKETS_KEY
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
+    try:
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    finally:
+        spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
+    sink.write_batch(_cells(spark, [("k1", "v1")]), 0)
+    snap = sink.snapshot()
+    sink.write_batch(_cells(spark, [("k1", "v2")]), 1)
+    sink.write_batch(_cells(spark, [("k1", "v3")]), 2)
+    # v_0 must still be readable through the pinned snapshot
+    assert os.path.isdir(str(tmp_path / "cells" / "v_000000000000"))
+    assert [(r.rowkey, r.value) for r in snap.collect()] == [("k1", "v1")]
+    # current() sees the head as usual
+    assert [r.value for r in sink.current().collect()] == ["v3"]
+    # releasing the snapshot releases the pin at the next prune
+    del snap
+    gc.collect()
+    sink.write_batch(_cells(spark, [("k1", "v4")]), 3)
+    assert not os.path.exists(str(tmp_path / "cells" / "v_000000000000"))
+
+
+# --- dedup store: fenced append + compaction guard ------------------------
+
+
+def test_dedup_batch_fenced_append_raises_for_zombie(spark, sf_smoke, tmp_path):
+    """A drain-held fence must stop a zombie's append: after a newer
+    writer acquires, the old fence's batch raises StaleWriterError at
+    the commit point and the store content is unchanged."""
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _incremental_dedup_batch,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    store = str(tmp_path / "store")
+    marker = store + ".epoch"
+    docs = table(spark, sf_smoke, "documents")
+    old = WriterFence.acquire(marker, purpose="drain-1")
+    _incremental_dedup_batch(
+        docs.filter(F.col("doc_id") < 50), store, fence=old
+    )
+    n_before = spark.read.parquet(store).count()
+    WriterFence.acquire(marker, purpose="drain-2")  # failover
+    with pytest.raises(StaleWriterError):
+        _incremental_dedup_batch(
+            docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)),
+            store,
+            fence=old,
+        )
+    assert spark.read.parquet(store).count() == n_before
+
+
+def test_compact_refuses_live_writer_token(spark, sf_smoke, tmp_path):
+    """compact_dedup_store (standalone) must refuse while the store's
+    token names a live writer, run after the writer idles, and honor
+    force=True against a token the operator knows is stale."""
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        compact_dedup_store,
+    )
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _incremental_dedup_batch,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    store = str(tmp_path / "store")
+    marker = store + ".epoch"
+    docs = table(spark, sf_smoke, "documents")
+    fence = WriterFence.acquire(marker, purpose="drain")
+    for b in range(2):
+        _incremental_dedup_batch(
+            docs.filter(F.col("doc_id") % 2 == b), store, fence=fence
+        )
+    with pytest.raises(StaleWriterError, match="live writer"):
+        compact_dedup_store(spark, store)
+    # force overrides (and fences the "live" writer out as a side
+    # effect — its next append raises, which is the safe direction)
+    stats = compact_dedup_store(spark, store, force=True)
+    assert stats["rewrote"]
+    with pytest.raises(StaleWriterError):
+        _incremental_dedup_batch(docs.limit(10), store, fence=fence)
+    # a new drain attaches cleanly behind the compaction and, once it
+    # idles, standalone compaction no longer refuses
+    fence2 = WriterFence.acquire(marker, purpose="drain-2")
+    _incremental_dedup_batch(
+        docs.filter(F.col("doc_id") < 20), store, fence=fence2
+    )
+    fence2.idle()
+    stats2 = compact_dedup_store(spark, store, min_files=1)
+    assert stats2["rewrote"]

@@ -658,8 +658,9 @@ def test_scoped_shuffle_partitions_restores_conf_on_error(spark):
         max_size=4,
     ),
     compact=st.integers(min_value=1, max_value=4),
+    usurp_after=st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
 )
-def test_upsert_sink_equals_lww_model(spark, batches, compact):
+def test_upsert_sink_equals_lww_model(spark, batches, compact, usurp_after):
     """Model-based check of the r16 rb-partitioned KeyedUpsertSink: a
     random sequence of batches (small key/value alphabets force both
     within-batch collisions and cross-batch overwrites, exercising
@@ -669,20 +670,32 @@ def test_upsert_sink_equals_lww_model(spark, batches, compact):
     max(value) breaks within-batch ties.  The drawn compaction
     threshold (r17) makes some examples fold every live partition into
     one version mid-sequence and others scatter partitions across the
-    manifest — both must be invisible to current()."""
+    manifest — both must be invisible to current().
+
+    The drawn CONCURRENT-ATTACH point (r18, VERDICT r17 #1): after
+    `usurp_after` committed writes a second sink attaches to the same
+    path (failover shape) and takes over the remaining batches; once
+    it has committed, the old writer's next write must raise
+    StaleWriterError and mutate NOTHING — the model only ever sees
+    the usurper's timeline."""
     import shutil
     import tempfile
+
+    import pytest
 
     from kafka_spark_streaming_spark.config import (
         UPSERT_COMPACT_VERSIONS_KEY,
     )
+    from kafka_spark_streaming_spark.fencing import StaleWriterError
     from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
 
     d = tempfile.mkdtemp(prefix="kss_upsert_prop_")
     spark.conf.set(UPSERT_COMPACT_VERSIONS_KEY, str(compact))
     try:
         sink = KeyedUpsertSink(spark, d)
+        old_writer = None  # the fenced-out original, once usurped
         model: dict[str, str] = {}
+        writes = 0
         for i, batch in enumerate(batches):
             if batch:  # 0-row batches skip version creation by design
                 sink.write_batch(
@@ -693,8 +706,12 @@ def test_upsert_sink_equals_lww_model(spark, batches, compact):
                     ),
                     i,
                 )
+                writes += 1
                 for k in {k for k, _ in batch}:
                     model[k] = max(v for kk, v in batch if kk == k)
+            if usurp_after is not None and writes == usurp_after:
+                old_writer, sink = sink, KeyedUpsertSink(spark, d)
+                usurp_after = None  # usurp once
         # replay the last non-empty batch (foreachBatch retry shape):
         # state must be unchanged
         last = max(
@@ -709,6 +726,18 @@ def test_upsert_sink_equals_lww_model(spark, batches, compact):
                 ),
                 last,
             )
+        if old_writer is not None and sink._fence is not None:
+            # the usurper has committed at least once, so the fenced
+            # loser must raise instead of corrupting...
+            with pytest.raises(StaleWriterError):
+                old_writer.write_batch(
+                    spark.createDataFrame(
+                        [("k0", "cf1", "q", "ZOMBIE")],
+                        "rowkey string, cf string, qualifier string,"
+                        " value string",
+                    ),
+                    len(batches) + 1,
+                )
         got = {
             r["rowkey"]: r["value"] for r in sink.current().collect()
         }

@@ -428,6 +428,91 @@ def test_dedup_store_compaction_preserves_semantics(spark, sf_smoke, tmp_path):
     assert _store_layout(spark, store) == _store_layout(spark, control)
 
 
+def test_dedup_compaction_policy_sawtooths_file_growth(
+    spark, sf_smoke, tmp_path
+):
+    """VERDICT r17 #2 soak: with the compactEveryNBatches policy, a
+    long run's per-leaf file count SAWTOOTHS (grows for N batches,
+    folds back to 1) instead of growing O(batches), and the kept set
+    stays identical to a never-compacted control.  Exercises the
+    cooperative fence path compact_dedup_store takes when invoked
+    from inside a drain."""
+    import os
+
+    from kafka_spark_streaming_spark.fencing import WriterFence
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        _data_files,
+        _leaf_dirs,
+        compact_dedup_store,
+    )
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _incremental_dedup_batch,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    docs = table(spark, sf_smoke, "documents")
+    store = str(tmp_path / "store")
+    control = str(tmp_path / "control")
+    fence = WriterFence.acquire(store + ".epoch", purpose="soak")
+    every = 2
+    total_files = []  # trajectory after each batch(+policy) step
+    for b in range(6):
+        batch = docs.filter(F.col("doc_id") % 6 == b)
+        _incremental_dedup_batch(batch, store, fence=fence)
+        _incremental_dedup_batch(batch, control)
+        if (b + 1) % every == 0 and os.path.exists(store):
+            compact_dedup_store(spark, store, fence=fence)
+        total_files.append(
+            sum(len(_data_files(leaf)) for leaf in _leaf_dirs(store))
+        )
+    n_leaves = len(_leaf_dirs(store))
+    # sawtooth: every policy point is back at one file per leaf...
+    assert total_files[1::every] == [n_leaves] * 3, total_files
+    # ...while between points the count grows above it
+    assert total_files[2] > n_leaves
+    # control grows monotonically past the compacted store's ceiling
+    control_files = sum(
+        len(_data_files(leaf)) for leaf in _leaf_dirs(control)
+    )
+    assert control_files > total_files[-1]
+
+    def kept(d):
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(d)
+            .filter((F.col("kind") == "p") & F.col("kept"))
+            .dropDuplicates(["doc_id"])
+            .collect()
+        )
+
+    assert kept(store) == kept(control)
+
+
+def test_incremental_near_dedup_result_invariant_to_compaction_knob(
+    spark, sf_smoke
+):
+    """End-to-end wiring of spark.kss.dedup.compactEveryNBatches: the
+    registered drain must produce the identical kept set with the
+    policy on (compact every batch — the most aggressive cadence) and
+    off (the default the sweeps run with)."""
+    from kafka_spark_streaming_spark.config import DEDUP_COMPACT_EVERY_KEY
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        s_incremental_near_dedup,
+    )
+
+    base = [tuple(r) for r in s_incremental_near_dedup(
+        spark, sf_smoke, n_batches=3
+    ).collect()]
+    spark.conf.set(DEDUP_COMPACT_EVERY_KEY, "1")
+    try:
+        compacted = [tuple(r) for r in s_incremental_near_dedup(
+            spark, sf_smoke, n_batches=3
+        ).collect()]
+    finally:
+        spark.conf.unset(DEDUP_COMPACT_EVERY_KEY)
+    assert compacted == base and len(base) > 0
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A late batch arriving after its window was emitted and its state
     evicted is dropped. (Eviction happens at batch end once the

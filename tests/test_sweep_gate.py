@@ -132,3 +132,62 @@ def test_confirm_retime_clears_one_sample_spike():
     assert confirm_errors == {}
     assert timings["q1"] == 1.1  # min kept
     assert gate_flags(timings, baseline) == []  # spike vetted away
+
+
+# --- sf1 canary-normalized gating (r18, VERDICT r17 #3) -------------------
+
+
+def test_sf1_host_factor_forgives_uniform_drift_only():
+    """Pure host drift (canaries and workload slower by the same
+    factor) must not flag; a per-query regression on a quiet host
+    must; and a per-query regression RIDING host drift must still
+    poke above the normalized gate."""
+    from bench import regressions
+    from sf1_smoke import host_factor
+
+    prev = {
+        "q1_pricing_summary": 1.0,
+        "q18_large_volume_customers": 2.0,
+        "s_stateful_user_stats": 4.0,
+    }
+    # uniform 1.6x drift: raw gate would flag the stateful slot
+    drifted = {
+        "q1_pricing_summary": 1.6,
+        "q18_large_volume_customers": 3.2,
+        "s_stateful_user_stats": 6.4,
+    }
+    hf = host_factor(drifted, prev)
+    assert abs(hf - 1.6) < 1e-9
+    assert regressions({k: v / hf for k, v in drifted.items()}, prev) == []
+    assert regressions(drifted, prev) != []  # the raw view still shows it
+    # quiet host, real 2x regression: still flags
+    quiet = dict(prev, s_stateful_user_stats=8.0)
+    hf = host_factor(quiet, prev)
+    assert hf == 1.0
+    assert [r["query"] for r in regressions(quiet, prev)] == [
+        "s_stateful_user_stats"
+    ]
+    # 1.5x drift AND a 2.5x-on-top regression: normalized ratio ~2.5
+    both = {
+        "q1_pricing_summary": 1.5,
+        "q18_large_volume_customers": 3.0,
+        "s_stateful_user_stats": 15.0,
+    }
+    hf = host_factor(both, prev)
+    flags = regressions({k: v / hf for k, v in both.items()}, prev)
+    assert [r["query"] for r in flags] == ["s_stateful_user_stats"]
+
+
+def test_sf1_host_factor_clamps():
+    """A faster host must not loosen the gate (floor 1.0) and a canary
+    collapse beyond the drift band must not forgive the board (cap 3)."""
+    from sf1_smoke import host_factor
+
+    prev = {"q1_pricing_summary": 1.0, "q18_large_volume_customers": 1.0}
+    assert host_factor(
+        {"q1_pricing_summary": 0.5, "q18_large_volume_customers": 0.6}, prev
+    ) == 1.0
+    assert host_factor(
+        {"q1_pricing_summary": 9.0, "q18_large_volume_customers": 8.0}, prev
+    ) == 3.0
+    assert host_factor({}, prev) == 1.0  # no canaries timed -> raw gate
