@@ -51,7 +51,7 @@ _seq = itertools.count()
 _SCRATCH_PREFIXES = (
     "kss_ckpt_", "kss_pipe_", "kss_rollup_", "kss_rck_", "kss_topk_",
     "kss_tck_", "kss_hll_", "kss_hck_", "kss_increddup_", "kss_s5_",
-    "kss_s5ck_",
+    "kss_s5ck_", "kss_snap_",
 )
 
 
@@ -315,6 +315,59 @@ def s_pipeline_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = pipe.start(msgs, checkpoint=os.path.join(work, "ckpt"))
         q.awaitTermination()
     return pipe.sink.current().select("rowkey", "cf", "qualifier", "value")
+
+
+# --- sink snapshot isolation (time-travel read under vacuum) --------------
+# The r18 snapshot() API's driver-gate proof: the returned DataFrame is
+# a snapshot taken after the FIRST of three writes that each overwrite
+# every cell — so by collect time, keep=2 pruning would have vacuumed
+# the snapshot's version out from under a plain current() plan.  The
+# oracle is LWW over batch 0 alone: a hash match proves both isolation
+# (no b1/b2 values leak in) and the prune pin (the files are readable
+# at all).
+@register(
+    "s_upsert_snapshot_read",
+    f"""
+    {_M}
+    SELECT key AS rowkey, 'cf1' AS cf, 'message' AS qualifier,
+           MAX('b0:' || value) AS value
+    FROM messages WHERE key IS NOT NULL GROUP BY key
+    """,
+)
+def s_upsert_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned time-travel read on the keyed-upsert sink
+    (sinks/upsert.py snapshot() — VERDICT r17 #6): write batch 0,
+    snapshot, then write batches 1 and 2 over the SAME rowkeys so
+    every batch-0 rb partition is rewritten and v_0 leaves both the
+    head manifest and the keep=2 window.  Without the snapshot pin
+    the prune deletes v_0's files and this query's collect fails;
+    without version isolation it returns b2 values.  Scale shape:
+    three LWW merge shuffles of |keys| cells each — the snapshot
+    itself adds zero Spark work (a manifest read + a pin)."""
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+    from kafka_spark_streaming_spark.tables import messages
+
+    work = _scratch_dir("kss_snap_")
+    sink = KeyedUpsertSink(spark, os.path.join(work, "cells"))
+    msgs = messages(spark, sf_dir).filter(F.col("key").isNotNull())
+
+    def cells(tag: str) -> DataFrame:
+        return msgs.select(
+            F.col("key").alias("rowkey"),
+            F.lit("cf1").alias("cf"),
+            F.lit("message").alias("qualifier"),
+            F.concat(F.lit(tag), F.col("value")).alias("value"),
+        )
+
+    sink.write_batch(cells("b0:"), 0)
+    snap = sink.snapshot()
+    # `snap` (the pin holder) stays referenced across both later
+    # writes — the prunes they trigger are the ones the pin must
+    # survive; the derived select below is safe because no prune can
+    # run after the last write
+    sink.write_batch(cells("b1:"), 1)
+    sink.write_batch(cells("b2:"), 2)
+    return snap.select("rowkey", "cf", "qualifier", "value")
 
 
 # --- custom stateful operator: per-user lifetime stats -------------------

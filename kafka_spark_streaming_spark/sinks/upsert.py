@@ -279,7 +279,11 @@ class KeyedUpsertSink:
         the pin binds THIS sink object's prunes — which is the store's
         only pruner under the fenced single-writer contract; a reader
         in a different process still races vacuum exactly like any
-        time-traveling reader of a vacuumed table format."""
+        time-traveling reader of a vacuumed table format.  The pin is
+        held by the RETURNED DataFrame object: keep it referenced
+        while derived frames (selects/filters over it) are in use —
+        deriving and dropping the original releases the pin at the
+        writer's next prune."""
         df = self._current_raw().drop("rb")
         versions = self._versions()
         if versions:
