@@ -772,6 +772,79 @@ def test_compaction_preserves_rows(spark, sf_smoke, tmp_path):
     assert after_df.exceptAll(ev).count() == 0
 
 
+def test_pipeline_zombie_driver_fenced_after_failover(
+    spark, sf_smoke, tmp_path
+):
+    """The r18 fencing story end-to-end through the pipeline layer: a
+    driver that lost a failover (its replacement attached to the same
+    sink path and committed) must FAIL its next micro-batch loudly —
+    the StaleWriterError surfaces through foreachBatch as a failed
+    streaming query — and must mutate nothing: the sink state stays
+    exactly what the new driver's timeline wrote, and the zombie's
+    uncommitted input batch remains available for the legitimate
+    driver to process."""
+    ev = table(spark, sf_smoke, "events")
+    thirds = [
+        ev.filter(F.col("event_id") % 3 == i).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        for i in range(3)
+    ]
+
+    def stage(base: str, i: int, df) -> None:
+        scratch = f"{base}/_w{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        dst = f"{base}/batch{i}.parquet"
+        os.rename(glob.glob(scratch + "/*.parquet")[0], dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    def run(pipe: StreamerPipeline, base: str, ckpt: str) -> None:
+        msgs = file_stream_messages(spark, base, max_files_per_trigger=1)
+        q = pipe.start(msgs, checkpoint=ckpt)
+        q.awaitTermination()
+
+    base, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(base)
+    cfg = StreamerConfig(
+        table_path=str(tmp_path / "cells"), bulk=True,
+        clock=lambda: 1700000000,
+    )
+    stage(base, 0, thirds[0])
+    zombie = StreamerPipeline(spark, cfg)
+    run(zombie, base, ckpt)  # the original driver commits batch 0
+
+    stage(base, 1, thirds[1])
+    failover = StreamerPipeline(spark, cfg)  # replacement driver
+    run(failover, base, ckpt)  # commits batch 1 -> bumps the epoch
+    want = {
+        (r.rowkey, r.value)
+        for r in failover.sink.current().collect()
+    }
+
+    stage(base, 2, thirds[2])
+    with pytest.raises(Exception, match="StaleWriterError|stale"):
+        run(zombie, base, ckpt)  # the zombie wakes up and must be fenced
+    got = {
+        (r.rowkey, r.value)
+        for r in KeyedUpsertSink(spark, cfg.table_path).current().collect()
+    }
+    assert got == want, "a fenced zombie batch must mutate nothing"
+
+    # the legitimate driver picks batch 2 up from the same checkpoint
+    # (the zombie's failed batch never committed its offset)
+    resumed = StreamerPipeline(spark, cfg)
+    run(resumed, base, ckpt)
+    assert [s[0] for s in resumed.summaries] == [2]
+    # batch 2's rowkeys overlap the existing cells (same key alphabet),
+    # so the evidence it landed is LWW content: the summary cell now
+    # carries the batch-2 counter
+    final = {
+        r.rowkey: r.value
+        for r in KeyedUpsertSink(spark, cfg.table_path).current().collect()
+    }
+    assert "number of RDD (batches): 2" in final["1700000000"]
+
+
 def test_pipeline_checkpoint_restart_exactly_once(spark, sf_smoke, tmp_path):
     """SURVEY.md §7 "what's hard" #4 / VERDICT r5 item 5: kill a stream
     mid-corpus and resume from its checkpoint — the restarted run must
