@@ -49,9 +49,15 @@ _PINNED_CORE = [
     # fills the 50-slot window exactly; q1 is separately smoke-checked
     # every round through entry(), so its pin was redundant)
     "r_batch_summary",
-    # the one streaming shape that must never lose coverage (custom
-    # state store; the other s_* queries have r6-fresh evidence)
-    "s_stateful_user_stats",
+    # s_stateful_user_stats was the second pin through r17.  Unpinned
+    # in r18: registering s_upsert_snapshot_read made the registry 147,
+    # and with TWO standing pins the rotating set (145) exceeds the
+    # 3-round slot budget (3 x 48 = 144) by pigeonhole — one query's
+    # evidence would age past the 3-round cadence the judge verifies.
+    # With one pin the budget is 3 x 49 = 147 >= 146 rotating queries:
+    # exactly clean again, and the stateful query itself rotates on
+    # its r17-fresh evidence (least-recently-verified-first guarantees
+    # it re-verifies by r20).
 ]
 
 
