@@ -359,14 +359,18 @@ def s_upsert_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit(tag), F.col("value")).alias("value"),
         )
 
-    sink.write_batch(cells("b0:"), 0)
-    snap = sink.snapshot()
-    # `snap` (the pin holder) stays referenced across both later
-    # writes — the prunes they trigger are the ones the pin must
-    # survive; the derived select below is safe because no prune can
-    # run after the last write
-    sink.write_batch(cells("b1:"), 1)
-    sink.write_batch(cells("b2:"), 2)
+    # same small-batch scoping as the sibling sink drains (the three
+    # LWW merges move ~|keys| cells each; A/B min-of-3 at sf0.1:
+    # 2.82 s unscoped vs 2.62 s scoped)
+    with _scoped_sql_confs(spark, _small_batch_drain_confs(spark, 8)):
+        sink.write_batch(cells("b0:"), 0)
+        snap = sink.snapshot()
+        # `snap` (the pin holder) stays referenced across both later
+        # writes — the prunes they trigger are the ones the pin must
+        # survive; the derived select below is safe because no prune
+        # can run after the last write
+        sink.write_batch(cells("b1:"), 1)
+        sink.write_batch(cells("b2:"), 2)
     return snap.select("rowkey", "cf", "qualifier", "value")
 
 
