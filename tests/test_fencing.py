@@ -271,3 +271,50 @@ def test_compact_refuses_live_writer_token(spark, sf_smoke, tmp_path):
     fence2.idle()
     stats2 = compact_dedup_store(spark, store, min_files=1)
     assert stats2["rewrote"]
+
+
+def test_dedup_layout_race_guard_fires_on_foreign_pin(
+    spark, sf_smoke, tmp_path
+):
+    """ADVICE r17 config.py:164 follow-through: commit_layout now
+    re-reads the marker after publishing, so the batch body's
+    pinned-vs-computed guard can actually fire.  Simulate the race: a
+    concurrent attach pins a DIFFERENT layout between this batch's
+    read and its commit — the batch must refuse to append (its pk
+    values were computed under the losing layout) instead of writing
+    a store whose directories disagree with the marker."""
+    from kafka_spark_streaming_spark.config import commit_layout
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _incremental_dedup_batch,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    store = str(tmp_path / "store")
+    # the racer pins (3, 5) before our batch (session conf defaults
+    # differ: 16/16) reaches its own commit
+    assert commit_layout(store + ".layout", (3, 5)) == (3, 5)
+    docs = table(spark, sf_smoke, "documents").filter(F.col("doc_id") < 30)
+    # no guard trip here: the batch READS the already-pinned marker up
+    # front and computes with it — the race needs the pin to land
+    # mid-batch, which we force by pre-pinning then deleting the
+    # marker so the batch's initial read sees None
+    os.remove(store + ".layout")
+    pinned = {"done": False}
+    import kafka_spark_streaming_spark.operators.streaming_queries as sq
+
+    orig = sq._store_layout
+
+    def racing_layout(sess, sdir, commit=False):
+        if commit and not pinned["done"]:
+            # the concurrent attach wins the marker right before us
+            commit_layout(sdir.rstrip("/") + ".layout", (3, 5))
+            pinned["done"] = True
+        return orig(sess, sdir, commit=commit)
+
+    sq._store_layout = racing_layout
+    try:
+        with pytest.raises(RuntimeError, match="pinned to \\(3, 5\\)"):
+            _incremental_dedup_batch(docs, store)
+    finally:
+        sq._store_layout = orig
+    assert not os.path.exists(store), "losing batch must not create the store"
