@@ -71,6 +71,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -94,6 +95,16 @@ STATE_SCHEMA = T.StructType(
 
 
 MANIFEST_NAME = "_MANIFEST.json"
+
+# snapshot() pins, PROCESS-level and keyed by the store's realpath:
+# {store → [(weakref-to-DataFrame, versions it reads), ...]}.  Held at
+# module scope (not per sink object) so a snapshot handed out by one
+# sink survives the prunes of ANY later attach in this process — e.g.
+# the post-failover writer that fenced the snapshot's sink out.  The
+# lock guards the list rebuild in _prune against a concurrent
+# snapshot() append (foreachBatch driver thread vs main thread).
+_SNAPSHOT_PINS: dict[str, list] = {}
+_SNAPSHOT_LOCK = threading.Lock()
 
 
 class KeyedUpsertSink:
@@ -124,10 +135,10 @@ class KeyedUpsertSink:
         # write_batch, not here — attaching to read must not fence a
         # live writer out.
         self._fence: WriterFence | None = None
-        # snapshot() pins: (weakref-to-DataFrame, versions it reads).
-        # _prune drops entries whose DataFrame was collected, so a pin
-        # lives exactly as long as the handed-out snapshot does.
-        self._snapshots: list[tuple[weakref.ref, set[str]]] = []
+        # snapshot() pins live in the process-level _SNAPSHOT_PINS
+        # registry under this key, so every attach to the same store —
+        # including a post-failover writer — honors them when pruning.
+        self._pin_key = os.path.realpath(path)
 
     def _writer_fence(self) -> WriterFence:
         if self._fence is None:
@@ -276,10 +287,12 @@ class KeyedUpsertSink:
         process (weakref guard — dropping the reference releases the
         pin; no explicit close needed).  Closes current()'s documented
         lazy-across-prune caveat for the in-process reader.  Scope:
-        the pin binds THIS sink object's prunes — which is the store's
-        only pruner under the fenced single-writer contract; a reader
-        in a different process still races vacuum exactly like any
-        time-traveling reader of a vacuumed table format.  The pin is
+        pins are PROCESS-level (a registry keyed by store path), so
+        every pruner in this process honors them — including a
+        post-failover writer pruning past a snapshot its fenced
+        predecessor handed out; a reader in a DIFFERENT process still
+        races vacuum exactly like any time-traveling reader of a
+        vacuumed table format.  The pin is
         held by the RETURNED DataFrame object: keep it referenced
         while derived frames (selects/filters over it) are in use —
         deriving and dropping the original releases the pin at the
@@ -289,7 +302,10 @@ class KeyedUpsertSink:
         if versions:
             head = versions[-1]
             pins = {head} | set(self._manifest(head).values())
-            self._snapshots.append((weakref.ref(df), pins))
+            with _SNAPSHOT_LOCK:
+                _SNAPSHOT_PINS.setdefault(self._pin_key, []).append(
+                    (weakref.ref(df), pins)
+                )
         return df
 
     # -- the upsert -------------------------------------------------------
@@ -469,12 +485,20 @@ class KeyedUpsertSink:
         for v in list(live):
             live.update(self._manifest(v).values())
         # snapshot pins: versions a handed-out snapshot() DataFrame
-        # still references stay live until the DataFrame is collected
-        self._snapshots = [
-            (ref, pins) for (ref, pins) in self._snapshots
-            if ref() is not None
-        ]
-        for _, pins in self._snapshots:
+        # still references stay live until the DataFrame is collected —
+        # process-level, so snapshots from OTHER attaches (the fenced
+        # predecessor's readers) are honored too
+        with _SNAPSHOT_LOCK:
+            alive = [
+                (ref, pins)
+                for (ref, pins) in _SNAPSHOT_PINS.get(self._pin_key, [])
+                if ref() is not None
+            ]
+            if alive:
+                _SNAPSHOT_PINS[self._pin_key] = alive
+            else:
+                _SNAPSHOT_PINS.pop(self._pin_key, None)
+        for _, pins in alive:
             live.update(pins)
         for stale in versions:
             if stale in live:

@@ -204,6 +204,31 @@ def test_upsert_snapshot_survives_pruning(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "cells" / "v_000000000000"))
 
 
+def test_snapshot_survives_post_failover_writers_prunes(spark, tmp_path):
+    """Pins are process-level (r18): a snapshot handed out by the OLD
+    sink must survive prunes performed by the NEW writer that fenced
+    it out — the failover must not vacuum data out from under readers
+    the predecessor already served."""
+    from kafka_spark_streaming_spark.config import UPSERT_STATE_BUCKETS_KEY
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
+    try:
+        old = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    finally:
+        spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
+    old.write_batch(_cells(spark, [("k1", "v1")]), 0)
+    snap = old.snapshot()
+    new = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    new.write_batch(_cells(spark, [("k1", "v2")]), 1)  # fences `old` out
+    new.write_batch(_cells(spark, [("k1", "v3")]), 2)  # would prune v_0
+    assert [(r.rowkey, r.value) for r in snap.collect()] == [("k1", "v1")]
+    del snap
+    gc.collect()
+    new.write_batch(_cells(spark, [("k1", "v4")]), 3)
+    assert not os.path.exists(str(tmp_path / "cells" / "v_000000000000"))
+
+
 # --- dedup store: fenced append + compaction guard ------------------------
 
 

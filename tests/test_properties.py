@@ -659,8 +659,11 @@ def test_scoped_shuffle_partitions_restores_conf_on_error(spark):
     ),
     compact=st.integers(min_value=1, max_value=4),
     usurp_after=st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
+    snap_after=st.one_of(st.none(), st.integers(min_value=1, max_value=4)),
 )
-def test_upsert_sink_equals_lww_model(spark, batches, compact, usurp_after):
+def test_upsert_sink_equals_lww_model(
+    spark, batches, compact, usurp_after, snap_after
+):
     """Model-based check of the r16 rb-partitioned KeyedUpsertSink: a
     random sequence of batches (small key/value alphabets force both
     within-batch collisions and cross-batch overwrites, exercising
@@ -677,7 +680,15 @@ def test_upsert_sink_equals_lww_model(spark, batches, compact, usurp_after):
     path (failover shape) and takes over the remaining batches; once
     it has committed, the old writer's next write must raise
     StaleWriterError and mutate NOTHING — the model only ever sees
-    the usurper's timeline."""
+    the usurper's timeline.
+
+    The drawn SNAPSHOT point (r18, VERDICT r17 #6): after
+    `snap_after` committed writes a snapshot() is taken and the model
+    state at that instant recorded; at the END — after every later
+    write, compaction fold, prune, replay, and possibly a failover to
+    a different sink object — the snapshot must still read exactly
+    that recorded state (pins are process-level, so the usurper's
+    prunes honor the predecessor's snapshot)."""
     import shutil
     import tempfile
 
@@ -694,6 +705,7 @@ def test_upsert_sink_equals_lww_model(spark, batches, compact, usurp_after):
     try:
         sink = KeyedUpsertSink(spark, d)
         old_writer = None  # the fenced-out original, once usurped
+        snap = snap_model = None  # the drawn snapshot + its expected state
         model: dict[str, str] = {}
         writes = 0
         for i, batch in enumerate(batches):
@@ -709,6 +721,9 @@ def test_upsert_sink_equals_lww_model(spark, batches, compact, usurp_after):
                 writes += 1
                 for k in {k for k, _ in batch}:
                     model[k] = max(v for kk, v in batch if kk == k)
+            if snap_after is not None and writes == snap_after:
+                snap, snap_model = sink.snapshot(), dict(model)
+                snap_after = None  # snapshot once
             if usurp_after is not None and writes == usurp_after:
                 old_writer, sink = sink, KeyedUpsertSink(spark, d)
                 usurp_after = None  # usurp once
@@ -742,6 +757,11 @@ def test_upsert_sink_equals_lww_model(spark, batches, compact, usurp_after):
             r["rowkey"]: r["value"] for r in sink.current().collect()
         }
         assert got == model
+        if snap is not None:
+            frozen = {
+                r["rowkey"]: r["value"] for r in snap.collect()
+            }
+            assert frozen == snap_model
     finally:
         spark.conf.unset(UPSERT_COMPACT_VERSIONS_KEY)
         shutil.rmtree(d, ignore_errors=True)
