@@ -73,6 +73,18 @@ UPSERT_STATE_BUCKETS_DEFAULT = 8
 UPSERT_COMPACT_VERSIONS_KEY = "spark.kss.sink.upsertCompactVersions"
 UPSERT_COMPACT_VERSIONS_DEFAULT = 8
 
+# -- keyed-upsert sink: version retention -------------------------------------
+# How many committed heads the sink's prune keeps (time-travel
+# window).  Versions referenced by a kept head's manifest or by a
+# live snapshot() pin are ALWAYS retained regardless of this number —
+# the knob only widens the deliberate-retention window for readers
+# that want to lag the head (a Delta/Iceberg
+# retentionDurationCheck analogue, counted in versions because the
+# sink's cadence is batch-driven).  POLICY knob: read per attach,
+# never persisted — any value >= 1 yields a correct store.
+UPSERT_KEEP_VERSIONS_KEY = "spark.kss.sink.upsertKeepVersions"
+UPSERT_KEEP_VERSIONS_DEFAULT = 2
+
 # -- incremental near-dedup: drain-integrated store compaction ---------------
 # The dedup store appends one file per (batch, touched leaf) by
 # design; compact_dedup_store (operators/store_maintenance.py) folds
@@ -135,6 +147,12 @@ def upsert_state_buckets(spark: SparkSession) -> int:
 def upsert_compact_versions(spark: SparkSession) -> int:
     return _int_conf(
         spark, UPSERT_COMPACT_VERSIONS_KEY, UPSERT_COMPACT_VERSIONS_DEFAULT
+    )
+
+
+def upsert_keep_versions(spark: SparkSession) -> int:
+    return _int_conf(
+        spark, UPSERT_KEEP_VERSIONS_KEY, UPSERT_KEEP_VERSIONS_DEFAULT
     )
 
 

@@ -112,12 +112,14 @@ class KeyedUpsertSink:
         from kafka_spark_streaming_spark.config import (
             persisted_layout,
             upsert_compact_versions,
+            upsert_keep_versions,
             upsert_state_buckets,
         )
 
         self.spark = spark
         self.path = path
         self.compact_versions = upsert_compact_versions(spark)
+        self.keep_versions = upsert_keep_versions(spark)
         os.makedirs(path, exist_ok=True)
         # The bucket count is a property of the STORE, not the
         # session: reopening an rb-partitioned store under a different
@@ -308,6 +310,32 @@ class KeyedUpsertSink:
                 )
         return df
 
+    def history(self) -> list[dict]:
+        """Retained-version metadata, oldest first — the DESCRIBE
+        HISTORY analogue for the versioned-parquet store.  Driver-side
+        file metadata only (no Spark job): per retained version, its
+        batch_id, how many live rb partitions its manifest references,
+        how many of those it physically owns, and whether it is the
+        head.  A version retained only because a newer manifest or a
+        live snapshot pin references its files still appears — it is
+        readable state."""
+        versions = self._versions()
+        out = []
+        for v in versions:
+            manifest = self._manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "batch_id": int(v[2:]),
+                    "live_partitions": len(manifest),
+                    "owned_partitions": sum(
+                        1 for owner in manifest.values() if owner == v
+                    ),
+                    "is_head": v == versions[-1],
+                }
+            )
+        return out
+
     # -- the upsert -------------------------------------------------------
     def _merged_state(
         self, stamped: DataFrame, batch_id: int, rbs: list
@@ -413,7 +441,7 @@ class KeyedUpsertSink:
                     if os.path.exists(out):
                         shutil.rmtree(out)
                     os.rename(tmp, out)
-                    self._prune(keep=2)
+                    self._prune(keep=self.keep_versions)
                     return
             if flat_head:
                 # pre-r16 unpartitioned head: one full merge migrates
@@ -464,7 +492,7 @@ class KeyedUpsertSink:
             if os.path.exists(out):
                 shutil.rmtree(out)
             os.rename(tmp, out)
-            self._prune(keep=2)
+            self._prune(keep=self.keep_versions)
         finally:
             stamped.unpersist()
 

@@ -343,3 +343,36 @@ def test_dedup_layout_race_guard_fires_on_foreign_pin(
     finally:
         sq._store_layout = orig
     assert not os.path.exists(store), "losing batch must not create the store"
+
+
+def test_upsert_keep_versions_knob_and_history(spark, tmp_path):
+    """spark.kss.sink.upsertKeepVersions widens the retention window
+    (r18 — keep was hardcoded at 2), and history() reports every
+    retained version with its ownership stats.  buckets=1 so each
+    write owns the single partition and old versions are retained by
+    the keep window alone."""
+    from kafka_spark_streaming_spark.config import (
+        UPSERT_KEEP_VERSIONS_KEY,
+        UPSERT_STATE_BUCKETS_KEY,
+    )
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
+    spark.conf.set(UPSERT_KEEP_VERSIONS_KEY, "3")
+    try:
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    finally:
+        spark.conf.unset(UPSERT_KEEP_VERSIONS_KEY)
+        spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
+    for i in range(5):
+        sink.write_batch(_cells(spark, [("k1", f"v{i}")]), i)
+    hist = sink.history()
+    assert [h["batch_id"] for h in hist] == [2, 3, 4]
+    assert hist[-1]["is_head"] and not hist[0]["is_head"]
+    assert all(
+        h["live_partitions"] == h["owned_partitions"] == 1 for h in hist
+    )
+    # default retention (2) on a fresh attach prunes back down
+    sink2 = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    sink2.write_batch(_cells(spark, [("k1", "v5")]), 5)
+    assert [h["batch_id"] for h in sink2.history()] == [4, 5]
