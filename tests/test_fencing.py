@@ -376,3 +376,61 @@ def test_upsert_keep_versions_knob_and_history(spark, tmp_path):
     sink2 = KeyedUpsertSink(spark, str(tmp_path / "cells"))
     sink2.write_batch(_cells(spark, [("k1", "v5")]), 5)
     assert [h["batch_id"] for h in sink2.history()] == [4, 5]
+
+
+def test_compact_cooperative_abort_before_delete_is_crash_shaped(
+    spark, sf_smoke, tmp_path
+):
+    """Cooperative compaction whose fence goes stale mid-pass must
+    abort at the delete phase: the already-appended compacted files
+    are bit-identical duplicates every read path collapses (exactly a
+    crash-window state), no original file is removed, and a later
+    legitimate pass cleans it all up."""
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        _data_files,
+        _leaf_dirs,
+        compact_dedup_store,
+    )
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _incremental_dedup_batch,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    store = str(tmp_path / "store")
+    marker = store + ".epoch"
+    docs = table(spark, sf_smoke, "documents")
+    fence = WriterFence.acquire(marker, purpose="drain")
+    for b in range(2):
+        _incremental_dedup_batch(
+            docs.filter(F.col("doc_id") % 2 == b), store, fence=fence
+        )
+
+    def kept(d):
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(d)
+            .filter((F.col("kind") == "p") & F.col("kept"))
+            .dropDuplicates(["doc_id"])
+            .collect()
+        )
+
+    expect = kept(store)
+    files_before = sum(len(_data_files(leaf)) for leaf in _leaf_dirs(store))
+    # the fence goes stale before the pass reaches its delete phase
+    # (failover landed mid-compaction)
+    usurper = WriterFence.acquire(marker, purpose="drain-2")
+    with pytest.raises(StaleWriterError):
+        compact_dedup_store(spark, store, fence=fence)
+    files_after_abort = sum(
+        len(_data_files(leaf)) for leaf in _leaf_dirs(store)
+    )
+    assert files_after_abort > files_before, (
+        "the abort point is AFTER the append phase — duplicates must "
+        "exist, originals must not have been deleted"
+    )
+    assert kept(store) == expect  # duplicate-tolerant reads unchanged
+    # the usurping drain's own cooperative pass folds everything back
+    stats = compact_dedup_store(spark, store, fence=usurper, min_files=1)
+    assert stats["rewrote"]
+    assert all(len(_data_files(leaf)) == 1 for leaf in _leaf_dirs(store))
+    assert kept(store) == expect
