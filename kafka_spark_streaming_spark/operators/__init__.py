@@ -39,25 +39,19 @@ from kafka_spark_streaming_spark.operators import streaming_queries  # noqa: E40
 #      count so old evidence keeps refreshing once tier 2 drains;
 #   4. rows-only queries last, so a capped window always lands on
 #      hash-verifiable queries first.
-_PINNED_CORE = [
-    # reference parity flagship (T1-T4+T6+T7+T9 in one query); the other
-    # r_* and s_* queries rotate with everything else — r6 just
-    # re-proved them, so pinning more would spend ~50-window slots
-    # re-checking the freshest evidence while 44 queries wait on
-    # pre-fixture-regeneration rows (VERDICT r6 next-round #1: with 4
-    # new r7 queries in the unchecked tier, 2 pinned + 4 new + 44 stale
-    # fills the 50-slot window exactly; q1 is separately smoke-checked
-    # every round through entry(), so its pin was redundant)
-    "r_batch_summary",
-    # s_stateful_user_stats was the second pin through r17.  Unpinned
-    # in r18: registering s_upsert_snapshot_read made the registry 147,
-    # and with TWO standing pins the rotating set (145) exceeds the
-    # 3-round slot budget (3 x 48 = 144) by pigeonhole — one query's
-    # evidence would age past the 3-round cadence the judge verifies.
-    # With one pin the budget is 3 x 49 = 147 >= 146 rotating queries:
-    # exactly clean again, and the stateful query itself rotates on
-    # its r17-fresh evidence (least-recently-verified-first guarantees
-    # it re-verifies by r20).
+_PINNED_CORE: list[str] = [
+    # EMPTY since r18 (was r_batch_summary + s_stateful_user_stats
+    # through r17).  Every standing pin burns one of the 50 driver
+    # slots EVERY round, shrinking the rotating budget below the
+    # registry: at 148 registered queries the 3-round cover needs
+    # 3 x 50 = 150 slots and holds with 2 slack at zero pins, but
+    # already breaks by pigeonhole with one pin and two new queries
+    # in a round (147 rotating > 3 x 49 - 2).  The pins were never
+    # load-bearing for coverage — least-recently-verified-first makes
+    # every query re-verify within ceil(148/50) = 3 rounds regardless
+    # — and the flagship keeps its every-round smoke through entry().
+    # The mechanism stays for any future query that genuinely must
+    # re-verify every round.
 ]
 
 

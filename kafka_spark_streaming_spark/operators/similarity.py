@@ -573,6 +573,58 @@ def ivf_assign_arrow(e: DataFrame, cmat) -> DataFrame:
     )
 
 
+def ivf_init_centroids(rows, n_cells: int = _IVF_CELLS):
+    """Normalized strided-init centroid matrix from the collected
+    (vec_id-ordered) init rows — shared by the session index build and
+    the streaming index's batch-0 training (r18), so the deterministic
+    construction recipe cannot drift between the two."""
+    import numpy as np
+
+    cmat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    return cmat
+
+
+def lloyd_refine(assigned: DataFrame, cmat):
+    """One Lloyd step: re-center each cell over its assigned vectors
+    (posexplode → per-(cell, dim) avg, ONE shuffle), keep the init
+    centroid for empty cells, re-normalize.  Bounded collect:
+    n_cells rows.  Factored out of session_ivf_index (r18) so the
+    streaming IVF index trains its frozen quantizer with bit-identical
+    code."""
+    import numpy as np
+
+    centers = (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s.m).alias("centroid"))
+        .collect()
+    )
+    cmat2 = cmat.copy()
+    for r in centers:
+        v = np.array(r.centroid, dtype=np.float64)
+        n = np.linalg.norm(v)
+        if n > 0:
+            cmat2[r.cell] = v / n
+    return cmat2
+
+
+def ivf_probe_cells(q_rows, cmat2, n_probe: int = _IVF_PROBE):
+    """Per-query probed-cell lists: stable argsort of -(Q @ C.T) so an
+    exact dot-product tie ranks 'dot DESC, cell ASC' like the oracle
+    (default quicksort breaks ties arbitrarily and could probe
+    different cells).  Shared by sim_ann_ivf and the streaming index's
+    read path (r18)."""
+    import numpy as np
+
+    qmat = np.array([list(r.embedding) for r in q_rows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    return np.argsort(-(qmat @ cmat2.T), axis=1, kind="stable")[:, :n_probe]
+
+
 def session_ivf_index(spark: SparkSession, sf_dir: str,
                       n_cells: int = _IVF_CELLS):
     """The corpus' IVF index — (vec_id, embedding, cell) rows plus the
@@ -591,8 +643,6 @@ def session_ivf_index(spark: SparkSession, sf_dir: str,
     assignment — 8.3 s warm at sf0.1, the slowest batch query in the
     registry (SWEEP_r11); the memoized artifact probe is ~0.3 s and the
     one-time build ~1.5 s, reported in derived_build_sec."""
-    import numpy as np
-
     from kafka_spark_streaming_spark.tables import session_checkpoint
 
     def build():
@@ -609,25 +659,9 @@ def session_ivf_index(spark: SparkSession, sf_dir: str,
             .orderBy("vec_id")
             .collect()
         )
-        cmat = np.array([list(r.embedding) for r in init], dtype=np.float64)
-        cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+        cmat = ivf_init_centroids(init, n_cells)
         # one Lloyd step: re-center each cell (posexplode → per-dim avg)
-        assigned = ivf_assign_arrow(e, cmat)
-        centers = (
-            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell", F.transform("pm", lambda s: s.m).alias("centroid"))
-            .collect()
-        )
-        cmat2 = cmat.copy()
-        for r in centers:
-            v = np.array(r.centroid, dtype=np.float64)
-            n = np.linalg.norm(v)
-            if n > 0:
-                cmat2[r.cell] = v / n
+        cmat2 = lloyd_refine(ivf_assign_arrow(e, cmat), cmat)
         return ivf_assign_arrow(e, cmat2), cmat2
 
     return session_checkpoint(
@@ -658,22 +692,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str,
     cluster structure), so recall ≈ scanned fraction; tests assert
     exactly that relationship rather than a vanity recall number.
     """
-    import numpy as np
-
     index, cmat2 = session_ivf_index(spark, sf_dir, n_cells)
     corpus = index.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
         "cell",
     )
-    # queries probe their n_probe nearest cells
+    # queries probe their n_probe nearest cells (stable tie-break —
+    # see ivf_probe_cells)
     q = index.filter(F.col("vec_id") < N_QUERIES).collect()
-    qmat = np.array([list(r.embedding) for r in q], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    # stable sort: on an exact dot-product tie the oracle ranks
-    # 'dot DESC, cell ASC'; default argsort (quicksort) breaks ties
-    # arbitrarily and could probe different cells
-    probes = np.argsort(-(qmat @ cmat2.T), axis=1, kind="stable")[:, :n_probe]
+    probes = ivf_probe_cells(q, cmat2, n_probe)
     probe_rows = [
         (int(r.vec_id), list(r.embedding), [int(c) for c in probes[i]])
         for i, r in enumerate(q)

@@ -51,7 +51,7 @@ _seq = itertools.count()
 _SCRATCH_PREFIXES = (
     "kss_ckpt_", "kss_pipe_", "kss_rollup_", "kss_rck_", "kss_topk_",
     "kss_tck_", "kss_hll_", "kss_hck_", "kss_increddup_", "kss_s5_",
-    "kss_s5ck_", "kss_snap_",
+    "kss_s5ck_", "kss_snap_", "kss_sivf_",
 )
 
 
@@ -692,29 +692,41 @@ def s_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # touches only matching buckets), then exact verification of the
 # candidate pairs alone. Per batch nothing rescans history except the
 # banded index lookup — the standard incremental-LSH design.
-def _docs_ordered_batches(
-    spark: SparkSession, sf_dir: str, n_batches: int
+def _table_ordered_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int,
+    tbl: str,
+    id_col: str,
+    cols: list[str],
+    prefix: str,
 ) -> DataFrame:
-    """documents.parquet as n_batches real micro-batches in doc_id
-    order (file mtimes force oldest-first processing)."""
+    """A fixture table as n_batches real micro-batches in id order
+    (file mtimes force oldest-first processing).  Batch i covers
+    ids [i*step, (i+1)*step) with step = max((max_id+1)//n, 1) and the
+    last batch taking the remainder — a DETERMINISTIC split an oracle
+    can reproduce in SQL (the streaming-IVF oracle leans on exactly
+    this for its training-batch cutoff).  Generalized from the
+    documents-only splitter in r18; the docs split dir naming is
+    unchanged, so existing split caches stay valid."""
     import glob
     import shutil
 
     from kafka_spark_streaming_spark.tables import fixture_fingerprint
     from kafka_spark_streaming_spark.tables import table as _table
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    # fixture fingerprint in the cache key: a regenerated
-    # documents.parquet must invalidate the split (round-5 drift class)
+    df = _table(spark, sf_dir, tbl).select(*cols)
+    # fixture fingerprint in the cache key: a regenerated fixture
+    # must invalidate the split (round-5 drift class)
     tag = (
         f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{n_batches}_{fixture_fingerprint(sf_dir, 'documents')}"
+        f"_{n_batches}_{fixture_fingerprint(sf_dir, tbl)}"
     )
-    split_dir = os.path.join(tempfile.gettempdir(), f"kss_docsplit_{tag}")
+    split_dir = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     # drop the old fingerprint's stranded split copy on regeneration
     from kafka_spark_streaming_spark.tables import prune_stale_siblings
 
-    prune_stale_siblings("kss_docsplit", tag)
+    prune_stale_siblings(prefix, tag)
     if not os.path.exists(os.path.join(split_dir, "_DONE")):
         # build in a process-unique dir, atomically rename into place:
         # two concurrent harness processes must not interleave writes
@@ -722,15 +734,15 @@ def _docs_ordered_batches(
         build_dir = f"{split_dir}.build{os.getpid()}"
         shutil.rmtree(build_dir, ignore_errors=True)
         os.makedirs(build_dir)
-        n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-        step = max(n_docs // n_batches, 1)
+        n_rows = df.agg(F.max(id_col)).collect()[0][0] + 1
+        step = max(n_rows // n_batches, 1)
         for i in range(n_batches):
             lo = i * step
-            hi = n_docs if i == n_batches - 1 else (i + 1) * step
+            hi = n_rows if i == n_batches - 1 else (i + 1) * step
             part_dir = os.path.join(build_dir, f"_part{i}")
             (
-                docs.filter(
-                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                df.filter(
+                    (F.col(id_col) >= lo) & (F.col(id_col) < hi)
                 )
                 .coalesce(1)
                 .write.mode("overwrite")
@@ -748,9 +760,33 @@ def _docs_ordered_batches(
         except OSError:  # another process won the race
             shutil.rmtree(build_dir, ignore_errors=True)
     return (
-        spark.readStream.schema(docs.schema)
+        spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(split_dir)
+    )
+
+
+def _docs_ordered_batches(
+    spark: SparkSession, sf_dir: str, n_batches: int
+) -> DataFrame:
+    """documents.parquet as n_batches real micro-batches in doc_id
+    order (file mtimes force oldest-first processing)."""
+    return _table_ordered_batches(
+        spark, sf_dir, n_batches,
+        tbl="documents", id_col="doc_id", cols=["doc_id", "text"],
+        prefix="kss_docsplit",
+    )
+
+
+def _embeddings_ordered_batches(
+    spark: SparkSession, sf_dir: str, n_batches: int
+) -> DataFrame:
+    """embeddings.parquet as n_batches real micro-batches in vec_id
+    order — the ingest stream for the incremental ANN index (r18)."""
+    return _table_ordered_batches(
+        spark, sf_dir, n_batches,
+        tbl="embeddings", id_col="vec_id", cols=["vec_id", "embedding"],
+        prefix="kss_embsplit",
     )
 
 
@@ -1300,3 +1336,259 @@ def s_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- streaming incremental ANN index (IVF cells as an append store) -------
+# The embedding-ingest half of a production vector pipeline: the
+# coarse quantizer is FROZEN from the first micro-batch (the standard
+# IVF practice — FAISS trains the quantizer on a sample, then inverted
+# lists grow by appends), every later batch assigns its vectors with
+# one Arrow matmul and appends them under cell= partitions, and a
+# query probe prunes to its n_probe nearest cells at the DIRECTORY
+# level — partition pruning IS the index, and the index grows without
+# ever re-clustering or rescanning history.  Batch ≡ stream exactly
+# (assignment depends only on the frozen centroids and the row), so
+# the oracle replays the whole construction in SQL with the training
+# set restricted to the deterministic first-batch id range.
+_SIVF_BATCHES = 3
+
+
+def _sivf_oracle() -> str:
+    from kafka_spark_streaming_spark.operators.similarity import (
+        _IVF_CELLS,
+        _IVF_DIM,
+        _IVF_PROBE,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cutoff AS (SELECT GREATEST((MAX(vec_id) + 1) // {_SIVF_BATCHES}, 1)
+                      AS cut FROM e),
+    tr AS (SELECT e.* FROM e, cutoff WHERE e.vec_id < cutoff.cut),
+    p AS (SELECT GREATEST(COUNT(*) // {_IVF_CELLS}, 1) AS stride FROM tr),
+    init AS (
+      SELECT CAST(tr.vec_id // p.stride AS INT) AS cell,
+             list_transform(tr.v,
+               x -> x / sqrt(list_dot_product(tr.v, tr.v))) AS c
+      FROM tr, p
+      WHERE tr.vec_id % p.stride = 0 AND tr.vec_id < p.stride * {_IVF_CELLS}
+    ),
+    assign1 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT tr.vec_id, tr.v, i.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY tr.vec_id
+                 ORDER BY list_dot_product(tr.v, i.c)
+                          / sqrt(list_dot_product(tr.v, tr.v)) DESC,
+                          i.cell DESC) AS rn
+        FROM tr CROSS JOIN init i)
+      WHERE rn = 1
+    ),
+    dims AS (
+      SELECT a.cell, gs.d AS pos, AVG(a.v[gs.d]) AS m
+      FROM assign1 a CROSS JOIN generate_series(1, {_IVF_DIM}) AS gs(d)
+      GROUP BY a.cell, gs.d
+    ),
+    newc AS (
+      SELECT cell, LIST(m ORDER BY pos) AS raw FROM dims GROUP BY cell
+    ),
+    cent2 AS (
+      SELECT i.cell,
+             CASE WHEN n.raw IS NOT NULL
+                       AND sqrt(list_dot_product(n.raw, n.raw)) > 0
+                  THEN list_transform(n.raw,
+                         x -> x / sqrt(list_dot_product(n.raw, n.raw)))
+                  ELSE i.c END AS c
+      FROM init i LEFT JOIN newc n USING (cell)
+    ),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, c.c)
+                          / sqrt(list_dot_product(e.v, e.v)) DESC,
+                          c.cell DESC) AS rn
+        FROM e CROSS JOIN cent2 c)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, c.c) DESC,
+                          c.cell ASC) AS rn
+        FROM e q CROSS JOIN cent2 c WHERE q.vec_id < {N_QUERIES})
+      WHERE rn <= {_IVF_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, co.neighbor_id,
+             floor(list_cosine_similarity(p.qv, co.cv) * 1e9 + 0.5) / 1e9 AS s
+      FROM corpus co JOIN probes p USING (cell)
+      WHERE p.query_id <> co.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(s, 6) AS score, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@register("s_incremental_ann_ivf", _sivf_oracle())
+def s_incremental_ann_ivf(
+    spark: SparkSession, sf_dir: str, n_batches: int = _SIVF_BATCHES
+) -> DataFrame:
+    """Streaming IVF index maintenance + probe (r18): micro-batch 0
+    trains the coarse quantizer (same deterministic recipe as
+    sim_ann_ivf's session index — strided init + one Lloyd step,
+    shared helpers so the code cannot drift) and freezes it as a
+    sidecar; every batch assigns its vectors against the frozen
+    centroids (one Arrow matmul per batch, ivf_assign_arrow) and
+    appends them in ONE cell-partitioned job.  The post-drain probe
+    reads ONLY the probed cell= directories (PartitionFilters — the
+    inverted-list lookup is directory pruning), exact-cosine reranks,
+    and returns the same top-k contract as sim_ann_ivf.
+
+    Scale shape: per-batch cost is one matmul + one append — history
+    is never rescanned and the quantizer is never retrained; the
+    store is the dedup/upsert stores' third sibling (fenced
+    single-writer, append-only, partition-pruned probes,
+    duplicate-tolerant reads so a foreachBatch replay's bit-identical
+    re-append is collapsed by the read-side dropDuplicates).
+
+    Batch ≡ stream: assignment depends only on (frozen centroids,
+    row), so the DuckDB oracle replays the construction with the
+    training set restricted to batch 0's deterministic id range
+    [0, (max_id+1) // n_batches)."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from kafka_spark_streaming_spark.fencing import WriterFence
+    from kafka_spark_streaming_spark.functions import cosine_similarity
+    from kafka_spark_streaming_spark.operators.similarity import (
+        _IVF_CELLS,
+        _topk,
+        ivf_assign_arrow,
+        ivf_init_centroids,
+        ivf_probe_cells,
+        lloyd_refine,
+    )
+
+    stream = _embeddings_ordered_batches(spark, sf_dir, n_batches)
+    run_dir = _scratch_dir("kss_sivf_")
+    store_dir = os.path.join(run_dir, "store")
+    cent_path = store_dir + ".centroids.json"
+    fence = WriterFence.acquire(
+        store_dir + ".epoch", purpose="incremental-ann-ivf"
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        if not os.path.exists(cent_path):
+            # FIRST non-empty batch trains and freezes the quantizer.
+            # A replay of this batch finds the sidecar and skips the
+            # rebuild (the build is deterministic anyway); the write
+            # is tmp+rename atomic so a crash mid-write cannot leave
+            # a torn centroid file.
+            stride = max(n // _IVF_CELLS, 1)
+            init = (
+                batch_df.filter(
+                    (F.col("vec_id") % stride == 0)
+                    & (F.col("vec_id") < stride * _IVF_CELLS)
+                )
+                .orderBy("vec_id")
+                .collect()  # bounded: <= n_cells rows
+            )
+            cmat = ivf_init_centroids(init)
+            cmat2 = lloyd_refine(ivf_assign_arrow(batch_df, cmat), cmat)
+            tmp = f"{cent_path}.tmp{os.getpid()}"
+            with open(tmp, "w") as fh:
+                _json.dump([[float(x) for x in row] for row in cmat2], fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.rename(tmp, cent_path)
+        with open(cent_path) as fh:
+            cmat2 = np.array(_json.load(fh), dtype=np.float64)
+        assigned = ivf_assign_arrow(batch_df, cmat2)
+        # commit point: the cell-partitioned append is the batch's one
+        # store mutation — fenced like the dedup store's
+        fence.check()
+        (
+            assigned.repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(store_dir)
+        )
+
+    with _scoped_sql_confs(spark, _small_batch_drain_confs(spark, 8)):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    fence.idle()
+
+    with open(cent_path) as fh:
+        cmat2 = np.array(_json.load(fh), dtype=np.float64)
+    # queries come from the fixture table (their embeddings are
+    # identical to the store's rows; the table read keeps the bounded
+    # N_QUERIES collect off the partitioned store)
+    from kafka_spark_streaming_spark.operators.similarity import N_QUERIES
+
+    q_rows = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .collect()  # bounded: N_QUERIES rows
+    )
+    probes = ivf_probe_cells(q_rows, cmat2)
+    probe_rows = [
+        (int(r.vec_id), list(r.embedding), [int(c) for c in probes[i]])
+        for i, r in enumerate(q_rows)
+    ]
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<float>, cells array<int>"
+    ).select("query_id", "qv", F.explode("cells").alias("cell"))
+    needed = sorted({int(c) for row in probes for c in row})
+    # explicit schema (no footer-inference job — same job-floor lever
+    # as the dedup-store probes); the cell.isin filter prunes at the
+    # DIRECTORY level because cell is a partition column
+    store_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+    corpus = (
+        spark.read.schema(store_schema)
+        .parquet(store_dir)
+        .filter(F.col("cell").isin(needed))
+        # replay tolerance: a retried batch re-appends bit-identical
+        # rows; each vec_id lives in exactly one cell, so the dedup is
+        # complete within the pruned subset
+        .dropDuplicates(["vec_id"])
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            "cell",
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(qdf), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("s", cosine_similarity(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "s")
+    )
+    return _topk(scored)

@@ -111,6 +111,11 @@ SMOKE = [
     # 1.3x at 10x data; the replicas all collapse to rejected, kept
     # set identical to sf0.1's 4756).
     "s_incremental_near_dedup",
+    # r18: the streaming IVF index at 10x corpus — per-batch cost must
+    # stay one matmul + one cell-partitioned append (history never
+    # rescanned, quantizer frozen from batch 0), and the probe must
+    # stay ~flat (it reads n_probe cell directories, not the corpus).
+    "s_incremental_ann_ivf",
     # r16: the retuned stream-stream join (8 -> 4 state-store
     # partitions) at 10x events — the r16 A/B showed per-partition
     # commit overhead dominates at BOTH scales (4.15 s at 10x vs

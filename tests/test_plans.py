@@ -1353,3 +1353,23 @@ def test_incremental_dedup_skips_empty_batch(spark, tmp_path, sf_smoke):
         .count()
     )
     assert kept > 0
+
+
+def test_incremental_ann_probe_prunes_cell_partitions(spark, sf_smoke):
+    """The streaming IVF index's probe (r18): the store read behind
+    the returned top-k must carry PartitionFilters on `cell` — the
+    inverted-list lookup is DIRECTORY pruning of the probed cells,
+    never a full-store scan — and the query-side join must broadcast
+    (the probe table is N_QUERIES x n_probe rows)."""
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        s_incremental_ann_ivf,
+    )
+
+    df = s_incremental_ann_ivf(spark, sf_smoke)
+    lines, plan = _partition_filter_lines(spark, df)
+    cell_pf = [
+        ln for ln in lines if "cell" in ln and ("IN" in ln or "in(" in ln)
+    ]
+    assert cell_pf, f"no cell PartitionFilters on the store scan:\n{plan}"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan, "probe join must broadcast"
