@@ -1490,32 +1490,45 @@ def s_incremental_ann_ivf(
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        if n == 0:
-            return
         if not os.path.exists(cent_path):
             # FIRST non-empty batch trains and freezes the quantizer.
             # A replay of this batch finds the sidecar and skips the
             # rebuild (the build is deterministic anyway); the write
             # is tmp+rename atomic so a crash mid-write cannot leave
-            # a torn centroid file.
-            stride = max(n // _IVF_CELLS, 1)
-            init = (
-                batch_df.filter(
-                    (F.col("vec_id") % stride == 0)
-                    & (F.col("vec_id") < stride * _IVF_CELLS)
+            # a torn centroid file.  The batch is scanned three times
+            # here (count, init collect, Lloyd assignment) plus once
+            # by the append — persisted for the build only; later
+            # batches are scanned exactly once (the append) and skip
+            # the count job entirely (a 0-row append is a harmless
+            # no-op once the store and sidecar exist).
+            batch_df.persist()
+            try:
+                n = batch_df.count()
+                if n == 0:
+                    return
+                stride = max(n // _IVF_CELLS, 1)
+                init = (
+                    batch_df.filter(
+                        (F.col("vec_id") % stride == 0)
+                        & (F.col("vec_id") < stride * _IVF_CELLS)
+                    )
+                    .orderBy("vec_id")
+                    .collect()  # bounded: <= n_cells rows
                 )
-                .orderBy("vec_id")
-                .collect()  # bounded: <= n_cells rows
-            )
-            cmat = ivf_init_centroids(init)
-            cmat2 = lloyd_refine(ivf_assign_arrow(batch_df, cmat), cmat)
-            tmp = f"{cent_path}.tmp{os.getpid()}"
-            with open(tmp, "w") as fh:
-                _json.dump([[float(x) for x in row] for row in cmat2], fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.rename(tmp, cent_path)
+                cmat = ivf_init_centroids(init)
+                cmat2 = lloyd_refine(
+                    ivf_assign_arrow(batch_df, cmat), cmat
+                )
+                tmp = f"{cent_path}.tmp{os.getpid()}"
+                with open(tmp, "w") as fh:
+                    _json.dump(
+                        [[float(x) for x in row] for row in cmat2], fh
+                    )
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.rename(tmp, cent_path)
+            finally:
+                batch_df.unpersist()
         with open(cent_path) as fh:
             cmat2 = np.array(_json.load(fh), dtype=np.float64)
         assigned = ivf_assign_arrow(batch_df, cmat2)
