@@ -101,6 +101,14 @@ UPSERT_KEEP_VERSIONS_DEFAULT = 2
 DEDUP_COMPACT_EVERY_KEY = "spark.kss.dedup.compactEveryNBatches"
 DEDUP_COMPACT_EVERY_DEFAULT = 0
 
+# -- streaming IVF index: drain-integrated store compaction -------------------
+# The cell-partitioned ANN store has the same one-file-per-(batch,
+# leaf) growth profile as the dedup store; this is the same in-drain
+# maintenance policy for it (store_maintenance.compact_ann_store,
+# cooperative fence mode).  Default 0 = off.
+ANN_COMPACT_EVERY_KEY = "spark.kss.ann.compactEveryNBatches"
+ANN_COMPACT_EVERY_DEFAULT = 0
+
 # -- streaming drains: AQE policy for small-batch drains ---------------------
 # The r17 job-floor decomposition showed AQE's stage-by-stage
 # materialization multiplying tiny per-batch plans into 4-6 job
@@ -156,17 +164,29 @@ def upsert_keep_versions(spark: SparkSession) -> int:
     )
 
 
-def dedup_compact_every(spark: SparkSession) -> int:
-    """Compaction cadence for the incremental-dedup drain; 0 = off
-    (unlike the bucket knobs, 0 is a valid — and the default —
-    setting, so this one bypasses _int_conf's >= 1 floor)."""
-    raw = spark.conf.get(DEDUP_COMPACT_EVERY_KEY, None)
+def _cadence_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Compaction-cadence knobs; 0 = off (unlike the bucket knobs, 0
+    is a valid — and the default — setting, so these bypass
+    _int_conf's >= 1 floor)."""
+    raw = spark.conf.get(key, None)
     if raw is None:
-        return DEDUP_COMPACT_EVERY_DEFAULT
+        return default
     n = int(raw)
     if n < 0:
-        raise ValueError(f"{DEDUP_COMPACT_EVERY_KEY} must be >= 0, got {n}")
+        raise ValueError(f"{key} must be >= 0, got {n}")
     return n
+
+
+def dedup_compact_every(spark: SparkSession) -> int:
+    return _cadence_conf(
+        spark, DEDUP_COMPACT_EVERY_KEY, DEDUP_COMPACT_EVERY_DEFAULT
+    )
+
+
+def ann_compact_every(spark: SparkSession) -> int:
+    return _cadence_conf(
+        spark, ANN_COMPACT_EVERY_KEY, ANN_COMPACT_EVERY_DEFAULT
+    )
 
 
 def read_layout(marker_path: str, arity: int) -> tuple[int, ...] | None:

@@ -64,10 +64,12 @@ from kafka_spark_streaming_spark.fencing import (
 )
 
 
-def _leaf_dirs(store_dir: str) -> list[str]:
+def _leaf_dirs(
+    store_dir: str, leaf_glob: str = os.path.join("kind=*", "pk=*")
+) -> list[str]:
     return sorted(
         d
-        for d in glob.glob(os.path.join(store_dir, "kind=*", "pk=*"))
+        for d in glob.glob(os.path.join(store_dir, leaf_glob))
         if os.path.isdir(d)
     )
 
@@ -88,7 +90,59 @@ def compact_dedup_store(
     force: bool = False,
 ) -> dict:
     """Fold every (kind, pk) leaf of an incremental-dedup store back to
-    one file.  Returns {leaves, files_before, files_after, rewrote}.
+    one file — the dedup-store instance of the generic
+    compact_partitioned_store below (kept as the named public surface
+    its CLI/tests/drain wiring use)."""
+    return compact_partitioned_store(
+        spark,
+        store_dir,
+        partition_cols=["kind", "pk"],
+        leaf_glob=os.path.join("kind=*", "pk=*"),
+        min_files=min_files,
+        fence=fence,
+        force=force,
+        purpose="compact-dedup-store",
+    )
+
+
+def compact_ann_store(
+    spark: SparkSession,
+    store_dir: str,
+    min_files: int = 2,
+    fence: WriterFence | None = None,
+    force: bool = False,
+) -> dict:
+    """Fold every cell= leaf of a streaming-IVF index store back to
+    one file (r18).  The IVF store has the identical growth and
+    duplicate-tolerance profile as the dedup store (one file per
+    (batch, touched cell); replayed batches re-append bit-identical
+    rows that the read-side dropDuplicates(vec_id) collapses), so the
+    same crash-safe append-first/delete-last pass applies verbatim —
+    only the leaf layout differs."""
+    return compact_partitioned_store(
+        spark,
+        store_dir,
+        partition_cols=["cell"],
+        leaf_glob="cell=*",
+        min_files=min_files,
+        fence=fence,
+        force=force,
+        purpose="compact-ann-store",
+    )
+
+
+def compact_partitioned_store(
+    spark: SparkSession,
+    store_dir: str,
+    partition_cols: list[str],
+    leaf_glob: str,
+    min_files: int = 2,
+    fence: WriterFence | None = None,
+    force: bool = False,
+    purpose: str = "compact-store",
+) -> dict:
+    """Fold every leaf of a partitioned append store back to one file.
+    Returns {leaves, files_before, files_after, rewrote}.
 
     Steps (order is the crash-safety argument — see module docstring):
       1. snapshot the current data files per leaf (the deletion set);
@@ -115,18 +169,18 @@ def compact_dedup_store(
         tok = live_writer(marker)
         if tok is not None and not force:
             raise StaleWriterError(
-                f"dedup store {store_dir!r} has a live writer (pid "
+                f"store {store_dir!r} has a live writer (pid "
                 f"{tok.get('pid')}, purpose {tok.get('purpose')!r}): "
                 "refusing to compact beside an active drain — run "
-                "between drains, let the drain's "
-                "spark.kss.dedup.compactEveryNBatches policy do it, or "
-                "pass force=True if the token is known-stale"
+                "between drains, let the drain's compactEveryNBatches "
+                "policy knob do it in-line, or pass force=True if the "
+                "token is known-stale"
             )
-        fence = WriterFence.acquire(marker, purpose="compact-dedup-store")
+        fence = WriterFence.acquire(marker, purpose=purpose)
         standalone = True
     else:
         standalone = False
-    leaves = _leaf_dirs(store_dir)
+    leaves = _leaf_dirs(store_dir, leaf_glob)
     before = {leaf: _data_files(leaf) for leaf in leaves}
     files_before = sum(len(v) for v in before.values())
     if not leaves or all(len(v) < min_files for v in before.values()):
@@ -154,13 +208,13 @@ def compact_dedup_store(
     (
         spark.read.parquet(store_dir)
         .dropDuplicates()
-        .repartition("kind", "pk")
+        .repartition(*partition_cols)
         .write.mode("overwrite")
-        .partitionBy("kind", "pk")
+        .partitionBy(*partition_cols)
         .parquet(tmp)
     )
     # move compacted files into the live leaves (append-first)
-    for tleaf in _leaf_dirs(tmp):
+    for tleaf in _leaf_dirs(tmp, leaf_glob):
         rel = os.path.relpath(tleaf, tmp)
         dest = os.path.join(store_dir, rel)
         os.makedirs(dest, exist_ok=True)
@@ -185,7 +239,9 @@ def compact_dedup_store(
     shutil.rmtree(tmp, ignore_errors=True)
     if standalone:
         fence.idle()
-    files_after = sum(len(_data_files(leaf)) for leaf in _leaf_dirs(store_dir))
+    files_after = sum(
+        len(_data_files(leaf)) for leaf in _leaf_dirs(store_dir, leaf_glob)
+    )
     return {
         "leaves": len(leaves),
         "files_before": files_before,

@@ -1481,6 +1481,11 @@ def s_incremental_ann_ivf(
         lloyd_refine,
     )
 
+    from kafka_spark_streaming_spark.config import ann_compact_every
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        compact_ann_store,
+    )
+
     stream = _embeddings_ordered_batches(spark, sf_dir, n_batches)
     run_dir = _scratch_dir("kss_sivf_")
     store_dir = os.path.join(run_dir, "store")
@@ -1488,6 +1493,9 @@ def s_incremental_ann_ivf(
     fence = WriterFence.acquire(
         store_dir + ".epoch", purpose="incremental-ann-ivf"
     )
+    # in-drain maintenance cadence — same policy shape as the dedup
+    # drain's (store-idle point, cooperative fence); default off
+    compact_every = ann_compact_every(spark)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if not os.path.exists(cent_path):
@@ -1541,6 +1549,12 @@ def s_incremental_ann_ivf(
             .partitionBy("cell")
             .parquet(store_dir)
         )
+        if (
+            compact_every
+            and (batch_id + 1) % compact_every == 0
+            and os.path.exists(store_dir)
+        ):
+            compact_ann_store(spark, store_dir, fence=fence)
 
     with _scoped_sql_confs(spark, _small_batch_drain_confs(spark, 8)):
         q = (

@@ -1267,3 +1267,63 @@ def test_incremental_dedup_batching_invariant(spark, sf_smoke):
     one = kept(1)
     assert len(one) > 0
     assert kept(3) == one, "kept set changed with micro-batch count"
+
+
+def test_ann_store_compaction_policy_and_knob_invariance(spark, sf_smoke):
+    """The streaming IVF store's in-drain compaction (r18): with
+    spark.kss.ann.compactEveryNBatches=1 the registered drain must
+    return the identical top-k as with the policy off (the default
+    the sweeps run with), and the compacted run's store must end at
+    one file per cell leaf while the knob-off run's accumulates more.
+    Covers compact_ann_store's cooperative fence path end-to-end."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from kafka_spark_streaming_spark.config import ANN_COMPACT_EVERY_KEY
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        _data_files,
+        _leaf_dirs,
+    )
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        s_incremental_ann_ivf,
+    )
+
+    def run_and_stats(knob: str | None):
+        if knob is not None:
+            spark.conf.set(ANN_COMPACT_EVERY_KEY, knob)
+        try:
+            before = set(
+                _glob.glob(os.path.join(tempfile.gettempdir(), "kss_sivf_*"))
+            )
+            rows = [
+                tuple(r)
+                for r in s_incremental_ann_ivf(spark, sf_smoke).collect()
+            ]
+            (run_dir,) = (
+                set(
+                    _glob.glob(
+                        os.path.join(tempfile.gettempdir(), "kss_sivf_*")
+                    )
+                )
+                - before
+            )
+            store = os.path.join(run_dir, "store")
+            files = sum(
+                len(_data_files(leaf))
+                for leaf in _leaf_dirs(store, "cell=*")
+            )
+            leaves = len(_leaf_dirs(store, "cell=*"))
+            return rows, files, leaves
+        finally:
+            if knob is not None:
+                spark.conf.unset(ANN_COMPACT_EVERY_KEY)
+
+    base_rows, base_files, base_leaves = run_and_stats(None)
+    comp_rows, comp_files, comp_leaves = run_and_stats("1")
+    assert comp_rows == base_rows and len(base_rows) > 0
+    assert comp_leaves == base_leaves
+    # compact-every-batch ends at exactly one file per leaf; the
+    # knob-off store accumulated one file per (batch, touched leaf)
+    assert comp_files == comp_leaves
+    assert base_files > base_leaves
