@@ -33,15 +33,20 @@ Design for scale:
   Bucket count is engine config (spark.kss.sink.upsertStateBuckets —
   config.py has the 100 TB sizing rule).
 - Idempotent / exactly-once under foreachBatch retries: a re-run of
-  batch N rewrites `v_N` from the batch_id < N residue of the state
-  (SURVEY.md §7 "what's hard" #4).  A retry is DETECTED (the
-  committed head version is already >= batch_id) and triggers a full
-  merge, so even a NON-deterministic replay — wall-clock rowkeys
-  landing in different rb buckets than the first attempt — purges the
-  first attempt's rows everywhere via the batch_id < N filter instead
-  of carrying them forward as ghosts in "untouched" partitions
-  (ADVICE r16 upsert.py:205).  Retries are rare; the one-off full
-  merge is the cheap price of correctness under either clock.
+  batch N commits a fresh ATTEMPT version `v_N-r{k}` rebuilt from the
+  batch_id < N residue of the state (SURVEY.md §7 "what's hard" #4).
+  A retry is DETECTED (the committed head's batch is already >=
+  batch_id) and triggers a full merge, so even a NON-deterministic
+  replay — wall-clock rowkeys landing in different rb buckets than
+  the first attempt — purges the first attempt's rows everywhere via
+  the batch_id < N filter instead of carrying them forward as ghosts
+  in "untouched" partitions (ADVICE r16 upsert.py:205).  Retries are
+  rare; the one-off full merge is the cheap price of correctness
+  under either clock.  COMMITTED VERSIONS ARE IMMUTABLE (r18): the
+  pre-r18 retry rewrote `v_N` in place (rmtree + rename), which
+  deleted the files a live snapshot() pin was still reading — the
+  attempt suffix makes every commit append-only and leaves the
+  superseded attempt to the ordinary prune/pin lifecycle.
 - Within-batch collisions on the same cell (the reference's
   epoch-second rowkeys collide routinely, Streamer.scala:163) resolve
   deterministically by max(value) — documented tie-break so tests and
@@ -151,6 +156,33 @@ class KeyedUpsertSink:
         return self._fence
 
     # -- state management -------------------------------------------------
+    @staticmethod
+    def _batch_of(version: str) -> int:
+        """batch_id of a version dir name.  Names are
+        ``v_{batch_id:012d}`` for a first attempt and
+        ``v_{batch_id:012d}-r{k}`` for the k-th RETRY attempt (r18:
+        committed versions are IMMUTABLE — a foreachBatch retry used
+        to rmtree+rewrite v_N in place, which deleted the files a
+        live snapshot() pin was still reading; now every commit gets
+        a fresh name and the superseded attempt lingers until prune,
+        exactly like any other non-head version).  Lexicographic sort
+        keeps attempt ordering correct: 'v_...5' < 'v_...5-r1' <
+        'v_...6'."""
+        return int(version[2:].split("-", 1)[0])
+
+    def _new_version_name(self, batch_id: int, versions: list[str]) -> str:
+        base = f"v_{batch_id:012d}"
+        attempts = [
+            v for v in versions if v == base or v.startswith(base + "-r")
+        ]
+        if not attempts:
+            return base
+        k = 1 + max(
+            int(v.rsplit("-r", 1)[1]) if "-r" in v else 0
+            for v in attempts
+        )
+        return f"{base}-r{k}"
+
     def _versions(self) -> list[str]:
         # exclude in-flight '.tmp' build dirs: after a crash between the
         # tmp write and the rename they linger, and current() must never
@@ -326,7 +358,7 @@ class KeyedUpsertSink:
             out.append(
                 {
                     "version": v,
-                    "batch_id": int(v[2:]),
+                    "batch_id": self._batch_of(v),
                     "live_partitions": len(manifest),
                     "owned_partitions": sum(
                         1 for owner in manifest.values() if owner == v
@@ -404,7 +436,7 @@ class KeyedUpsertSink:
                 and not manifest
                 and self._manifest_file(head) is None
             )
-            vname = f"v_{batch_id:012d}"
+            vname = self._new_version_name(batch_id, versions)
             out = os.path.join(self.path, vname)
             tmp = out + ".tmp"
             if not rbs:
@@ -415,7 +447,7 @@ class KeyedUpsertSink:
                     # flat head stays readable as-is and migrates on
                     # the first non-empty batch (code-review r16).
                     return
-                if int(head[2:]) >= batch_id:
+                if self._batch_of(head) >= batch_id:
                     # EMPTY retry of a committed batch whose first
                     # attempt may have had rows (content drift — the
                     # same replay-determinism gap as the rowkey-drift
@@ -447,7 +479,7 @@ class KeyedUpsertSink:
                 # pre-r16 unpartitioned head: one full merge migrates
                 # the layout (no partition dirs to prune or carry)
                 rbs = list(range(self.buckets))
-            elif head and int(head[2:]) >= batch_id:
+            elif head and self._batch_of(head) >= batch_id:
                 # RETRY of a committed batch (ADVICE r16): merge every
                 # live partition so the batch_id < N purge reaches the
                 # first attempt's rows wherever its (possibly
@@ -539,12 +571,12 @@ class KeyedUpsertSink:
         # upsert.py:103). Future-id tmp dirs are left alone — their
         # batch is still in flight or will rewrite on retry.
         if versions:
-            head = int(versions[-1][2:])
+            head = self._batch_of(versions[-1])
             for d in os.listdir(self.path):
                 if not (d.startswith("v_") and d.endswith(".tmp")):
                     continue
                 try:
-                    n = int(d[2:-4])
+                    n = int(d[2:-4].split("-", 1)[0])
                 except ValueError:
                     continue
                 if n <= head:
@@ -555,7 +587,7 @@ class KeyedUpsertSink:
     # -- convenience: the reference's two write shapes --------------------
     def _next_batch_id(self) -> int:
         versions = self._versions()
-        return int(versions[-1][2:]) + 1 if versions else 0
+        return self._batch_of(versions[-1]) + 1 if versions else 0
 
     def put_single(self, rowkey: str, qualifier: str, value: str,
                    cf: str = "cf1", batch_id: int | None = None) -> None:

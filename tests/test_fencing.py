@@ -434,3 +434,40 @@ def test_compact_cooperative_abort_before_delete_is_crash_shaped(
     assert stats["rewrote"]
     assert all(len(_data_files(leaf)) == 1 for leaf in _leaf_dirs(store))
     assert kept(store) == expect
+
+
+def test_snapshot_survives_replay_of_pinned_batch(spark, tmp_path):
+    """Regression (r18, caught by the LWW property model's drawn
+    snapshot point): the retry path used to rmtree+rewrite v_N in
+    place, deleting the files a live snapshot() pin was still reading
+    — FileNotFoundException at collect.  Committed versions are now
+    immutable: the replay commits an attempt version (v_N-r1) and the
+    pinned original stays readable; releasing the pin lets both be
+    pruned."""
+    from kafka_spark_streaming_spark.config import UPSERT_STATE_BUCKETS_KEY
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
+    try:
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    finally:
+        spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
+    sink.write_batch(_cells(spark, [("k1", "v1")]), 0)
+    snap = sink.snapshot()  # pins v_0
+    # foreachBatch replay of batch 0 with drifted content — the purge
+    # semantics must land in a NEW attempt version, not overwrite v_0
+    sink.write_batch(_cells(spark, [("k1", "v1-replayed")]), 0)
+    assert sink._versions() == ["v_000000000000", "v_000000000000-r1"]
+    assert [(r.rowkey, r.value) for r in snap.collect()] == [("k1", "v1")]
+    assert [r.value for r in sink.current().collect()] == ["v1-replayed"]
+    # a second replay appends -r2; batch ids in history stay honest
+    sink.write_batch(_cells(spark, [("k1", "v1-again")]), 0)
+    assert sink._versions()[-1] == "v_000000000000-r2"
+    assert [h["batch_id"] for h in sink.history()] == [0, 0, 0]
+    assert [r.value for r in sink.current().collect()] == ["v1-again"]
+    # pin released -> later writes prune the superseded attempts
+    del snap
+    gc.collect()
+    sink.write_batch(_cells(spark, [("k1", "v2")]), 1)
+    sink.write_batch(_cells(spark, [("k1", "v3")]), 2)
+    assert "v_000000000000" not in sink._versions()

@@ -1,16 +1,17 @@
-"""CLI for the incremental-dedup store maintenance pass.
+"""CLI for the incremental-store maintenance passes.
 
 Usage:
-    python tools/compact_dedup_store.py [--force] /path/to/store [more...]
+    python tools/compact_dedup_store.py [--force] [--ann] /path/to/store [more...]
 
-Folds every (kind, pk) leaf of each store back to one file (see
+Folds every leaf of each store back to one file (see
 kafka_spark_streaming_spark/operators/store_maintenance.py for the
-crash-safety argument).  The single-writer contract is ENFORCED
-(r18): the pass refuses a store whose writer token names a live
-drain (run between drains, or let the drain's
-spark.kss.dedup.compactEveryNBatches policy compact in-line), and
---force overrides a token you know is stale.  Prints one JSON line
-per store.
+crash-safety argument): by default the incremental-dedup layout
+(kind=*/pk=* leaves); with --ann the streaming-IVF layout (cell=*
+leaves).  The single-writer contract is ENFORCED (r18): the pass
+refuses a store whose writer token names a live drain (run between
+drains, or let the drain's compactEveryNBatches policy knob compact
+in-line), and --force overrides a token you know is stale.  Prints
+one JSON line per store.
 """
 
 from __future__ import annotations
@@ -25,16 +26,19 @@ sys.path.insert(0, REPO)
 
 def main(paths: list[str]) -> int:
     force = "--force" in paths
-    paths = [p for p in paths if p != "--force"]
+    ann = "--ann" in paths
+    paths = [p for p in paths if p not in ("--force", "--ann")]
     if not paths:
         print(__doc__.strip())
         return 2
     from kafka_spark_streaming_spark import get_spark
     from kafka_spark_streaming_spark.fencing import StaleWriterError
     from kafka_spark_streaming_spark.operators.store_maintenance import (
+        compact_ann_store,
         compact_dedup_store,
     )
 
+    compact = compact_ann_store if ann else compact_dedup_store
     spark = get_spark()
     rc = 0
     for p in paths:
@@ -43,7 +47,7 @@ def main(paths: list[str]) -> int:
             rc = 1
             continue
         try:
-            stats = compact_dedup_store(spark, p, force=force)
+            stats = compact(spark, p, force=force)
         except StaleWriterError as exc:
             print(json.dumps({"store": p, "error": str(exc)}))
             rc = 1
