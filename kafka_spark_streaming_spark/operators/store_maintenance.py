@@ -47,6 +47,14 @@ modes:
   returns — spark.kss.dedup.compactEveryNBatches wires this); no
   guard or acquire, just the caller's fence checked before the
   delete phase.
+
+Reader caveat: a DataFrame whose file listing was captured BEFORE a
+compaction pass may reference originals the delete phase has since
+removed — rebuild readers after maintenance (the standard OPTIMIZE
+caveat; unlike the upsert sink there is no snapshot-pin API here
+because these stores' registered queries build their read plans
+strictly after the drain, and the maintenance idle points sit inside
+the drain).
 """
 
 from __future__ import annotations
