@@ -577,9 +577,17 @@ def ivf_init_centroids(rows, n_cells: int = _IVF_CELLS):
     """Normalized strided-init centroid matrix from the collected
     (vec_id-ordered) init rows — shared by the session index build and
     the streaming index's batch-0 training (r18), so the deterministic
-    construction recipe cannot drift between the two."""
+    construction recipe cannot drift between the two.  n_cells is a
+    contract check, not a selector (ADVICE r18: it used to be silently
+    ignored): callers pre-filter rows to the cell count themselves,
+    and a mismatch means the strided-init sample was built for a
+    different index size."""
     import numpy as np
 
+    if len(rows) > n_cells:
+        raise ValueError(
+            f"{len(rows)} init rows for a {n_cells}-cell index"
+        )
     cmat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
     return cmat

@@ -160,15 +160,26 @@ class KeyedUpsertSink:
     def _batch_of(version: str) -> int:
         """batch_id of a version dir name.  Names are
         ``v_{batch_id:012d}`` for a first attempt and
-        ``v_{batch_id:012d}-r{k}`` for the k-th RETRY attempt (r18:
-        committed versions are IMMUTABLE — a foreachBatch retry used
-        to rmtree+rewrite v_N in place, which deleted the files a
+        ``v_{batch_id:012d}-r{k:06d}`` for the k-th RETRY attempt
+        (r18: committed versions are IMMUTABLE — a foreachBatch retry
+        used to rmtree+rewrite v_N in place, which deleted the files a
         live snapshot() pin was still reading; now every commit gets
         a fresh name and the superseded attempt lingers until prune,
-        exactly like any other non-head version).  Lexicographic sort
-        keeps attempt ordering correct: 'v_...5' < 'v_...5-r1' <
-        'v_...6'."""
+        exactly like any other non-head version).  Attempt suffixes
+        are zero-padded AND _versions() sorts numerically on
+        (batch_id, attempt) rather than lexicographically (ADVICE r18:
+        bare '-r10' sorted between '-r1' and '-r2', so after the 10th
+        retry head selection picked a superseded attempt and _prune
+        rmtree'd the newest committed state; numeric sort also keeps
+        pre-fix stores with bare suffixes ordered correctly)."""
         return int(version[2:].split("-", 1)[0])
+
+    @staticmethod
+    def _attempt_of(version: str) -> int:
+        """retry-attempt number of a version dir name (0 for a first
+        attempt).  Parses both the zero-padded '-r000010' form and the
+        bare '-r10' form written before the padding fix."""
+        return int(version.rsplit("-r", 1)[1]) if "-r" in version else 0
 
     def _new_version_name(self, batch_id: int, versions: list[str]) -> str:
         base = f"v_{batch_id:012d}"
@@ -177,20 +188,22 @@ class KeyedUpsertSink:
         ]
         if not attempts:
             return base
-        k = 1 + max(
-            int(v.rsplit("-r", 1)[1]) if "-r" in v else 0
-            for v in attempts
-        )
-        return f"{base}-r{k}"
+        k = 1 + max(self._attempt_of(v) for v in attempts)
+        return f"{base}-r{k:06d}"
 
     def _versions(self) -> list[str]:
         # exclude in-flight '.tmp' build dirs: after a crash between the
         # tmp write and the rename they linger, and current() must never
-        # surface uncommitted state (nor _prune count them toward keep)
+        # surface uncommitted state (nor _prune count them toward keep).
+        # Numeric (batch_id, attempt) key, NOT lexicographic — bare
+        # pre-fix '-r10' suffixes break string ordering at k>=10.
         return sorted(
-            d for d in os.listdir(self.path)
-            if d.startswith("v_") and "." not in d
-            and os.path.isdir(os.path.join(self.path, d))
+            (
+                d for d in os.listdir(self.path)
+                if d.startswith("v_") and "." not in d
+                and os.path.isdir(os.path.join(self.path, d))
+            ),
+            key=lambda v: (self._batch_of(v), self._attempt_of(v)),
         )
 
     def _rb(self, col) -> Column:
@@ -253,17 +266,29 @@ class KeyedUpsertSink:
             os.fsync(fh.fileno())
 
     def _current_raw(self) -> DataFrame:
-        """Current state INCLUDING the rb layout column: one
-        partition-pruned scan per version the head manifest
-        references, unioned.  The per-owner basePath keeps rb a real
-        partition column, so downstream rb.isin filters prune at the
-        directory level (PartitionFilters) — and the fan-out is
-        bounded by the compaction threshold, not by batch count."""
+        """Current state INCLUDING the rb layout column — see
+        _read_state for the plan shape."""
+        return self._read_state()[0]
+
+    def _read_state(self) -> tuple[DataFrame, str | None, dict[str, str]]:
+        """(state df incl. rb, head version, head manifest) from ONE
+        version listing: one partition-pruned scan per version the
+        head manifest references, unioned.  The per-owner basePath
+        keeps rb a real partition column, so downstream rb.isin
+        filters prune at the directory level (PartitionFilters) — and
+        the fan-out is bounded by the compaction threshold, not by
+        batch count.  Returning the head/manifest the plan was built
+        from lets snapshot() derive its pin set from the SAME listing
+        (ADVICE r18: a second _versions() read raced a concurrent
+        write_batch — the pin set named the new head while the
+        DataFrame still read the old manifest, so its files could be
+        pruned despite the pin)."""
         versions = self._versions()
         if not versions:
-            return self.spark.createDataFrame([], STATE_SCHEMA).withColumn(
-                "rb", F.lit(None).cast("int")
-            )
+            empty = self.spark.createDataFrame(
+                [], STATE_SCHEMA
+            ).withColumn("rb", F.lit(None).cast("int"))
+            return empty, None, {}
         head = versions[-1]
         manifest = self._manifest(head)
         if not manifest:
@@ -271,14 +296,15 @@ class KeyedUpsertSink:
                 # a committed EMPTY manifest is a real (empty) state —
                 # the purge-everything outcome of an empty retry over a
                 # first-ever batch — not the flat legacy layout
-                return self.spark.createDataFrame(
+                empty = self.spark.createDataFrame(
                     [], STATE_SCHEMA
                 ).withColumn("rb", F.lit(None).cast("int"))
+                return empty, head, manifest
             # flat pre-r16 unpartitioned store
             df = self.spark.read.parquet(os.path.join(self.path, head))
             if "rb" not in df.columns:
                 df = df.withColumn("rb", self._rb(F.col("rowkey")))
-            return df
+            return df, head, manifest
         by_owner: dict[str, list[str]] = {}
         for rb_dir, owner in manifest.items():
             by_owner.setdefault(owner, []).append(rb_dir)
@@ -303,7 +329,7 @@ class KeyedUpsertSink:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df.withColumn("rb", F.col("rb").cast("int"))
+        return df.withColumn("rb", F.col("rb").cast("int")), head, manifest
 
     def current(self) -> DataFrame:
         """Current cell state as a DataFrame (empty if no writes yet).
@@ -330,12 +356,16 @@ class KeyedUpsertSink:
         held by the RETURNED DataFrame object: keep it referenced
         while derived frames (selects/filters over it) are in use —
         deriving and dropping the original releases the pin at the
-        writer's next prune."""
-        df = self._current_raw().drop("rb")
-        versions = self._versions()
-        if versions:
-            head = versions[-1]
-            pins = {head} | set(self._manifest(head).values())
+        writer's next prune.
+
+        The read plan and the pin set come from ONE _read_state()
+        listing (ADVICE r18): a second listing could race a
+        concurrent write_batch and pin the new head's versions while
+        the DataFrame still read the old manifest."""
+        raw, head, manifest = self._read_state()
+        df = raw.drop("rb")
+        if head is not None:
+            pins = {head} | set(manifest.values())
             with _SNAPSHOT_LOCK:
                 _SNAPSHOT_PINS.setdefault(self._pin_key, []).append(
                     (weakref.ref(df), pins)

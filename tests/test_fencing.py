@@ -457,12 +457,14 @@ def test_snapshot_survives_replay_of_pinned_batch(spark, tmp_path):
     # foreachBatch replay of batch 0 with drifted content — the purge
     # semantics must land in a NEW attempt version, not overwrite v_0
     sink.write_batch(_cells(spark, [("k1", "v1-replayed")]), 0)
-    assert sink._versions() == ["v_000000000000", "v_000000000000-r1"]
+    assert sink._versions() == [
+        "v_000000000000", "v_000000000000-r000001",
+    ]
     assert [(r.rowkey, r.value) for r in snap.collect()] == [("k1", "v1")]
     assert [r.value for r in sink.current().collect()] == ["v1-replayed"]
-    # a second replay appends -r2; batch ids in history stay honest
+    # a second replay appends -r000002; batch ids in history stay honest
     sink.write_batch(_cells(spark, [("k1", "v1-again")]), 0)
-    assert sink._versions()[-1] == "v_000000000000-r2"
+    assert sink._versions()[-1] == "v_000000000000-r000002"
     assert [h["batch_id"] for h in sink.history()] == [0, 0, 0]
     assert [r.value for r in sink.current().collect()] == ["v1-again"]
     # pin released -> later writes prune the superseded attempts
@@ -471,3 +473,65 @@ def test_snapshot_survives_replay_of_pinned_batch(spark, tmp_path):
     sink.write_batch(_cells(spark, [("k1", "v2")]), 1)
     sink.write_batch(_cells(spark, [("k1", "v3")]), 2)
     assert "v_000000000000" not in sink._versions()
+
+
+def test_attempt_ordering_at_double_digit_retries(spark, tmp_path):
+    """Regression (ADVICE r18 upsert.py:190): bare '-r10' sorts
+    lexicographically between '-r1' and '-r2', so after the 10th
+    retry committed, head selection picked the superseded '-r9'
+    attempt (current() read stale state) and _prune treated the true
+    newest attempt as non-live and deleted it.  _versions() now sorts
+    numerically on (batch_id, attempt) — which also keeps a pre-fix
+    store holding bare suffixes ordered — and new attempt names are
+    zero-padded."""
+    from kafka_spark_streaming_spark.config import UPSERT_STATE_BUCKETS_KEY
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
+    try:
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    finally:
+        spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
+    # a pre-fix store: bare attempt suffixes up to the 10th retry
+    legacy = ["v_000000000000"] + [
+        f"v_000000000000-r{k}" for k in range(1, 11)
+    ]
+    for d in legacy:
+        os.makedirs(os.path.join(sink.path, d))
+    vs = sink._versions()
+    assert vs[-1] == "v_000000000000-r10", vs
+    assert [sink._attempt_of(v) for v in vs] == list(range(11))
+    # the next attempt continues from 10, zero-padded, and still
+    # sorts after every bare predecessor
+    nxt = sink._new_version_name(0, vs)
+    assert nxt == "v_000000000000-r000011"
+    os.makedirs(os.path.join(sink.path, nxt))
+    assert sink._versions()[-1] == nxt
+    # prune keeps the true newest attempt, not a lexicographic head
+    sink._prune(keep=1)
+    assert sink._versions() == [nxt]
+
+
+def test_current_tracks_head_across_double_digit_replays(spark, tmp_path):
+    """End-to-end twin of the ordering regression: 10 foreachBatch
+    replays of batch 0 with drifted content — after each commit,
+    current() must read THAT attempt (pre-fix, attempt 10 surfaced
+    attempt 9's value) and history() batch ids stay honest."""
+    from kafka_spark_streaming_spark.config import UPSERT_STATE_BUCKETS_KEY
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
+    try:
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    finally:
+        spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
+    sink.write_batch(_cells(spark, [("k1", "v0")]), 0)
+    for k in range(1, 11):
+        sink.write_batch(_cells(spark, [("k1", f"v0-attempt{k}")]), 0)
+    assert sink._versions()[-1] == "v_000000000000-r000010"
+    assert [r.value for r in sink.current().collect()] == ["v0-attempt10"]
+    assert {h["batch_id"] for h in sink.history()} == {0}
+    # a later batch prunes the superseded attempts without touching
+    # the live head lineage
+    sink.write_batch(_cells(spark, [("k1", "v1")]), 1)
+    assert [r.value for r in sink.current().collect()] == ["v1"]

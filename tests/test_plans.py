@@ -1371,5 +1371,5 @@ def test_incremental_ann_probe_prunes_cell_partitions(spark, sf_smoke):
         ln for ln in lines if "cell" in ln and ("IN" in ln or "in(" in ln)
     ]
     assert cell_pf, f"no cell PartitionFilters on the store scan:\n{plan}"
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastNestedLoop" not in plan, "probe join must not be NL"
     assert "BroadcastHashJoin" in plan, "probe join must broadcast"
