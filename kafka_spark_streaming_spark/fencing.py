@@ -164,22 +164,32 @@ class WriterFence:
         _write_token(self.marker_path, self.token)
 
 
+def pid_alive(pid) -> bool:
+    """Single-host pid-liveness probe (says nothing across machines —
+    a multi-host deployment maps this onto a lease TTL; pid REUSE can
+    also report a crashed holder as alive until the recycled pid
+    exits, the standard caveat of any pid heuristic).  Shared by the
+    fence's live-writer guard and the upsert sink's durable snapshot
+    pins so the two liveness policies cannot drift."""
+    if not isinstance(pid, int):
+        return True  # unknown shape: assume alive (conservative)
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        pass  # pid exists but is not ours — still alive
+    return True
+
+
 def live_writer(marker_path: str) -> dict | None:
     """The store's writer token if it plausibly belongs to a LIVE
-    writer: active flag set and its pid alive.  Single-host heuristic
-    (pid liveness says nothing across machines — a multi-host
-    deployment replaces this probe with a lease TTL on the token);
-    used by ``compact_dedup_store`` to refuse running beside a live
-    drain rather than silently fencing it out."""
+    writer: active flag set and its pid alive (``pid_alive`` — see its
+    single-host caveat); used by ``compact_dedup_store`` to refuse
+    running beside a live drain rather than silently fencing it out."""
     tok = _read_token(marker_path)
     if not tok or not tok.get("active"):
         return None
-    pid = tok.get("pid")
-    if isinstance(pid, int):
-        try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
-            return None  # holder crashed without idle(); token is stale
-        except PermissionError:
-            pass  # pid exists but is not ours — still alive
+    if not pid_alive(tok.get("pid")):
+        return None  # holder crashed without idle(); token is stale
     return tok

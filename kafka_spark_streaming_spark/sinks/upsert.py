@@ -67,16 +67,16 @@ Design for scale:
   snapshot (the manifest read pins one immutable head); a LAZY
   current() DataFrame held across later write_batch calls may still
   reference version dirs prune has since deleted — use snapshot()
-  for a read that pins its versions against this writer's prunes
-  for the DataFrame's process lifetime (same time-travel caveat as
-  any vacuumed table format otherwise).
+  for a read that pins its versions against EVERY pruner on the
+  host (durable pin files, see PIN_DIR below) for the DataFrame's
+  lifetime (same time-travel caveat as any vacuumed table format
+  otherwise).
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import threading
 import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -101,15 +101,32 @@ STATE_SCHEMA = T.StructType(
 
 MANIFEST_NAME = "_MANIFEST.json"
 
-# snapshot() pins, PROCESS-level and keyed by the store's realpath:
-# {store → [(weakref-to-DataFrame, versions it reads), ...]}.  Held at
-# module scope (not per sink object) so a snapshot handed out by one
-# sink survives the prunes of ANY later attach in this process — e.g.
-# the post-failover writer that fenced the snapshot's sink out.  The
-# lock guards the list rebuild in _prune against a concurrent
-# snapshot() append (foreachBatch driver thread vs main thread).
-_SNAPSHOT_PINS: dict[str, list] = {}
-_SNAPSHOT_LOCK = threading.Lock()
+# snapshot() pins are DURABLE since r19: each handed-out snapshot
+# writes a `_pins/pin-{pid}-{nonce}.json` file inside the store naming
+# the versions its read plan references, and EVERY pruner — any sink
+# attach in any process on the host — honors pin files whose holder
+# pid is alive (fencing.pid_alive).  This closes the r18 caveat that
+# pins lived in a process-local registry, so a reader in a DIFFERENT
+# process raced vacuum: the post-failover writer in a new driver
+# process now sees its fenced predecessor's pins on disk.  Release is
+# the same weakref lifecycle as before (the pin file is deleted when
+# the snapshot DataFrame is collected), with two crash backstops: a
+# holder that dies without releasing leaves a pin whose pid is dead,
+# which the next prune deletes; and pid REUSE merely delays pruning
+# until the recycled pid exits (pins gate only deletions, never
+# correctness).  Multi-host deployments map pid-liveness onto a lease
+# TTL exactly like the writer fence (fencing module docstring).
+PIN_DIR = "_pins"
+
+
+def _release_pin(pin_path: str) -> None:
+    """weakref.finalize target: drop a snapshot's pin file.  Module
+    level (not a bound method) so the finalizer keeps neither the sink
+    nor the DataFrame alive."""
+    try:
+        os.remove(pin_path)
+    except FileNotFoundError:
+        pass  # a pruner already reaped it (holder pid looked dead)
 
 
 class KeyedUpsertSink:
@@ -142,10 +159,6 @@ class KeyedUpsertSink:
         # write_batch, not here — attaching to read must not fence a
         # live writer out.
         self._fence: WriterFence | None = None
-        # snapshot() pins live in the process-level _SNAPSHOT_PINS
-        # registry under this key, so every attach to the same store —
-        # including a post-failover writer — honors them when pruning.
-        self._pin_key = os.path.realpath(path)
 
     def _writer_fence(self) -> WriterFence:
         if self._fence is None:
@@ -342,35 +355,81 @@ class KeyedUpsertSink:
     def snapshot(self) -> DataFrame:
         """Version-PINNED read (VERDICT r17 #6): the returned
         DataFrame reads the manifest the head held at call time, and
-        every version it references is excluded from this writer's
-        prunes for as long as the DataFrame object is alive in this
-        process (weakref guard — dropping the reference releases the
-        pin; no explicit close needed).  Closes current()'s documented
-        lazy-across-prune caveat for the in-process reader.  Scope:
-        pins are PROCESS-level (a registry keyed by store path), so
-        every pruner in this process honors them — including a
-        post-failover writer pruning past a snapshot its fenced
-        predecessor handed out; a reader in a DIFFERENT process still
-        races vacuum exactly like any time-traveling reader of a
-        vacuumed table format.  The pin is
-        held by the RETURNED DataFrame object: keep it referenced
-        while derived frames (selects/filters over it) are in use —
-        deriving and dropping the original releases the pin at the
-        writer's next prune.
+        every version it references is excluded from prunes for as
+        long as the DataFrame object is alive (weakref guard —
+        dropping the reference releases the pin; no explicit close
+        needed).  Closes current()'s documented lazy-across-prune
+        caveat.  Scope (r19): pins are DURABLE pin files inside the
+        store (module docstring at PIN_DIR), so every pruner on the
+        host honors them — any attach in this process, a post-failover
+        writer in a DIFFERENT process, or a standalone maintenance
+        pass; liveness is pid-based (a holder that crashes without
+        releasing is reaped at the next prune), mapping onto a lease
+        TTL on multi-host deployments.  The pin is held by the
+        RETURNED DataFrame object: keep it referenced while derived
+        frames (selects/filters over it) are in use — deriving and
+        dropping the original releases the pin at the next prune.
 
         The read plan and the pin set come from ONE _read_state()
         listing (ADVICE r18): a second listing could race a
         concurrent write_batch and pin the new head's versions while
         the DataFrame still read the old manifest."""
+        from kafka_spark_streaming_spark.fencing import _write_token
+
         raw, head, manifest = self._read_state()
         df = raw.drop("rb")
         if head is not None:
-            pins = {head} | set(manifest.values())
-            with _SNAPSHOT_LOCK:
-                _SNAPSHOT_PINS.setdefault(self._pin_key, []).append(
-                    (weakref.ref(df), pins)
-                )
+            pin_dir = os.path.join(self.path, PIN_DIR)
+            os.makedirs(pin_dir, exist_ok=True)
+            pin_path = os.path.join(
+                pin_dir,
+                f"pin-{os.getpid()}-{os.urandom(8).hex()}.json",
+            )
+            _write_token(  # unique-tmp + fsync + replace, same as fence
+                pin_path,
+                {
+                    "versions": sorted({head} | set(manifest.values())),
+                    "pid": os.getpid(),
+                    "purpose": "snapshot",
+                },
+            )
+            weakref.finalize(df, _release_pin, pin_path)
         return df
+
+    def _live_pins(self) -> set[str]:
+        """Union of versions named by pin files whose holder pid is
+        alive; reaps pins of dead holders (crash backstop).  A pin
+        file that does not parse is outside interference and fails
+        LOUDLY — silently ignoring it could prune a reader's files."""
+        import json
+
+        from kafka_spark_streaming_spark.fencing import pid_alive
+
+        pin_dir = os.path.join(self.path, PIN_DIR)
+        pinned: set[str] = set()
+        try:
+            names = os.listdir(pin_dir)
+        except FileNotFoundError:
+            return pinned
+        for name in sorted(names):
+            if not (name.startswith("pin-") and name.endswith(".json")):
+                continue  # in-flight tmp from _write_token
+            p = os.path.join(pin_dir, name)
+            try:
+                with open(p) as fh:
+                    pin = json.load(fh)
+            except FileNotFoundError:
+                continue  # released between listdir and open
+            except ValueError as exc:
+                raise ValueError(
+                    f"corrupt snapshot pin {p!r} — remove it only "
+                    "after confirming no reader holds that snapshot"
+                ) from exc
+            if pid_alive(pin.get("pid")):
+                pinned.update(pin.get("versions", []))
+            else:
+                _release_pin(p)
+        return pinned
 
     def history(self) -> list[dict]:
         """Retained-version metadata, oldest first — the DESCRIBE
@@ -576,20 +635,10 @@ class KeyedUpsertSink:
             live.update(self._manifest(v).values())
         # snapshot pins: versions a handed-out snapshot() DataFrame
         # still references stay live until the DataFrame is collected —
-        # process-level, so snapshots from OTHER attaches (the fenced
-        # predecessor's readers) are honored too
-        with _SNAPSHOT_LOCK:
-            alive = [
-                (ref, pins)
-                for (ref, pins) in _SNAPSHOT_PINS.get(self._pin_key, [])
-                if ref() is not None
-            ]
-            if alive:
-                _SNAPSHOT_PINS[self._pin_key] = alive
-            else:
-                _SNAPSHOT_PINS.pop(self._pin_key, None)
-        for _, pins in alive:
-            live.update(pins)
+        # durable pin files, so snapshots from OTHER attaches and
+        # OTHER processes (the fenced predecessor's readers) are
+        # honored too
+        live.update(self._live_pins())
         for stale in versions:
             if stale in live:
                 continue

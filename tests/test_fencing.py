@@ -535,3 +535,94 @@ def test_current_tracks_head_across_double_digit_replays(spark, tmp_path):
     # the live head lineage
     sink.write_batch(_cells(spark, [("k1", "v1")]), 1)
     assert [r.value for r in sink.current().collect()] == ["v1"]
+
+
+def test_snapshot_pins_are_durable_cross_process(spark, tmp_path):
+    """r19: snapshot() pins are pin FILES inside the store, so a
+    pruner in a different process honors a reader it cannot see in
+    memory.  Simulated here by hand-writing a pin file with a foreign
+    LIVE pid (pid 1 — always alive) naming v_0: three later writes at
+    keep=2/buckets=1 must retain v_0; flipping the pin's pid to a dead
+    one lets the next prune delete both the version and the stale pin
+    file."""
+    import json
+
+    from kafka_spark_streaming_spark.config import UPSERT_STATE_BUCKETS_KEY
+    from kafka_spark_streaming_spark.sinks.upsert import (
+        PIN_DIR,
+        KeyedUpsertSink,
+    )
+
+    spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
+    try:
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    finally:
+        spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
+    sink.write_batch(_cells(spark, [("k1", "v1")]), 0)
+    pin_dir = os.path.join(sink.path, PIN_DIR)
+    os.makedirs(pin_dir, exist_ok=True)
+    pin_path = os.path.join(pin_dir, "pin-1-deadbeef.json")
+    with open(pin_path, "w") as fh:
+        json.dump(
+            {"versions": ["v_000000000000"], "pid": 1,
+             "purpose": "snapshot"}, fh,
+        )
+    sink.write_batch(_cells(spark, [("k1", "v2")]), 1)
+    sink.write_batch(_cells(spark, [("k1", "v3")]), 2)
+    sink.write_batch(_cells(spark, [("k1", "v4")]), 3)
+    assert "v_000000000000" in sink._versions(), (
+        "a live foreign-process pin must survive keep-window pruning"
+    )
+    # dead holder: pin is reaped and the version becomes prunable
+    with open(pin_path, "w") as fh:
+        json.dump(
+            {"versions": ["v_000000000000"], "pid": 2**22 + 12345,
+             "purpose": "snapshot"}, fh,
+        )
+    sink.write_batch(_cells(spark, [("k1", "v5")]), 4)
+    assert "v_000000000000" not in sink._versions()
+    assert not os.path.exists(pin_path), "dead-holder pin must be reaped"
+
+
+def test_snapshot_pin_file_lifecycle(spark, tmp_path):
+    """The pin file appears when snapshot() hands out a DataFrame and
+    disappears when the reference is dropped; a corrupt pin file fails
+    the prune loudly instead of silently deleting a reader's files."""
+    import json
+
+    import pytest as _pytest
+
+    from kafka_spark_streaming_spark.config import UPSERT_STATE_BUCKETS_KEY
+    from kafka_spark_streaming_spark.sinks.upsert import (
+        PIN_DIR,
+        KeyedUpsertSink,
+    )
+
+    spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
+    try:
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+    finally:
+        spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
+    sink.write_batch(_cells(spark, [("k1", "v1")]), 0)
+    pin_dir = os.path.join(sink.path, PIN_DIR)
+
+    def pin_files():
+        return [
+            f for f in os.listdir(pin_dir)
+            if f.startswith("pin-") and f.endswith(".json")
+        ] if os.path.isdir(pin_dir) else []
+
+    snap = sink.snapshot()
+    assert len(pin_files()) == 1
+    with open(os.path.join(pin_dir, pin_files()[0])) as fh:
+        pin = json.load(fh)
+    assert pin["pid"] == os.getpid()
+    assert "v_000000000000" in pin["versions"]
+    del snap
+    gc.collect()
+    assert pin_files() == [], "dropping the snapshot must release its pin"
+    # corrupt pin: the prune must not guess
+    with open(os.path.join(pin_dir, "pin-9-feed.json"), "w") as fh:
+        fh.write("{not json")
+    with _pytest.raises(ValueError, match="corrupt snapshot pin"):
+        sink.write_batch(_cells(spark, [("k1", "v2")]), 1)
