@@ -182,6 +182,67 @@ def pid_alive(pid) -> bool:
     return True
 
 
+def write_pin(pin_dir: str, payload: dict) -> str:
+    """Durably publish a reader pin file (unique name, unique-tmp +
+    fsync + replace) and return its path.  A pin names resources
+    (store versions, data files) that pruners/compactors must not
+    delete while the holder pid is alive; ``live_pins`` is the
+    reading side.  Shared by the upsert sink's snapshot pins and the
+    append stores' pinned reads so the lifecycle cannot drift."""
+    os.makedirs(pin_dir, exist_ok=True)
+    path = os.path.join(
+        pin_dir, f"pin-{os.getpid()}-{os.urandom(8).hex()}.json"
+    )
+    _write_token(path, {**payload, "pid": os.getpid()})
+    return path
+
+
+def release_pin(pin_path: str) -> None:
+    """Drop a pin file.  Module-level so weakref.finalize callbacks
+    keep no object graph alive; tolerates a pruner having already
+    reaped it (holder pid looked dead)."""
+    try:
+        os.remove(pin_path)
+    except FileNotFoundError:
+        pass
+
+
+def live_pins(pin_dir: str) -> list[dict]:
+    """Every pin in ``pin_dir`` whose holder pid is alive; pins of
+    dead holders are reaped in passing (crash backstop — a reader
+    that dies without releasing must not pin forever; pid REUSE
+    merely delays reaping, and pins gate only deletions, never
+    correctness).  A pin file that does not parse is outside
+    interference and fails LOUDLY — silently ignoring it could let a
+    pruner delete a live reader's files."""
+    out: list[dict] = []
+    try:
+        names = os.listdir(pin_dir)
+    except FileNotFoundError:
+        return out
+    for name in sorted(names):
+        if not (name.startswith("pin-") and name.endswith(".json")):
+            continue  # in-flight tmp from _write_token
+        p = os.path.join(pin_dir, name)
+        try:
+            with open(p) as fh:
+                raw = fh.read()
+        except FileNotFoundError:
+            continue  # released between listdir and open
+        try:
+            pin = json.loads(raw)
+        except ValueError as exc:
+            raise ValueError(
+                f"corrupt snapshot pin {p!r} — remove it only after "
+                "confirming no reader holds that snapshot"
+            ) from exc
+        if pid_alive(pin.get("pid")):
+            out.append(pin)
+        else:
+            release_pin(p)
+    return out
+
+
 def live_writer(marker_path: str) -> dict | None:
     """The store's writer token if it plausibly belongs to a LIVE
     writer: active flag set and its pid alive (``pid_alive`` — see its

@@ -48,13 +48,21 @@ modes:
   guard or acquire, just the caller's fence checked before the
   delete phase.
 
-Reader caveat: a DataFrame whose file listing was captured BEFORE a
-compaction pass may reference originals the delete phase has since
-removed — rebuild readers after maintenance (the standard OPTIMIZE
-caveat; unlike the upsert sink there is no snapshot-pin API here
-because these stores' registered queries build their read plans
-strictly after the drain, and the maintenance idle points sit inside
-the drain).
+Reader caveat and the pinned-read escape hatch (r19): a DataFrame
+whose file listing was captured BEFORE a compaction pass may
+reference originals the delete phase has since removed — rebuild
+readers after maintenance (the standard OPTIMIZE caveat), OR hand
+them out via ``pinned_store_read``, which snapshots the store's
+current data files, builds the DataFrame over exactly that listing,
+and publishes a durable pin file (``<store>.pins/``, the same
+fencing.write_pin/live_pins lifecycle as the upsert sink's snapshot
+pins) that the delete phase honors: live-pinned originals are
+SKIPPED, left behind as bit-identical duplicates every read path
+tolerates, and swept by the first compaction after the pin is
+released.  The registered queries don't need it (their read plans
+are built strictly after the drain, and the maintenance idle points
+sit inside the drain) — it exists for out-of-band readers
+(debugging, exports) that overlap maintenance.
 """
 
 from __future__ import annotations
@@ -62,13 +70,17 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import weakref
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from kafka_spark_streaming_spark.fencing import (
     StaleWriterError,
     WriterFence,
+    live_pins,
     live_writer,
+    release_pin,
+    write_pin,
 )
 
 
@@ -88,6 +100,58 @@ def _data_files(leaf: str) -> list[str]:
         for f in os.listdir(leaf)
         if f.endswith(".parquet")
     )
+
+
+def _pin_dir(store_dir: str) -> str:
+    # sibling dir, same convention as the `.epoch` fence marker and
+    # the `.layout` sidecar — never inside the store, so partition
+    # discovery and leaf listings can't trip over it
+    return store_dir.rstrip("/") + ".pins"
+
+
+def _all_data_files(store_dir: str) -> list[str]:
+    return sorted(
+        glob.glob(
+            os.path.join(store_dir, "**", "*.parquet"), recursive=True
+        )
+    )
+
+
+def _pinned_files(store_dir: str) -> set[str]:
+    """Data files named by live-holder pins (realpath-normalized for
+    the delete-phase comparison)."""
+    pinned: set[str] = set()
+    for pin in live_pins(_pin_dir(store_dir)):
+        pinned.update(os.path.realpath(f) for f in pin.get("files", []))
+    return pinned
+
+
+def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Compaction-safe read of a partitioned append store: the
+    DataFrame reads EXACTLY the data files present now (basePath keeps
+    the partition columns real), and those files are pinned against
+    compaction's delete phase for as long as the returned DataFrame
+    object is alive — the append stores' analogue of the upsert sink's
+    snapshot() (module docstring, reader caveat).  Dropping the
+    reference releases the pin; a holder that crashes without
+    releasing leaves a dead-pid pin the next maintenance pass reaps.
+    Raises on an empty store — there is no listing to pin (create the
+    store by draining at least one batch first)."""
+    files = _all_data_files(store_dir)
+    if not files:
+        raise ValueError(
+            f"pinned_store_read: no data files under {store_dir!r}"
+        )
+    df = (
+        spark.read.option("basePath", store_dir)
+        .parquet(*files)
+    )
+    pin_path = write_pin(
+        _pin_dir(store_dir),
+        {"files": files, "purpose": "pinned-store-read"},
+    )
+    weakref.finalize(df, release_pin, pin_path)
+    return df
 
 
 def compact_dedup_store(
@@ -234,9 +298,15 @@ def compact_partitioned_store(
     # a newer writer attached since, abort HERE — the appended
     # compacted files are bit-identical duplicates every read path
     # tolerates, so a fenced abort is exactly a crash-window state.
+    # Files a live pinned_store_read still references are SKIPPED —
+    # left behind as tolerated duplicates for the first pass after
+    # the pin is released to sweep (module docstring, r19).
     fence.check()
+    pinned = _pinned_files(store_dir)
     for leaf, files in before.items():
         for f in files:
+            if os.path.realpath(f) in pinned:
+                continue
             for path in (f, os.path.join(
                 os.path.dirname(f), "." + os.path.basename(f) + ".crc"
             )):

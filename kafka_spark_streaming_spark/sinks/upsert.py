@@ -105,7 +105,7 @@ MANIFEST_NAME = "_MANIFEST.json"
 # writes a `_pins/pin-{pid}-{nonce}.json` file inside the store naming
 # the versions its read plan references, and EVERY pruner — any sink
 # attach in any process on the host — honors pin files whose holder
-# pid is alive (fencing.pid_alive).  This closes the r18 caveat that
+# pid is alive (fencing.live_pins).  This closes the r18 caveat that
 # pins lived in a process-local registry, so a reader in a DIFFERENT
 # process raced vacuum: the post-failover writer in a new driver
 # process now sees its fenced predecessor's pins on disk.  Release is
@@ -117,16 +117,6 @@ MANIFEST_NAME = "_MANIFEST.json"
 # correctness).  Multi-host deployments map pid-liveness onto a lease
 # TTL exactly like the writer fence (fencing module docstring).
 PIN_DIR = "_pins"
-
-
-def _release_pin(pin_path: str) -> None:
-    """weakref.finalize target: drop a snapshot's pin file.  Module
-    level (not a bound method) so the finalizer keeps neither the sink
-    nor the DataFrame alive."""
-    try:
-        os.remove(pin_path)
-    except FileNotFoundError:
-        pass  # a pruner already reaped it (holder pid looked dead)
 
 
 class KeyedUpsertSink:
@@ -374,61 +364,29 @@ class KeyedUpsertSink:
         listing (ADVICE r18): a second listing could race a
         concurrent write_batch and pin the new head's versions while
         the DataFrame still read the old manifest."""
-        from kafka_spark_streaming_spark.fencing import _write_token
+        from kafka_spark_streaming_spark.fencing import release_pin, write_pin
 
         raw, head, manifest = self._read_state()
         df = raw.drop("rb")
         if head is not None:
-            pin_dir = os.path.join(self.path, PIN_DIR)
-            os.makedirs(pin_dir, exist_ok=True)
-            pin_path = os.path.join(
-                pin_dir,
-                f"pin-{os.getpid()}-{os.urandom(8).hex()}.json",
-            )
-            _write_token(  # unique-tmp + fsync + replace, same as fence
-                pin_path,
+            pin_path = write_pin(
+                os.path.join(self.path, PIN_DIR),
                 {
                     "versions": sorted({head} | set(manifest.values())),
-                    "pid": os.getpid(),
                     "purpose": "snapshot",
                 },
             )
-            weakref.finalize(df, _release_pin, pin_path)
+            weakref.finalize(df, release_pin, pin_path)
         return df
 
     def _live_pins(self) -> set[str]:
-        """Union of versions named by pin files whose holder pid is
-        alive; reaps pins of dead holders (crash backstop).  A pin
-        file that does not parse is outside interference and fails
-        LOUDLY — silently ignoring it could prune a reader's files."""
-        import json
+        """Union of versions named by live-holder pin files — see
+        fencing.live_pins for the liveness/reaping/corrupt policy."""
+        from kafka_spark_streaming_spark.fencing import live_pins
 
-        from kafka_spark_streaming_spark.fencing import pid_alive
-
-        pin_dir = os.path.join(self.path, PIN_DIR)
         pinned: set[str] = set()
-        try:
-            names = os.listdir(pin_dir)
-        except FileNotFoundError:
-            return pinned
-        for name in sorted(names):
-            if not (name.startswith("pin-") and name.endswith(".json")):
-                continue  # in-flight tmp from _write_token
-            p = os.path.join(pin_dir, name)
-            try:
-                with open(p) as fh:
-                    pin = json.load(fh)
-            except FileNotFoundError:
-                continue  # released between listdir and open
-            except ValueError as exc:
-                raise ValueError(
-                    f"corrupt snapshot pin {p!r} — remove it only "
-                    "after confirming no reader holds that snapshot"
-                ) from exc
-            if pid_alive(pin.get("pid")):
-                pinned.update(pin.get("versions", []))
-            else:
-                _release_pin(p)
+        for pin in live_pins(os.path.join(self.path, PIN_DIR)):
+            pinned.update(pin.get("versions", []))
         return pinned
 
     def history(self) -> list[dict]:

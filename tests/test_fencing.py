@@ -626,3 +626,63 @@ def test_snapshot_pin_file_lifecycle(spark, tmp_path):
         fh.write("{not json")
     with _pytest.raises(ValueError, match="corrupt snapshot pin"):
         sink.write_batch(_cells(spark, [("k1", "v2")]), 1)
+
+
+def test_pinned_store_read_survives_compaction(spark, sf_smoke, tmp_path):
+    """r19: pinned_store_read pins its exact file listing, so a
+    compaction pass that lands mid-read appends but SKIPS deleting the
+    pinned originals (tolerated bit-identical duplicates) — the held
+    DataFrame stays collectable with unchanged content.  Releasing the
+    pin lets the next pass sweep the leftovers down to one file per
+    leaf and reap the pin dir."""
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        _data_files,
+        _leaf_dirs,
+        _pin_dir,
+        compact_dedup_store,
+        pinned_store_read,
+    )
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _incremental_dedup_batch,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    store = str(tmp_path / "store")
+    docs = table(spark, sf_smoke, "documents")
+    fence = WriterFence.acquire(store + ".epoch", purpose="drain")
+    for b in range(2):
+        _incremental_dedup_batch(
+            docs.filter(F.col("doc_id") % 2 == b), store, fence=fence
+        )
+    fence.idle()  # drain finished: standalone compaction may run
+
+    def kept(df):
+        return sorted(
+            r["doc_id"]
+            for r in df.filter((F.col("kind") == "p") & F.col("kept"))
+            .dropDuplicates(["doc_id"])
+            .collect()
+        )
+
+    pinned = pinned_store_read(spark, store)
+    expect = kept(pinned)
+    assert expect == kept(spark.read.parquet(store))
+    stats = compact_dedup_store(spark, store)
+    assert stats["rewrote"]
+    # pinned originals survived: some leaf holds >1 file (compacted +
+    # pinned original), and the held DataFrame still collects the same
+    # answer from the SAME files
+    assert any(len(_data_files(leaf)) > 1 for leaf in _leaf_dirs(store))
+    assert kept(pinned) == expect
+    assert kept(spark.read.parquet(store)) == expect  # dups tolerated
+    # release the pin -> the next pass sweeps the leftovers
+    del pinned
+    gc.collect()
+    stats2 = compact_dedup_store(spark, store, min_files=2)
+    assert stats2["rewrote"]
+    assert all(len(_data_files(leaf)) == 1 for leaf in _leaf_dirs(store))
+    assert kept(spark.read.parquet(store)) == expect
+    assert not [
+        f for f in os.listdir(_pin_dir(store))
+        if f.endswith(".json")
+    ] if os.path.isdir(_pin_dir(store)) else True
