@@ -123,6 +123,18 @@ ANN_COMPACT_EVERY_DEFAULT = 0
 DRAIN_ADAPTIVE_KEY = "spark.kss.drain.adaptiveEnabled"
 DRAIN_ADAPTIVE_DEFAULT = "false"
 
+# -- writer fencing: lease-TTL liveness ---------------------------------------
+# > 0 makes every store writer (upsert sink, dedup drain, ANN drain)
+# acquire its fence with a LEASE of this many seconds and renew it
+# once per committed batch: liveness becomes mtime-within-TTL —
+# host-agnostic on any shared filesystem/object store — instead of
+# the default single-host pid probe (fencing.py module docstring).
+# Size it comfortably above the worst-case batch interval so a slow
+# batch cannot lapse its own writer's lease; 0 = off.  A POLICY knob,
+# read at fence acquire, never persisted.
+FENCE_LEASE_TTL_KEY = "spark.kss.fence.leaseTtlSec"
+FENCE_LEASE_TTL_DEFAULT = 0.0
+
 
 def _int_conf(spark: SparkSession, key: str, default: int) -> int:
     raw = spark.conf.get(key, None)
@@ -175,6 +187,18 @@ def _cadence_conf(spark: SparkSession, key: str, default: int) -> int:
     if n < 0:
         raise ValueError(f"{key} must be >= 0, got {n}")
     return n
+
+
+def fence_lease_ttl(spark: SparkSession) -> float | None:
+    """Lease TTL for writer fences, or None when pid-liveness mode is
+    in effect (the default) — the shape WriterFence.acquire takes."""
+    raw = spark.conf.get(FENCE_LEASE_TTL_KEY, None)
+    if raw is None:
+        return None
+    t = float(raw)
+    if t < 0:
+        raise ValueError(f"{FENCE_LEASE_TTL_KEY} must be >= 0, got {t}")
+    return t if t > 0 else None
 
 
 def dedup_compact_every(spark: SparkSession) -> int:

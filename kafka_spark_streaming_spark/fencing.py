@@ -35,8 +35,12 @@ is one syscall); both stores tolerate that specific interleaving —
 the upsert sink's retry path purges by ``batch_id`` and the dedup
 store's reads are duplicate-tolerant.  On a real deployment the
 token maps onto a primitive with a true CAS (object-store
-conditional PUT / a catalog lock), and the pid-liveness probe onto
-a lease TTL; the call sites here are the part that carries over.
+conditional PUT / a catalog lock); the call sites here are the part
+that carries over.  Liveness has both shapes in-tree (r19): the
+default pid probe for single-host, and an opt-in LEASE
+(``acquire(..., lease_ttl_s=...)`` + periodic ``heartbeat()``) whose
+mtime-within-TTL check carries across machines on any shared
+filesystem/object store that exposes modification times.
 """
 
 from __future__ import annotations
@@ -111,11 +115,25 @@ class WriterFence:
         return self.token["epoch"]
 
     @classmethod
-    def acquire(cls, marker_path: str, purpose: str = "writer") -> "WriterFence":
+    def acquire(
+        cls,
+        marker_path: str,
+        purpose: str = "writer",
+        lease_ttl_s: float | None = None,
+    ) -> "WriterFence":
         """Become the store's newest writer (bump the epoch).  Raises
         StaleWriterError if a concurrent acquire raced ours out before
         the read-back — the caller simply lost the election and must
-        not write."""
+        not write.
+
+        ``lease_ttl_s`` (r19) opts into LEASE liveness: the token is
+        considered live only while its mtime is within the TTL, and
+        the holder must ``heartbeat()`` (any commit cadence well under
+        the TTL — a drain's per-batch callback is the natural place)
+        to keep it fresh.  This is the multi-host mapping the pid
+        heuristic cannot provide: a shared filesystem/object store
+        carries mtimes across machines, pids mean nothing there.
+        Without a TTL the probe stays pid-based (single-host)."""
         cur = _read_token(marker_path)
         token = {
             "epoch": (cur["epoch"] if cur else 0) + 1,
@@ -127,6 +145,8 @@ class WriterFence:
             "purpose": purpose,
             "active": True,
         }
+        if lease_ttl_s is not None:
+            token["lease_ttl_s"] = float(lease_ttl_s)
         _write_token(marker_path, token)
         back = _read_token(marker_path)
         if back != token:
@@ -162,6 +182,17 @@ class WriterFence:
         self.check()
         self.token = {**self.token, "active": False}
         _write_token(self.marker_path, self.token)
+
+    def heartbeat(self) -> None:
+        """Refresh the lease (rewrite the token, bumping its mtime).
+        Checks first — a stale holder renewing its lease would
+        resurrect a fenced-out writer.  A fence acquired WITHOUT
+        ``lease_ttl_s`` only checks (no rewrite): call sites can
+        heartbeat unconditionally per batch and pid-mode fences pay
+        one read, not an fsync."""
+        self.check()
+        if "lease_ttl_s" in self.token:
+            _write_token(self.marker_path, self.token)
 
 
 def pid_alive(pid) -> bool:
@@ -245,12 +276,25 @@ def live_pins(pin_dir: str) -> list[dict]:
 
 def live_writer(marker_path: str) -> dict | None:
     """The store's writer token if it plausibly belongs to a LIVE
-    writer: active flag set and its pid alive (``pid_alive`` — see its
-    single-host caveat); used by ``compact_dedup_store`` to refuse
+    writer: active flag set, plus liveness — a LEASE check when the
+    token carries ``lease_ttl_s`` (mtime within TTL; authoritative and
+    host-agnostic, r19), else the pid probe (``pid_alive``, see its
+    single-host caveat).  Used by ``compact_dedup_store`` to refuse
     running beside a live drain rather than silently fencing it out."""
+    import time
+
     tok = _read_token(marker_path)
     if not tok or not tok.get("active"):
         return None
+    ttl = tok.get("lease_ttl_s")
+    if ttl is not None:
+        try:
+            mtime = os.stat(marker_path).st_mtime
+        except FileNotFoundError:
+            return None
+        if time.time() - mtime > ttl:
+            return None  # lease expired: holder stopped heartbeating
+        return tok
     if not pid_alive(tok.get("pid")):
         return None  # holder crashed without idle(); token is stale
     return tok

@@ -1157,7 +1157,10 @@ def s_incremental_near_dedup(
     batch.  Bucket counts are engine config (config.py — 100 TB
     sizing rule there; thousands of buckets at the design point, 16
     locally)."""
-    from kafka_spark_streaming_spark.config import dedup_compact_every
+    from kafka_spark_streaming_spark.config import (
+        dedup_compact_every,
+        fence_lease_ttl,
+    )
     from kafka_spark_streaming_spark.fencing import WriterFence
     from kafka_spark_streaming_spark.operators.store_maintenance import (
         compact_dedup_store,
@@ -1171,7 +1174,9 @@ def s_incremental_near_dedup(
     # the upsert sink's _WRITER_EPOCH (same sibling-marker convention
     # as the .layout sidecar, so acquiring never creates the store dir)
     fence = WriterFence.acquire(
-        store_dir.rstrip("/") + ".epoch", purpose="incremental-near-dedup"
+        store_dir.rstrip("/") + ".epoch",
+        purpose="incremental-near-dedup",
+        lease_ttl_s=fence_lease_ttl(spark),
     )
     # compaction cadence (VERDICT r17 #2): policy knob, read once per
     # drain; > 0 folds the store's leaves back to one file every N
@@ -1188,6 +1193,8 @@ def s_incremental_near_dedup(
             and os.path.exists(store_dir)
         ):
             compact_dedup_store(spark, store_dir, fence=fence)
+        fence.heartbeat()  # per-batch lease renewal (read-only check
+        # in the default pid mode — fencing.heartbeat)
 
     # 8 shuffle partitions for the whole drain (A/B min-of-2 settled:
     # 32 -> 6.57 s, 16 -> 5.95 s, 8 -> 5.76 s): the per-batch band
@@ -1481,7 +1488,10 @@ def s_incremental_ann_ivf(
         lloyd_refine,
     )
 
-    from kafka_spark_streaming_spark.config import ann_compact_every
+    from kafka_spark_streaming_spark.config import (
+        ann_compact_every,
+        fence_lease_ttl,
+    )
     from kafka_spark_streaming_spark.operators.store_maintenance import (
         compact_ann_store,
     )
@@ -1491,7 +1501,9 @@ def s_incremental_ann_ivf(
     store_dir = os.path.join(run_dir, "store")
     cent_path = store_dir + ".centroids.json"
     fence = WriterFence.acquire(
-        store_dir + ".epoch", purpose="incremental-ann-ivf"
+        store_dir + ".epoch",
+        purpose="incremental-ann-ivf",
+        lease_ttl_s=fence_lease_ttl(spark),
     )
     # in-drain maintenance cadence — same policy shape as the dedup
     # drain's (store-idle point, cooperative fence); default off
@@ -1555,6 +1567,8 @@ def s_incremental_ann_ivf(
             and os.path.exists(store_dir)
         ):
             compact_ann_store(spark, store_dir, fence=fence)
+        fence.heartbeat()  # per-batch lease renewal (read-only check
+        # in the default pid mode — fencing.heartbeat)
 
     with _scoped_sql_confs(spark, _small_batch_drain_confs(spark, 8)):
         q = (

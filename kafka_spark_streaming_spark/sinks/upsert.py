@@ -152,9 +152,12 @@ class KeyedUpsertSink:
 
     def _writer_fence(self) -> WriterFence:
         if self._fence is None:
+            from kafka_spark_streaming_spark.config import fence_lease_ttl
+
             self._fence = WriterFence.acquire(
                 os.path.join(self.path, "_WRITER_EPOCH"),
                 purpose="keyed-upsert-sink",
+                lease_ttl_s=fence_lease_ttl(self.spark),
             )
         return self._fence
 
@@ -521,6 +524,7 @@ class KeyedUpsertSink:
                         shutil.rmtree(out)
                     os.rename(tmp, out)
                     self._prune(keep=self.keep_versions)
+                    fence.heartbeat()
                     return
             if flat_head:
                 # pre-r16 unpartitioned head: one full merge migrates
@@ -572,6 +576,8 @@ class KeyedUpsertSink:
                 shutil.rmtree(out)
             os.rename(tmp, out)
             self._prune(keep=self.keep_versions)
+            fence.heartbeat()  # renew the lease once per committed
+            # batch (no-op write in pid mode — fencing.heartbeat)
         finally:
             stamped.unpersist()
 

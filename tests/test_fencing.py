@@ -686,3 +686,109 @@ def test_pinned_store_read_survives_compaction(spark, sf_smoke, tmp_path):
         f for f in os.listdir(_pin_dir(store))
         if f.endswith(".json")
     ] if os.path.isdir(_pin_dir(store)) else True
+
+
+def test_fence_lease_ttl_liveness(tmp_path):
+    """r19: a fence acquired with lease_ttl_s is live while its token
+    mtime is within the TTL (host-agnostic — no pid involved), expires
+    when the holder stops heartbeating, and heartbeat() renews it.  A
+    fenced-out stale holder cannot renew."""
+    import time
+
+    marker = str(tmp_path / "store.epoch")
+    f = WriterFence.acquire(marker, purpose="drain", lease_ttl_s=30.0)
+    tok = live_writer(marker)
+    assert tok is not None and tok["lease_ttl_s"] == 30.0
+    # lease liveness ignores the pid entirely: a dead holder pid with
+    # a fresh mtime is still within its lease
+    from kafka_spark_streaming_spark.fencing import _write_token
+
+    _write_token(marker, {**f.token, "pid": 2**22 + 12345})
+    assert live_writer(marker) is not None
+    _write_token(marker, f.token)  # restore
+    # age the token past the TTL: the lease expires
+    past = time.time() - 61.0
+    os.utime(marker, (past, past))
+    assert live_writer(marker) is None
+    # heartbeat renews (rewrites the token -> fresh mtime)
+    f.heartbeat()
+    assert live_writer(marker) is not None
+    # a newer writer fences the old one out of heartbeat too
+    f2 = WriterFence.acquire(marker, purpose="drain-2", lease_ttl_s=30.0)
+    with pytest.raises(StaleWriterError):
+        f.heartbeat()
+    f2.heartbeat()  # the live holder keeps renewing fine
+    # idle still wins over the lease: an inactive token is not live
+    f2.idle()
+    assert live_writer(marker) is None
+
+
+def test_compact_standalone_proceeds_past_expired_lease(
+    spark, sf_smoke, tmp_path
+):
+    """An expired lease is exactly the crashed-on-another-host case:
+    standalone compaction must treat it as stale and proceed without
+    force=True (with the pid probe alone it would refuse forever when
+    the pid happened to be recycled)."""
+    import time
+
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        compact_dedup_store,
+    )
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _incremental_dedup_batch,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    store = str(tmp_path / "store")
+    marker = store + ".epoch"
+    docs = table(spark, sf_smoke, "documents")
+    fence = WriterFence.acquire(marker, purpose="drain", lease_ttl_s=30.0)
+    for b in range(2):
+        _incremental_dedup_batch(
+            docs.filter(F.col("doc_id") % 2 == b), store, fence=fence
+        )
+    # live lease: compaction refuses
+    with pytest.raises(StaleWriterError):
+        compact_dedup_store(spark, store)
+    # holder silently dies (no idle); its lease runs out
+    past = time.time() - 61.0
+    os.utime(marker, (past, past))
+    stats = compact_dedup_store(spark, store)
+    assert stats["rewrote"]
+    # and the zombie, were it to come back, is fenced at its next append
+    with pytest.raises(StaleWriterError):
+        _incremental_dedup_batch(docs.limit(5), store, fence=fence)
+
+
+def test_fence_lease_knob_wires_store_writers(spark, tmp_path):
+    """spark.kss.fence.leaseTtlSec > 0 makes the upsert sink (and the
+    drains, same fence_lease_ttl plumbing) acquire a leased fence and
+    renew it once per committed batch: after aging the token, the next
+    write_batch's heartbeat brings the lease back within TTL."""
+    import time
+
+    from kafka_spark_streaming_spark.config import FENCE_LEASE_TTL_KEY
+    from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
+
+    spark.conf.set(FENCE_LEASE_TTL_KEY, "45")
+    try:
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+        sink.write_batch(_cells(spark, [("k1", "v1")]), 0)
+    finally:
+        spark.conf.unset(FENCE_LEASE_TTL_KEY)
+    marker = os.path.join(sink.path, "_WRITER_EPOCH")
+    tok = live_writer(marker)
+    assert tok is not None and tok["lease_ttl_s"] == 45.0
+    past = time.time() - 120.0
+    os.utime(marker, (past, past))
+    assert live_writer(marker) is None  # lapsed between batches
+    sink.write_batch(_cells(spark, [("k2", "v2")]), 1)
+    assert live_writer(marker) is not None, (
+        "the commit's heartbeat must renew the lease"
+    )
+    # default mode unchanged: no knob -> no lease field in the token
+    sink2 = KeyedUpsertSink(spark, str(tmp_path / "cells2"))
+    sink2.write_batch(_cells(spark, [("k1", "v1")]), 0)
+    tok2 = live_writer(os.path.join(sink2.path, "_WRITER_EPOCH"))
+    assert tok2 is not None and "lease_ttl_s" not in tok2
