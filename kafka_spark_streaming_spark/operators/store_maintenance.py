@@ -110,9 +110,20 @@ def _pin_dir(store_dir: str) -> str:
 
 
 def _all_data_files(store_dir: str) -> list[str]:
+    """Every committed data file under the store — skipping any path
+    with a hidden component (`_temporary` from an in-flight append,
+    `.`-prefixed sidecars), the same filter Spark's own partition
+    discovery applies; an explicit file list bypasses that filter, so
+    it must be re-applied here or a pinned read racing an append could
+    capture uncommitted task files."""
     return sorted(
-        glob.glob(
+        f
+        for f in glob.glob(
             os.path.join(store_dir, "**", "*.parquet"), recursive=True
+        )
+        if not any(
+            part.startswith(("_", "."))
+            for part in os.path.relpath(f, store_dir).split(os.sep)
         )
     )
 
