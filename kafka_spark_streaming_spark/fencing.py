@@ -239,13 +239,20 @@ def release_pin(pin_path: str) -> None:
 
 
 def live_pins(pin_dir: str) -> list[dict]:
-    """Every pin in ``pin_dir`` whose holder pid is alive; pins of
-    dead holders are reaped in passing (crash backstop — a reader
-    that dies without releasing must not pin forever; pid REUSE
-    merely delays reaping, and pins gate only deletions, never
-    correctness).  A pin file that does not parse is outside
-    interference and fails LOUDLY — silently ignoring it could let a
-    pruner delete a live reader's files."""
+    """Every pin in ``pin_dir`` whose holder is plausibly live; stale
+    pins are reaped in passing (crash backstop — a reader that dies
+    without releasing must not pin forever).  Liveness mirrors the
+    writer fence's two modes: a pin carrying ``lease_ttl_s`` is live
+    while its file mtime is within the TTL (host-agnostic; the pin
+    auto-expires — a reader that must hold longer re-pins, the
+    retention-window contract of any vacuumed table format), else the
+    single-host pid probe applies (pid REUSE merely delays reaping,
+    and pins gate only deletions, never correctness).  A pin file
+    that does not parse is outside interference and fails LOUDLY —
+    silently ignoring it could let a pruner delete a live reader's
+    files."""
+    import time
+
     out: list[dict] = []
     try:
         names = os.listdir(pin_dir)
@@ -267,7 +274,17 @@ def live_pins(pin_dir: str) -> list[dict]:
                 f"corrupt snapshot pin {p!r} — remove it only after "
                 "confirming no reader holds that snapshot"
             ) from exc
-        if pid_alive(pin.get("pid")):
+        ttl = pin.get("lease_ttl_s")
+        if ttl is not None:
+            try:
+                fresh = time.time() - os.stat(p).st_mtime <= ttl
+            except FileNotFoundError:
+                continue  # released under us
+            if fresh:
+                out.append(pin)
+            else:
+                release_pin(p)
+        elif pid_alive(pin.get("pid")):
             out.append(pin)
         else:
             release_pin(p)

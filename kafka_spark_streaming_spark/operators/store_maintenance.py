@@ -157,10 +157,15 @@ def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
         spark.read.option("basePath", store_dir)
         .parquet(*files)
     )
-    pin_path = write_pin(
-        _pin_dir(store_dir),
-        {"files": files, "purpose": "pinned-store-read"},
-    )
+    from kafka_spark_streaming_spark.config import fence_lease_ttl
+
+    payload = {"files": files, "purpose": "pinned-store-read"}
+    ttl = fence_lease_ttl(spark)
+    if ttl is not None:
+        # multi-host mode: the pin auto-expires instead of relying on
+        # the single-host pid probe (fencing.live_pins)
+        payload["lease_ttl_s"] = ttl
+    pin_path = write_pin(_pin_dir(store_dir), payload)
     weakref.finalize(df, release_pin, pin_path)
     return df
 

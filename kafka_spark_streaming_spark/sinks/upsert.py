@@ -367,18 +367,22 @@ class KeyedUpsertSink:
         listing (ADVICE r18): a second listing could race a
         concurrent write_batch and pin the new head's versions while
         the DataFrame still read the old manifest."""
+        from kafka_spark_streaming_spark.config import fence_lease_ttl
         from kafka_spark_streaming_spark.fencing import release_pin, write_pin
 
         raw, head, manifest = self._read_state()
         df = raw.drop("rb")
         if head is not None:
-            pin_path = write_pin(
-                os.path.join(self.path, PIN_DIR),
-                {
-                    "versions": sorted({head} | set(manifest.values())),
-                    "purpose": "snapshot",
-                },
-            )
+            payload = {
+                "versions": sorted({head} | set(manifest.values())),
+                "purpose": "snapshot",
+            }
+            ttl = fence_lease_ttl(self.spark)
+            if ttl is not None:
+                # multi-host mode: the pin auto-expires instead of
+                # relying on the single-host pid probe (fencing.live_pins)
+                payload["lease_ttl_s"] = ttl
+            pin_path = write_pin(os.path.join(self.path, PIN_DIR), payload)
             weakref.finalize(df, release_pin, pin_path)
         return df
 

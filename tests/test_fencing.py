@@ -792,3 +792,50 @@ def test_fence_lease_knob_wires_store_writers(spark, tmp_path):
     sink2.write_batch(_cells(spark, [("k1", "v1")]), 0)
     tok2 = live_writer(os.path.join(sink2.path, "_WRITER_EPOCH"))
     assert tok2 is not None and "lease_ttl_s" not in tok2
+
+
+def test_lease_mode_pins_auto_expire(spark, tmp_path):
+    """With the lease knob set, snapshot pins carry lease_ttl_s and
+    auto-expire by mtime instead of pid-liveness — the retention-window
+    contract a multi-host deployment needs (a crashed remote reader's
+    pin cannot block vacuum forever, and pid reuse is irrelevant)."""
+    import json
+    import time
+
+    from kafka_spark_streaming_spark.config import (
+        FENCE_LEASE_TTL_KEY,
+        UPSERT_STATE_BUCKETS_KEY,
+    )
+    from kafka_spark_streaming_spark.sinks.upsert import (
+        PIN_DIR,
+        KeyedUpsertSink,
+    )
+
+    spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
+    spark.conf.set(FENCE_LEASE_TTL_KEY, "45")
+    try:
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+        sink.write_batch(_cells(spark, [("k1", "v1")]), 0)
+        snap = sink.snapshot()
+        pin_dir = os.path.join(sink.path, PIN_DIR)
+        pins = [f for f in os.listdir(pin_dir) if f.endswith(".json")]
+        assert len(pins) == 1
+        pin_path = os.path.join(pin_dir, pins[0])
+        with open(pin_path) as fh:
+            assert json.load(fh)["lease_ttl_s"] == 45.0
+        # fresh pin: v_0 survives writes past the keep window
+        sink.write_batch(_cells(spark, [("k1", "v2")]), 1)
+        sink.write_batch(_cells(spark, [("k1", "v3")]), 2)
+        assert "v_000000000000" in sink._versions()
+        assert [(r.rowkey, r.value) for r in snap.collect()] == [
+            ("k1", "v1")
+        ]
+        # lapse the lease: the next prune expires the pin and vacuums
+        past = time.time() - 120.0
+        os.utime(pin_path, (past, past))
+        sink.write_batch(_cells(spark, [("k1", "v4")]), 3)
+        assert "v_000000000000" not in sink._versions()
+        assert not os.path.exists(pin_path)
+    finally:
+        spark.conf.unset(FENCE_LEASE_TTL_KEY)
+        spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
