@@ -135,6 +135,23 @@ DRAIN_ADAPTIVE_DEFAULT = "false"
 FENCE_LEASE_TTL_KEY = "spark.kss.fence.leaseTtlSec"
 FENCE_LEASE_TTL_DEFAULT = 0.0
 
+# -- reader pins: auto-expiry TTL ---------------------------------------------
+# > 0 stamps every reader pin (KeyedUpsertSink.snapshot,
+# pinned_store_read) with this TTL: liveness becomes mtime-within-TTL
+# — the retention-window contract of a vacuumed table format, needed
+# when readers live on OTHER HOSTS where the default pid probe says
+# nothing.  DELIBERATELY a separate knob from the fence lease
+# (code-review r19): the fence TTL is sized to the batch interval
+# and renewed every commit, while a pin is written once and never
+# renewed — reusing the fence TTL would silently strip protection
+# from any snapshot held longer than one batch.  Size this to the
+# longest read a deployment allows (the VACUUM horizon); a reader
+# that must hold longer re-pins by calling snapshot()/
+# pinned_store_read again.  0 = off (pid-liveness, pins live for the
+# holder process's lifetime).
+STORE_PIN_TTL_KEY = "spark.kss.store.pinTtlSec"
+STORE_PIN_TTL_DEFAULT = 0.0
+
 
 def _int_conf(spark: SparkSession, key: str, default: int) -> int:
     raw = spark.conf.get(key, None)
@@ -189,16 +206,27 @@ def _cadence_conf(spark: SparkSession, key: str, default: int) -> int:
     return n
 
 
-def fence_lease_ttl(spark: SparkSession) -> float | None:
-    """Lease TTL for writer fences, or None when pid-liveness mode is
-    in effect (the default) — the shape WriterFence.acquire takes."""
-    raw = spark.conf.get(FENCE_LEASE_TTL_KEY, None)
+def _ttl_conf(spark: SparkSession, key: str) -> float | None:
+    raw = spark.conf.get(key, None)
     if raw is None:
         return None
     t = float(raw)
     if t < 0:
-        raise ValueError(f"{FENCE_LEASE_TTL_KEY} must be >= 0, got {t}")
+        raise ValueError(f"{key} must be >= 0, got {t}")
     return t if t > 0 else None
+
+
+def fence_lease_ttl(spark: SparkSession) -> float | None:
+    """Lease TTL for writer fences, or None when pid-liveness mode is
+    in effect (the default) — the shape WriterFence.acquire takes."""
+    return _ttl_conf(spark, FENCE_LEASE_TTL_KEY)
+
+
+def store_pin_ttl(spark: SparkSession) -> float | None:
+    """Auto-expiry TTL for reader pins, or None for pid-liveness (the
+    default).  Separate from fence_lease_ttl by design — see the key's
+    comment."""
+    return _ttl_conf(spark, STORE_PIN_TTL_KEY)
 
 
 def dedup_compact_every(spark: SparkSession) -> int:

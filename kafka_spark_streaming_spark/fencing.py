@@ -184,15 +184,30 @@ class WriterFence:
         _write_token(self.marker_path, self.token)
 
     def heartbeat(self) -> None:
-        """Refresh the lease (rewrite the token, bumping its mtime).
-        Checks first — a stale holder renewing its lease would
-        resurrect a fenced-out writer.  A fence acquired WITHOUT
-        ``lease_ttl_s`` only checks (no rewrite): call sites can
-        heartbeat unconditionally per batch and pid-mode fences pay
-        one read, not an fsync."""
+        """Refresh the lease by bumping the token file's MTIME
+        (os.utime), never by rewriting its content: a rewrite would
+        re-open the acquire race without acquire's read-back — a
+        stale holder whose check() passed just before a usurper's
+        acquire landed could clobber the new token, resurrecting the
+        zombie and fencing out the legitimate writer (code-review
+        r19).  With utime the worst case of that window is freshening
+        the USURPER's lease — benign, it is the live writer anyway.
+        Checks first, so a known-stale holder raises instead of
+        renewing at all.  A fence acquired WITHOUT ``lease_ttl_s``
+        only checks (no touch): call sites can heartbeat
+        unconditionally per batch and pid-mode fences pay one read,
+        not a write."""
         self.check()
         if "lease_ttl_s" in self.token:
-            _write_token(self.marker_path, self.token)
+            try:
+                os.utime(self.marker_path, None)
+            except FileNotFoundError:
+                # tokens are never deleted; a vanished marker means
+                # outside interference — the holder must stop
+                raise StaleWriterError(
+                    f"writer token {self.marker_path!r} disappeared "
+                    "under a live lease holder"
+                ) from None
 
 
 def pid_alive(pid) -> bool:

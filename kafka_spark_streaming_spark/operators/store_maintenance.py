@@ -147,27 +147,44 @@ def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
     reference releases the pin; a holder that crashes without
     releasing leaves a dead-pid pin the next maintenance pass reaps.
     Raises on an empty store — there is no listing to pin (create the
-    store by draining at least one batch first)."""
-    files = _all_data_files(store_dir)
-    if not files:
-        raise ValueError(
-            f"pinned_store_read: no data files under {store_dir!r}"
-        )
-    df = (
-        spark.read.option("basePath", store_dir)
-        .parquet(*files)
-    )
-    from kafka_spark_streaming_spark.config import fence_lease_ttl
+    store by draining at least one batch first).
 
-    payload = {"files": files, "purpose": "pinned-store-read"}
-    ttl = fence_lease_ttl(spark)
-    if ttl is not None:
-        # multi-host mode: the pin auto-expires instead of relying on
-        # the single-host pid probe (fencing.live_pins)
-        payload["lease_ttl_s"] = ttl
-    pin_path = write_pin(_pin_dir(store_dir), payload)
-    weakref.finalize(df, release_pin, pin_path)
-    return df
+    Paths are realpath-normalized at WRITE time so a pin taken with a
+    relative store_dir still matches the delete phase's comparison
+    from any cwd, and the pin is published-then-verified: after the
+    pin file lands, every listed file is re-checked on disk — a
+    compaction pass that deleted one in the listing-to-pin window
+    means this attempt lost the race, so the pin is dropped and the
+    listing retried (same protocol and residual-window argument as
+    snapshot(), code-review r19)."""
+    from kafka_spark_streaming_spark.config import store_pin_ttl
+
+    store_dir = os.path.realpath(store_dir)
+    ttl = store_pin_ttl(spark)
+    for _ in range(5):
+        files = _all_data_files(store_dir)
+        if not files:
+            raise ValueError(
+                f"pinned_store_read: no data files under {store_dir!r}"
+            )
+        payload = {"files": files, "purpose": "pinned-store-read"}
+        if ttl is not None:
+            # multi-host mode: the pin auto-expires instead of relying
+            # on the single-host pid probe (fencing.live_pins)
+            payload["lease_ttl_s"] = ttl
+        pin_path = write_pin(_pin_dir(store_dir), payload)
+        if all(os.path.exists(f) for f in files):
+            df = (
+                spark.read.option("basePath", store_dir)
+                .parquet(*files)
+            )
+            weakref.finalize(df, release_pin, pin_path)
+            return df
+        release_pin(pin_path)  # lost the race: a delete beat the pin
+    raise RuntimeError(
+        f"pinned_store_read({store_dir!r}): lost the pin race 5 times "
+        "— maintenance is deleting faster than listings can be pinned"
+    )
 
 
 def compact_dedup_store(
@@ -264,7 +281,15 @@ def compact_partitioned_store(
                 "policy knob do it in-line, or pass force=True if the "
                 "token is known-stale"
             )
-        fence = WriterFence.acquire(marker, purpose=purpose)
+        from kafka_spark_streaming_spark.config import fence_lease_ttl
+
+        # same lease plumbing as the drains and the upsert sink —
+        # without it a standalone pass that crashed on another host
+        # would leave a pid-mode token that live_writer can only
+        # probe locally (code-review r19)
+        fence = WriterFence.acquire(
+            marker, purpose=purpose, lease_ttl_s=fence_lease_ttl(spark)
+        )
         standalone = True
     else:
         standalone = False

@@ -366,25 +366,47 @@ class KeyedUpsertSink:
         The read plan and the pin set come from ONE _read_state()
         listing (ADVICE r18): a second listing could race a
         concurrent write_batch and pin the new head's versions while
-        the DataFrame still read the old manifest."""
-        from kafka_spark_streaming_spark.config import fence_lease_ttl
+        the DataFrame still read the old manifest.  And the pin is
+        PUBLISHED-then-VERIFIED (code-review r19): a pruner racing
+        the window between the listing and the pin write could
+        vacuum the listed versions before the pin lands, so after
+        writing the pin we re-check every pinned version dir still
+        exists — if one vanished, this attempt lost the race; drop
+        the pin and re-list against the new head.  Once the verify
+        passes, any LATER prune's pin read sees the file; the
+        residual window is a pruner whose pin read predates our pin
+        but whose rmtree follows our verify — bounded by that
+        pruner's listing-to-unlink span, the advisory-file analogue
+        of the fence's one-syscall in-flight window, and closed for
+        real deployments by the pin-TTL retention horizon
+        (spark.kss.store.pinTtlSec)."""
+        from kafka_spark_streaming_spark.config import store_pin_ttl
         from kafka_spark_streaming_spark.fencing import release_pin, write_pin
 
-        raw, head, manifest = self._read_state()
-        df = raw.drop("rb")
-        if head is not None:
-            payload = {
-                "versions": sorted({head} | set(manifest.values())),
-                "purpose": "snapshot",
-            }
-            ttl = fence_lease_ttl(self.spark)
+        ttl = store_pin_ttl(self.spark)
+        for _ in range(5):
+            raw, head, manifest = self._read_state()
+            df = raw.drop("rb")
+            if head is None:
+                return df
+            pins = sorted({head} | set(manifest.values()))
+            payload = {"versions": pins, "purpose": "snapshot"}
             if ttl is not None:
                 # multi-host mode: the pin auto-expires instead of
                 # relying on the single-host pid probe (fencing.live_pins)
                 payload["lease_ttl_s"] = ttl
             pin_path = write_pin(os.path.join(self.path, PIN_DIR), payload)
-            weakref.finalize(df, release_pin, pin_path)
-        return df
+            if all(
+                os.path.isdir(os.path.join(self.path, v)) for v in pins
+            ):
+                weakref.finalize(df, release_pin, pin_path)
+                return df
+            release_pin(pin_path)  # lost the race: a prune beat the pin
+        raise RuntimeError(
+            f"snapshot({self.path!r}): lost the pin race 5 times — a "
+            "writer is pruning faster than versions can be pinned "
+            "(keep window too small for concurrent readers?)"
+        )
 
     def _live_pins(self) -> set[str]:
         """Union of versions named by live-holder pin files — see

@@ -795,15 +795,19 @@ def test_fence_lease_knob_wires_store_writers(spark, tmp_path):
 
 
 def test_lease_mode_pins_auto_expire(spark, tmp_path):
-    """With the lease knob set, snapshot pins carry lease_ttl_s and
+    """With the PIN-TTL knob set, snapshot pins carry lease_ttl_s and
     auto-expire by mtime instead of pid-liveness — the retention-window
     contract a multi-host deployment needs (a crashed remote reader's
-    pin cannot block vacuum forever, and pid reuse is irrelevant)."""
+    pin cannot block vacuum forever, and pid reuse is irrelevant).
+    The knob is spark.kss.store.pinTtlSec, deliberately separate from
+    the per-batch-renewed fence lease (code-review r19: reusing the
+    fence TTL silently stripped protection from any snapshot held
+    longer than one batch interval)."""
     import json
     import time
 
     from kafka_spark_streaming_spark.config import (
-        FENCE_LEASE_TTL_KEY,
+        STORE_PIN_TTL_KEY,
         UPSERT_STATE_BUCKETS_KEY,
     )
     from kafka_spark_streaming_spark.sinks.upsert import (
@@ -812,7 +816,7 @@ def test_lease_mode_pins_auto_expire(spark, tmp_path):
     )
 
     spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
-    spark.conf.set(FENCE_LEASE_TTL_KEY, "45")
+    spark.conf.set(STORE_PIN_TTL_KEY, "45")
     try:
         sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
         sink.write_batch(_cells(spark, [("k1", "v1")]), 0)
@@ -837,5 +841,5 @@ def test_lease_mode_pins_auto_expire(spark, tmp_path):
         assert "v_000000000000" not in sink._versions()
         assert not os.path.exists(pin_path)
     finally:
-        spark.conf.unset(FENCE_LEASE_TTL_KEY)
+        spark.conf.unset(STORE_PIN_TTL_KEY)
         spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
