@@ -129,9 +129,11 @@ DRAIN_ADAPTIVE_DEFAULT = "false"
 # once per committed batch: liveness becomes mtime-within-TTL —
 # host-agnostic on any shared filesystem/object store — instead of
 # the default single-host pid probe (fencing.py module docstring).
-# Size it comfortably above the worst-case batch interval so a slow
-# batch cannot lapse its own writer's lease; 0 = off.  A POLICY knob,
-# read at fence acquire, never persisted.
+# Size it comfortably above the worst-case batch interval AND the
+# longest maintenance pass (standalone compaction renews only between
+# its phases — a single rewrite job longer than the TTL lapses
+# mid-job, which is abort-safe but wastes the pass); 0 = off.  A
+# POLICY knob, read at fence acquire, never persisted.
 FENCE_LEASE_TTL_KEY = "spark.kss.fence.leaseTtlSec"
 FENCE_LEASE_TTL_DEFAULT = 0.0
 
@@ -206,11 +208,9 @@ def _cadence_conf(spark: SparkSession, key: str, default: int) -> int:
     return n
 
 
-def _ttl_conf(spark: SparkSession, key: str) -> float | None:
+def _ttl_conf(spark: SparkSession, key: str, default: float) -> float | None:
     raw = spark.conf.get(key, None)
-    if raw is None:
-        return None
-    t = float(raw)
+    t = default if raw is None else float(raw)
     if t < 0:
         raise ValueError(f"{key} must be >= 0, got {t}")
     return t if t > 0 else None
@@ -219,14 +219,36 @@ def _ttl_conf(spark: SparkSession, key: str) -> float | None:
 def fence_lease_ttl(spark: SparkSession) -> float | None:
     """Lease TTL for writer fences, or None when pid-liveness mode is
     in effect (the default) — the shape WriterFence.acquire takes."""
-    return _ttl_conf(spark, FENCE_LEASE_TTL_KEY)
+    return _ttl_conf(spark, FENCE_LEASE_TTL_KEY, FENCE_LEASE_TTL_DEFAULT)
 
 
 def store_pin_ttl(spark: SparkSession) -> float | None:
     """Auto-expiry TTL for reader pins, or None for pid-liveness (the
-    default).  Separate from fence_lease_ttl by design — see the key's
-    comment."""
-    return _ttl_conf(spark, STORE_PIN_TTL_KEY)
+    default).  Separate knob from fence_lease_ttl by design (see the
+    key's comment), but when the fence lease is on and this knob is
+    UNSET, the fence TTL is used as the pin TTL with a warning
+    (code-review r19): in multi-host mode pid pins are simply wrong —
+    they can both reap a live remote reader's pin (local pid table
+    says dead) and block vacuum forever (coincidental local pid says
+    alive) — while a too-short TTL pin merely fails toward expiry,
+    which the publish-then-verify protocol and re-pinning tolerate.
+    Deployments should still set pinTtlSec explicitly to the intended
+    vacuum horizon."""
+    t = _ttl_conf(spark, STORE_PIN_TTL_KEY, STORE_PIN_TTL_DEFAULT)
+    if t is not None:
+        return t
+    fallback = fence_lease_ttl(spark)
+    if fallback is not None:
+        import warnings
+
+        warnings.warn(
+            f"{FENCE_LEASE_TTL_KEY} is set but {STORE_PIN_TTL_KEY} is "
+            f"not: reader pins will auto-expire after the fence TTL "
+            f"({fallback}s). Set {STORE_PIN_TTL_KEY} to the intended "
+            "vacuum horizon (longest allowed read).",
+            stacklevel=2,
+        )
+    return fallback
 
 
 def dedup_compact_every(spark: SparkSession) -> int:

@@ -176,12 +176,21 @@ class WriterFence:
             )
 
     def idle(self) -> None:
-        """Mark the token inactive (drain finished; epoch kept) so
-        maintenance's live-writer guard stops refusing.  Checks first:
-        a stale holder must not overwrite the new writer's token."""
+        """Mark this holder's tenure inactive (drain finished; epoch
+        kept) so maintenance's live-writer guard stops refusing.
+        Checks first: a stale holder must not idle someone else's
+        tenure.  Published as a SIDECAR marker (``<marker>.idle``)
+        naming this token's epoch+nonce, never by rewriting the
+        shared token (code-review r19: the rewrite had the same
+        check-then-write clobber race as heartbeat — an acquire
+        landing between our check and our write would be silently
+        overwritten, fencing out the legitimate new writer; a sidecar
+        that names a superseded tenure is simply ignored)."""
         self.check()
-        self.token = {**self.token, "active": False}
-        _write_token(self.marker_path, self.token)
+        _write_token(
+            self.marker_path + ".idle",
+            {"epoch": self.epoch, "nonce": self.token["nonce"]},
+        )
 
     def heartbeat(self) -> None:
         """Refresh the lease by bumping the token file's MTIME
@@ -253,6 +262,65 @@ def release_pin(pin_path: str) -> None:
         pass
 
 
+class PinRaceLost(Exception):
+    """A pin attempt observed state vanishing under it (a pruner or
+    compactor won the listing-to-pin window); ``pin_guarded`` retries
+    the attempt against the store's new head."""
+
+
+def pin_guarded(pin_dir: str, attempt, attempts: int = 5, what: str = "pinned read"):
+    """The publish-then-verify pin protocol, shared by the upsert
+    sink's snapshot() and the append stores' pinned_store_read so the
+    lifecycle cannot drift (code-review r19).
+
+    ``attempt()`` returns ``(payload, verify, finish)``:
+
+    - ``payload is None`` → nothing to pin (empty store); return
+      ``finish(None)`` immediately.
+    - otherwise the payload is durably published via ``write_pin``,
+      ``verify()`` re-checks the pinned resources still exist AFTER
+      the pin landed (a deleter that raced the listing-to-pin window
+      fails the verify), and on success ``finish(pin_path)`` builds
+      and returns the caller's result.  A failed verify — or
+      ``attempt``/``verify``/``finish`` raising :class:`PinRaceLost`
+      (e.g. a path-not-found from a plan built over a just-pruned
+      listing) — drops the pin and retries from a fresh listing.
+
+    Once a verify passes, any LATER deletion pass's pin read sees the
+    file; the residual window is a deleter whose pin read predates
+    the pin but whose unlink follows the verify — bounded by that
+    deleter's listing-to-unlink span (the advisory-file analogue of
+    the fence's one-syscall in-flight window) and closed for real
+    deployments by the pin-TTL retention horizon
+    (spark.kss.store.pinTtlSec)."""
+    for _ in range(attempts):
+        try:
+            payload, verify, finish = attempt()
+        except PinRaceLost:
+            continue
+        if payload is None:
+            return finish(None)
+        path = write_pin(pin_dir, payload)
+        try:
+            ok = verify()
+        except PinRaceLost:
+            release_pin(path)
+            continue
+        if not ok:
+            release_pin(path)
+            continue
+        try:
+            return finish(path)
+        except PinRaceLost:
+            release_pin(path)
+            continue
+    raise RuntimeError(
+        f"{what}: lost the pin race {attempts} times — deletion is "
+        "outrunning pinning (keep window or maintenance cadence too "
+        "aggressive for concurrent readers?)"
+    )
+
+
 def live_pins(pin_dir: str) -> list[dict]:
     """Every pin in ``pin_dir`` whose holder is plausibly live; stale
     pins are reaped in passing (crash backstop — a reader that dies
@@ -308,16 +376,25 @@ def live_pins(pin_dir: str) -> list[dict]:
 
 def live_writer(marker_path: str) -> dict | None:
     """The store's writer token if it plausibly belongs to a LIVE
-    writer: active flag set, plus liveness — a LEASE check when the
-    token carries ``lease_ttl_s`` (mtime within TTL; authoritative and
-    host-agnostic, r19), else the pid probe (``pid_alive``, see its
-    single-host caveat).  Used by ``compact_dedup_store`` to refuse
-    running beside a live drain rather than silently fencing it out."""
+    writer: its tenure not marked idle (the ``.idle`` sidecar naming
+    this exact epoch+nonce — see WriterFence.idle), plus liveness — a
+    LEASE check when the token carries ``lease_ttl_s`` (mtime within
+    TTL; authoritative and host-agnostic, r19), else the pid probe
+    (``pid_alive``, see its single-host caveat).  Used by
+    ``compact_dedup_store`` to refuse running beside a live drain
+    rather than silently fencing it out."""
     import time
 
     tok = _read_token(marker_path)
     if not tok or not tok.get("active"):
-        return None
+        return None  # pre-sidecar tokens carry active:False when idled
+    idle = _read_token(marker_path + ".idle")
+    if (
+        idle
+        and idle.get("epoch") == tok.get("epoch")
+        and idle.get("nonce") == tok.get("nonce")
+    ):
+        return None  # this tenure finished cleanly
     ttl = tok.get("lease_ttl_s")
     if ttl is not None:
         try:

@@ -75,12 +75,13 @@ import weakref
 from pyspark.sql import DataFrame, SparkSession
 
 from kafka_spark_streaming_spark.fencing import (
+    PinRaceLost,
     StaleWriterError,
     WriterFence,
     live_pins,
     live_writer,
+    pin_guarded,
     release_pin,
-    write_pin,
 )
 
 
@@ -151,17 +152,20 @@ def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
 
     Paths are realpath-normalized at WRITE time so a pin taken with a
     relative store_dir still matches the delete phase's comparison
-    from any cwd, and the pin is published-then-verified: after the
-    pin file lands, every listed file is re-checked on disk — a
-    compaction pass that deleted one in the listing-to-pin window
-    means this attempt lost the race, so the pin is dropped and the
-    listing retried (same protocol and residual-window argument as
-    snapshot(), code-review r19)."""
+    from any cwd, and the pin follows the shared publish-then-verify
+    protocol (fencing.pin_guarded, code-review r19): a compaction
+    pass that deleted a listed file in the listing-to-pin window
+    fails the post-publish verify — or raises path-not-found while
+    the plan is built — and the attempt retries from a fresh listing;
+    see pin_guarded for the residual-window argument."""
+    from pyspark.errors import AnalysisException
+
     from kafka_spark_streaming_spark.config import store_pin_ttl
 
     store_dir = os.path.realpath(store_dir)
     ttl = store_pin_ttl(spark)
-    for _ in range(5):
+
+    def attempt():
         files = _all_data_files(store_dir)
         if not files:
             raise ValueError(
@@ -172,18 +176,27 @@ def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
             # multi-host mode: the pin auto-expires instead of relying
             # on the single-host pid probe (fencing.live_pins)
             payload["lease_ttl_s"] = ttl
-        pin_path = write_pin(_pin_dir(store_dir), payload)
-        if all(os.path.exists(f) for f in files):
-            df = (
-                spark.read.option("basePath", store_dir)
-                .parquet(*files)
-            )
+
+        def verify():
+            return all(os.path.exists(f) for f in files)
+
+        def finish(pin_path):
+            try:
+                df = (
+                    spark.read.option("basePath", store_dir)
+                    .parquet(*files)
+                )
+            except AnalysisException as exc:
+                raise PinRaceLost(str(exc)) from exc
             weakref.finalize(df, release_pin, pin_path)
             return df
-        release_pin(pin_path)  # lost the race: a delete beat the pin
-    raise RuntimeError(
-        f"pinned_store_read({store_dir!r}): lost the pin race 5 times "
-        "— maintenance is deleting faster than listings can be pinned"
+
+        return payload, verify, finish
+
+    return pin_guarded(
+        _pin_dir(store_dir),
+        attempt,
+        what=f"pinned_store_read({store_dir!r})",
     )
 
 
@@ -339,10 +352,17 @@ def compact_partitioned_store(
     # a newer writer attached since, abort HERE — the appended
     # compacted files are bit-identical duplicates every read path
     # tolerates, so a fenced abort is exactly a crash-window state.
+    # heartbeat = check + lease renewal (code-review r19): the rewrite
+    # job above is the pass's long pole and aged the token's mtime for
+    # its whole duration, so a lease-mode fence renews here for the
+    # work that follows; a single job longer than the TTL still needs
+    # the TTL sized to the pass (FENCE_LEASE_TTL_KEY comment) — an
+    # expired-mid-pass lease lets a second pass start, which this
+    # abort keeps correct at the cost of the wasted rewrite.
     # Files a live pinned_store_read still references are SKIPPED —
     # left behind as tolerated duplicates for the first pass after
     # the pin is released to sweep (module docstring, r19).
-    fence.check()
+    fence.heartbeat()
     pinned = _pinned_files(store_dir)
     for leaf, files in before.items():
         for f in files:

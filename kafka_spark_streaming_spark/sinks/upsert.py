@@ -366,46 +366,54 @@ class KeyedUpsertSink:
         The read plan and the pin set come from ONE _read_state()
         listing (ADVICE r18): a second listing could race a
         concurrent write_batch and pin the new head's versions while
-        the DataFrame still read the old manifest.  And the pin is
-        PUBLISHED-then-VERIFIED (code-review r19): a pruner racing
-        the window between the listing and the pin write could
-        vacuum the listed versions before the pin lands, so after
-        writing the pin we re-check every pinned version dir still
-        exists — if one vanished, this attempt lost the race; drop
-        the pin and re-list against the new head.  Once the verify
-        passes, any LATER prune's pin read sees the file; the
-        residual window is a pruner whose pin read predates our pin
-        but whose rmtree follows our verify — bounded by that
-        pruner's listing-to-unlink span, the advisory-file analogue
-        of the fence's one-syscall in-flight window, and closed for
-        real deployments by the pin-TTL retention horizon
-        (spark.kss.store.pinTtlSec)."""
+        the DataFrame still read the old manifest.  And the pin
+        follows the shared publish-then-verify protocol
+        (fencing.pin_guarded, code-review r19): a pruner racing the
+        listing-to-pin window fails the post-publish verify (or
+        surfaces as a path-not-found while the plan is built over the
+        just-pruned listing), and the attempt retries against the new
+        head; see pin_guarded for the residual-window argument."""
+        from pyspark.errors import AnalysisException
+
         from kafka_spark_streaming_spark.config import store_pin_ttl
-        from kafka_spark_streaming_spark.fencing import release_pin, write_pin
+        from kafka_spark_streaming_spark.fencing import (
+            PinRaceLost,
+            pin_guarded,
+            release_pin,
+        )
 
         ttl = store_pin_ttl(self.spark)
-        for _ in range(5):
-            raw, head, manifest = self._read_state()
+
+        def attempt():
+            try:
+                raw, head, manifest = self._read_state()
+            except AnalysisException as exc:
+                raise PinRaceLost(str(exc)) from exc
             df = raw.drop("rb")
             if head is None:
-                return df
+                return None, None, lambda _p: df
             pins = sorted({head} | set(manifest.values()))
             payload = {"versions": pins, "purpose": "snapshot"}
             if ttl is not None:
                 # multi-host mode: the pin auto-expires instead of
                 # relying on the single-host pid probe (fencing.live_pins)
                 payload["lease_ttl_s"] = ttl
-            pin_path = write_pin(os.path.join(self.path, PIN_DIR), payload)
-            if all(
-                os.path.isdir(os.path.join(self.path, v)) for v in pins
-            ):
+
+            def verify():
+                return all(
+                    os.path.isdir(os.path.join(self.path, v)) for v in pins
+                )
+
+            def finish(pin_path):
                 weakref.finalize(df, release_pin, pin_path)
                 return df
-            release_pin(pin_path)  # lost the race: a prune beat the pin
-        raise RuntimeError(
-            f"snapshot({self.path!r}): lost the pin race 5 times — a "
-            "writer is pruning faster than versions can be pinned "
-            "(keep window too small for concurrent readers?)"
+
+            return payload, verify, finish
+
+        return pin_guarded(
+            os.path.join(self.path, PIN_DIR),
+            attempt,
+            what=f"snapshot({self.path!r})",
         )
 
     def _live_pins(self) -> set[str]:

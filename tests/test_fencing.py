@@ -843,3 +843,54 @@ def test_lease_mode_pins_auto_expire(spark, tmp_path):
     finally:
         spark.conf.unset(STORE_PIN_TTL_KEY)
         spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
+
+
+def test_idle_sidecar_cannot_clobber_usurper(tmp_path):
+    """r19: idle() publishes a sidecar naming its own tenure instead
+    of rewriting the shared token — so even a zombie whose idle races
+    past its check (simulated by writing the sidecar directly) cannot
+    fence out the legitimate writer: the sidecar names a superseded
+    epoch/nonce and is ignored."""
+    from kafka_spark_streaming_spark.fencing import _write_token
+
+    marker = str(tmp_path / "store.epoch")
+    f1 = WriterFence.acquire(marker, purpose="drain")
+    f2 = WriterFence.acquire(marker, purpose="drain-2")
+    # zombie f1's idle, bypassing its check (the race window)
+    _write_token(
+        marker + ".idle",
+        {"epoch": f1.epoch, "nonce": f1.token["nonce"]},
+    )
+    assert live_writer(marker) is not None, (
+        "a superseded tenure's idle sidecar must not mark the live "
+        "writer inactive"
+    )
+    f2.check()  # and the usurper's token is untouched
+    f2.idle()  # the live holder's own idle does take effect
+    assert live_writer(marker) is None
+
+
+def test_pin_ttl_falls_back_to_fence_lease(spark):
+    """store_pin_ttl: explicit pinTtlSec wins; unset with the fence
+    lease on falls back to the fence TTL with a warning (multi-host
+    mode must never silently use pid pins); both unset -> None."""
+    import warnings as _warnings
+
+    from kafka_spark_streaming_spark.config import (
+        FENCE_LEASE_TTL_KEY,
+        STORE_PIN_TTL_KEY,
+        store_pin_ttl,
+    )
+
+    assert store_pin_ttl(spark) is None
+    spark.conf.set(FENCE_LEASE_TTL_KEY, "30")
+    try:
+        with pytest.warns(UserWarning, match="pinTtlSec"):
+            assert store_pin_ttl(spark) == 30.0
+        spark.conf.set(STORE_PIN_TTL_KEY, "600")
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # explicit knob: no warning
+            assert store_pin_ttl(spark) == 600.0
+    finally:
+        spark.conf.unset(FENCE_LEASE_TTL_KEY)
+        spark.conf.unset(STORE_PIN_TTL_KEY)
