@@ -150,7 +150,9 @@ FENCE_LEASE_TTL_DEFAULT = 0.0
 # longest read a deployment allows (the VACUUM horizon); a reader
 # that must hold longer re-pins by calling snapshot()/
 # pinned_store_read again.  0 = off (pid-liveness, pins live for the
-# holder process's lifetime).
+# holder process's lifetime).  UNSET while the fence lease is on
+# falls back to the fence TTL with a warning (pid pins are wrong on
+# multi-host); an EXPLICIT 0 opts out of that fallback.
 STORE_PIN_TTL_KEY = "spark.kss.store.pinTtlSec"
 STORE_PIN_TTL_DEFAULT = 0.0
 
@@ -233,10 +235,19 @@ def store_pin_ttl(spark: SparkSession) -> float | None:
     alive) — while a too-short TTL pin merely fails toward expiry,
     which the publish-then-verify protocol and re-pinning tolerate.
     Deployments should still set pinTtlSec explicitly to the intended
-    vacuum horizon."""
-    t = _ttl_conf(spark, STORE_PIN_TTL_KEY, STORE_PIN_TTL_DEFAULT)
-    if t is not None:
-        return t
+    vacuum horizon — and an EXPLICIT pinTtlSec=0 is an opt-out that
+    keeps pid-liveness pins even in fence-lease mode (code-review r19:
+    the fallback must not override the key's documented '0 = off')."""
+    raw = spark.conf.get(STORE_PIN_TTL_KEY, None)
+    if raw is not None:
+        t = float(raw)
+        if t < 0:
+            raise ValueError(
+                f"{STORE_PIN_TTL_KEY} must be >= 0, got {t}"
+            )
+        return t if t > 0 else None  # explicit 0: pid mode, no fallback
+    if STORE_PIN_TTL_DEFAULT > 0:
+        return STORE_PIN_TTL_DEFAULT
     fallback = fence_lease_ttl(spark)
     if fallback is not None:
         import warnings

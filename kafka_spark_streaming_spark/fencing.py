@@ -20,11 +20,14 @@ Mechanics
   writer has acquired since.  A zombie driver that lost a failover
   therefore fails LOUDLY at its next commit instead of interleaving
   renames/appends with the new driver's.
-- ``fence.idle()`` marks the token inactive (epoch preserved) so
-  out-of-band maintenance (``compact_dedup_store``) can distinguish
-  "a drain is live" from "a writer once existed"; ``live_writer``
-  is that guard's probe, treating an active token whose pid is dead
-  as stale (single-host liveness heuristic — see caveat).
+- ``fence.idle()`` marks the holder's TENURE finished by creating a
+  per-tenure sidecar file (``<marker>.idle-<epoch>-<nonce>``; the
+  shared token is never rewritten after acquire — rewrites had
+  check-then-write clobber races, code-review r19) so out-of-band
+  maintenance (``compact_dedup_store``) can distinguish "a drain is
+  live" from "a writer once existed"; ``live_writer`` is that
+  guard's probe, treating an idled tenure, an expired lease, or (in
+  pid mode) an active token whose pid is dead as stale.
 
 Guarantee and caveat (same class as any advisory fencing without
 compare-and-swap): once a new writer's acquire is durable, every
@@ -103,6 +106,12 @@ def _write_token(marker_path: str, token: dict) -> None:
         raise
 
 
+def _idle_marker(marker_path: str, token: dict) -> str:
+    """Per-tenure idle-sidecar path: the tenure identity lives in the
+    NAME, so no two tenures ever write the same file."""
+    return f"{marker_path}.idle-{token['epoch']}-{token['nonce']}"
+
+
 class WriterFence:
     """One writer's hold on a store — see module docstring."""
 
@@ -155,6 +164,19 @@ class WriterFence:
                 f"acquire ({back and back.get('purpose')!r}) superseded "
                 "this one before it could commit anything"
             )
+        # housekeeping: idle sidecars of superseded tenures are dead
+        # weight (a sidecar can only ever match its own tenure's
+        # token), so sweep them here; a zombie's delayed idle may
+        # re-create one afterwards, which stays a dead file until the
+        # next acquire sweeps it
+        d = os.path.dirname(marker_path) or "."
+        prefix = os.path.basename(marker_path) + ".idle-"
+        for name in os.listdir(d):
+            if name.startswith(prefix):
+                try:
+                    os.unlink(os.path.join(d, name))
+                except FileNotFoundError:
+                    pass
         return cls(marker_path, token)
 
     def check(self) -> None:
@@ -179,18 +201,17 @@ class WriterFence:
         """Mark this holder's tenure inactive (drain finished; epoch
         kept) so maintenance's live-writer guard stops refusing.
         Checks first: a stale holder must not idle someone else's
-        tenure.  Published as a SIDECAR marker (``<marker>.idle``)
-        naming this token's epoch+nonce, never by rewriting the
-        shared token (code-review r19: the rewrite had the same
-        check-then-write clobber race as heartbeat — an acquire
-        landing between our check and our write would be silently
-        overwritten, fencing out the legitimate new writer; a sidecar
-        that names a superseded tenure is simply ignored)."""
+        tenure.  Published as a PER-TENURE sidecar file
+        (``<marker>.idle-<epoch>-<nonce>``), never by rewriting the
+        shared token and never through a shared sidecar either
+        (code-review r19, twice: any shared-file rewrite after a
+        content check has the check-then-write clobber race — a
+        zombie's delayed write overwrites the current tenure's state;
+        a file whose NAME is the tenure can only ever mark its own
+        tenure, so a delayed zombie write creates a dead file that no
+        live token matches)."""
         self.check()
-        _write_token(
-            self.marker_path + ".idle",
-            {"epoch": self.epoch, "nonce": self.token["nonce"]},
-        )
+        _write_token(_idle_marker(self.marker_path, self.token), {})
 
     def heartbeat(self) -> None:
         """Refresh the lease by bumping the token file's MTIME
@@ -268,6 +289,26 @@ class PinRaceLost(Exception):
     the attempt against the store's new head."""
 
 
+def is_path_not_found(exc) -> bool:
+    """True when a Spark AnalysisException is the missing-path class —
+    the ONLY AnalysisException shape a pin race can produce (a pruner
+    deleted a listed path before the plan's file index resolved).
+    Everything else (schema mismatch, conflicting basePath, ...) is
+    deterministic: converting it to PinRaceLost would retry a
+    permanent failure 5 times and misreport it as a race
+    (code-review r19)."""
+    for probe in ("getCondition", "getErrorClass"):
+        get = getattr(exc, probe, None)
+        if callable(get):
+            try:
+                name = get()
+            except Exception:
+                continue
+            if name:
+                return "PATH_NOT_FOUND" in str(name)
+    return "PATH_NOT_FOUND" in str(exc)
+
+
 def pin_guarded(pin_dir: str, attempt, attempts: int = 5, what: str = "pinned read"):
     """The publish-then-verify pin protocol, shared by the upsert
     sink's snapshot() and the append stores' pinned_store_read so the
@@ -293,32 +334,40 @@ def pin_guarded(pin_dir: str, attempt, attempts: int = 5, what: str = "pinned re
     the fence's one-syscall in-flight window) and closed for real
     deployments by the pin-TTL retention horizon
     (spark.kss.store.pinTtlSec)."""
+    last: PinRaceLost | None = None
     for _ in range(attempts):
         try:
             payload, verify, finish = attempt()
-        except PinRaceLost:
+        except PinRaceLost as exc:
+            last = exc
             continue
         if payload is None:
             return finish(None)
         path = write_pin(pin_dir, payload)
+        # ANY exception out of verify/finish must not leak the pin —
+        # a lingering pid-mode pin blocks compaction sweeps for the
+        # whole driver lifetime (code-review r19); PinRaceLost
+        # retries, everything else re-raises after the release.
         try:
             ok = verify()
-        except PinRaceLost:
+            if ok:
+                return finish(path)
+        except PinRaceLost as exc:
             release_pin(path)
+            last = exc
             continue
-        if not ok:
+        except BaseException:
             release_pin(path)
-            continue
-        try:
-            return finish(path)
-        except PinRaceLost:
-            release_pin(path)
-            continue
+            raise
+        release_pin(path)
+    # chain the last race so a DETERMINISTIC failure surfaced as
+    # PinRaceLost (a mis-filtered error, a genuinely broken store) is
+    # visible in the traceback instead of masquerading as a race
     raise RuntimeError(
         f"{what}: lost the pin race {attempts} times — deletion is "
         "outrunning pinning (keep window or maintenance cadence too "
         "aggressive for concurrent readers?)"
-    )
+    ) from last
 
 
 def live_pins(pin_dir: str) -> list[dict]:
@@ -388,12 +437,7 @@ def live_writer(marker_path: str) -> dict | None:
     tok = _read_token(marker_path)
     if not tok or not tok.get("active"):
         return None  # pre-sidecar tokens carry active:False when idled
-    idle = _read_token(marker_path + ".idle")
-    if (
-        idle
-        and idle.get("epoch") == tok.get("epoch")
-        and idle.get("nonce") == tok.get("nonce")
-    ):
+    if os.path.exists(_idle_marker(marker_path, tok)):
         return None  # this tenure finished cleanly
     ttl = tok.get("lease_ttl_s")
     if ttl is not None:

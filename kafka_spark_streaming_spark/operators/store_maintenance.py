@@ -78,6 +78,7 @@ from kafka_spark_streaming_spark.fencing import (
     PinRaceLost,
     StaleWriterError,
     WriterFence,
+    is_path_not_found,
     live_pins,
     live_writer,
     pin_guarded,
@@ -187,6 +188,8 @@ def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
                     .parquet(*files)
                 )
             except AnalysisException as exc:
+                if not is_path_not_found(exc):
+                    raise  # deterministic failure, not a race
                 raise PinRaceLost(str(exc)) from exc
             weakref.finalize(df, release_pin, pin_path)
             return df

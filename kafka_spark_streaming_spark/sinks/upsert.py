@@ -378,6 +378,7 @@ class KeyedUpsertSink:
         from kafka_spark_streaming_spark.config import store_pin_ttl
         from kafka_spark_streaming_spark.fencing import (
             PinRaceLost,
+            is_path_not_found,
             pin_guarded,
             release_pin,
         )
@@ -388,6 +389,8 @@ class KeyedUpsertSink:
             try:
                 raw, head, manifest = self._read_state()
             except AnalysisException as exc:
+                if not is_path_not_found(exc):
+                    raise  # deterministic failure, not a race
                 raise PinRaceLost(str(exc)) from exc
             df = raw.drop("rb")
             if head is None:

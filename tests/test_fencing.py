@@ -894,3 +894,70 @@ def test_pin_ttl_falls_back_to_fence_lease(spark):
     finally:
         spark.conf.unset(FENCE_LEASE_TTL_KEY)
         spark.conf.unset(STORE_PIN_TTL_KEY)
+
+
+def test_explicit_pin_ttl_zero_opts_out_of_fallback(spark):
+    """An EXPLICIT pinTtlSec=0 keeps pid-liveness pins even in
+    fence-lease mode — the fallback must not override the key's
+    documented '0 = off' (code-review r19)."""
+    from kafka_spark_streaming_spark.config import (
+        FENCE_LEASE_TTL_KEY,
+        STORE_PIN_TTL_KEY,
+        store_pin_ttl,
+    )
+
+    spark.conf.set(FENCE_LEASE_TTL_KEY, "30")
+    spark.conf.set(STORE_PIN_TTL_KEY, "0")
+    try:
+        assert store_pin_ttl(spark) is None
+    finally:
+        spark.conf.unset(FENCE_LEASE_TTL_KEY)
+        spark.conf.unset(STORE_PIN_TTL_KEY)
+
+
+def test_delayed_zombie_idle_cannot_unidle_or_misidle(tmp_path):
+    """Per-tenure idle-sidecar names: a zombie's delayed idle write
+    (its check raced past before the usurper acquired AND idled)
+    creates a file no live token matches — the current tenure's idle
+    state is untouched in both directions."""
+    from kafka_spark_streaming_spark.fencing import (
+        _idle_marker,
+        _write_token,
+    )
+
+    marker = str(tmp_path / "store.epoch")
+    f1 = WriterFence.acquire(marker, purpose="drain")
+    f2 = WriterFence.acquire(marker, purpose="drain-2")
+    f2.idle()
+    assert live_writer(marker) is None
+    # zombie f1's delayed idle lands AFTER f2 idled: f2 stays idle
+    _write_token(_idle_marker(marker, f1.token), {})
+    assert live_writer(marker) is None
+    # and the inverse: a fresh tenure is NOT idled by either old file
+    f3 = WriterFence.acquire(marker, purpose="drain-3")
+    assert live_writer(marker) is not None
+    assert f3.epoch == 3
+
+
+def test_pin_guarded_releases_pin_on_unexpected_error(tmp_path):
+    """A verify/finish failure that is NOT a race must release the
+    published pin before propagating — a leaked pid-mode pin would
+    block compaction sweeps for the driver's whole lifetime."""
+    from kafka_spark_streaming_spark.fencing import pin_guarded
+
+    pin_dir = str(tmp_path / "store.pins")
+
+    def attempt():
+        def verify():
+            return True
+
+        def finish(_pin_path):
+            raise RuntimeError("boom: not a race")
+
+        return {"files": ["x"], "purpose": "t"}, verify, finish
+
+    with pytest.raises(RuntimeError, match="boom"):
+        pin_guarded(pin_dir, attempt, what="t")
+    assert [
+        f for f in os.listdir(pin_dir) if f.endswith(".json")
+    ] == [], "the pin must not leak past the failure"
