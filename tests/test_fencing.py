@@ -1022,3 +1022,29 @@ def test_snapshot_collects_race_live_writer(spark, tmp_path):
     assert not nonuniform, f"torn snapshot reads: {nonuniform}"
     assert len(errors) <= 2, f"pin protocol losing races: {errors}"
     assert ok, "the reader thread never completed a snapshot"
+
+
+def test_drain_runs_end_to_end_in_lease_mode(spark, sf_smoke):
+    """The incremental-dedup drain with the fence lease knob on: the
+    fence acquires with a TTL, every batch's heartbeat renews it (a
+    lapsed lease mid-drain would make this flaky), and the result is
+    identical to pid-mode — the liveness policy must be invisible to
+    query semantics."""
+    from kafka_spark_streaming_spark.config import FENCE_LEASE_TTL_KEY
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        s_incremental_near_dedup,
+    )
+
+    baseline = {
+        (r.doc_id, r.n_shingles)
+        for r in s_incremental_near_dedup(spark, sf_smoke).collect()
+    }
+    spark.conf.set(FENCE_LEASE_TTL_KEY, "300")
+    try:
+        leased = {
+            (r.doc_id, r.n_shingles)
+            for r in s_incremental_near_dedup(spark, sf_smoke).collect()
+        }
+    finally:
+        spark.conf.unset(FENCE_LEASE_TTL_KEY)
+    assert leased == baseline and baseline
