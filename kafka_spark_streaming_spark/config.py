@@ -210,12 +210,16 @@ def _cadence_conf(spark: SparkSession, key: str, default: int) -> int:
     return n
 
 
-def _ttl_conf(spark: SparkSession, key: str, default: float) -> float | None:
-    raw = spark.conf.get(key, None)
-    t = default if raw is None else float(raw)
+def _parse_ttl(key: str, raw) -> float | None:
+    t = float(raw)
     if t < 0:
         raise ValueError(f"{key} must be >= 0, got {t}")
     return t if t > 0 else None
+
+
+def _ttl_conf(spark: SparkSession, key: str, default: float) -> float | None:
+    raw = spark.conf.get(key, None)
+    return _parse_ttl(key, default if raw is None else raw)
 
 
 def fence_lease_ttl(spark: SparkSession) -> float | None:
@@ -240,13 +244,10 @@ def store_pin_ttl(spark: SparkSession) -> float | None:
     the fallback must not override the key's documented '0 = off')."""
     raw = spark.conf.get(STORE_PIN_TTL_KEY, None)
     if raw is not None:
-        t = float(raw)
-        if t < 0:
-            raise ValueError(
-                f"{STORE_PIN_TTL_KEY} must be >= 0, got {t}"
-            )
-        return t if t > 0 else None  # explicit 0: pid mode, no fallback
-    if STORE_PIN_TTL_DEFAULT > 0:
+        # explicit setting wins outright — including an explicit 0
+        # (pid mode), which must NOT fall through to the fence TTL
+        return _parse_ttl(STORE_PIN_TTL_KEY, raw)
+    if STORE_PIN_TTL_DEFAULT > 0:  # seam for a nonzero shipped default
         return STORE_PIN_TTL_DEFAULT
     fallback = fence_lease_ttl(spark)
     if fallback is not None:

@@ -164,19 +164,38 @@ class WriterFence:
                 f"acquire ({back and back.get('purpose')!r}) superseded "
                 "this one before it could commit anything"
             )
-        # housekeeping: idle sidecars of superseded tenures are dead
-        # weight (a sidecar can only ever match its own tenure's
+        # housekeeping: idle sidecars of STRICTLY OLDER tenures are
+        # dead weight (a sidecar can only ever match its own tenure's
         # token), so sweep them here; a zombie's delayed idle may
         # re-create one afterwards, which stays a dead file until the
-        # next acquire sweeps it
+        # next acquire sweeps it.  Two filters matter (code-review
+        # r19): only epochs BELOW ours — a stalled acquirer's delayed
+        # sweep must not delete a NEWER tenure's idle marker and
+        # un-idle it — and only the exact committed shape
+        # `<epoch>-<hex nonce>`, so _write_token's in-flight mkstemp
+        # temps (which carry a random '.suffix') are never unlinked
+        # out from under a concurrent idle().
         d = os.path.dirname(marker_path) or "."
-        prefix = os.path.basename(marker_path) + ".idle-"
+        base = os.path.basename(marker_path)
+        prefix = base + ".idle-"
         for name in os.listdir(d):
-            if name.startswith(prefix):
-                try:
-                    os.unlink(os.path.join(d, name))
-                except FileNotFoundError:
-                    pass
+            if name == base + ".idle":
+                pass  # transitional shared-sidecar format: always stale
+            elif name.startswith(prefix):
+                ep, _, nonce = name[len(prefix):].partition("-")
+                if (
+                    not ep.isdigit()
+                    or not nonce
+                    or "." in nonce
+                    or int(ep) >= token["epoch"]
+                ):
+                    continue
+            else:
+                continue
+            try:
+                os.unlink(os.path.join(d, name))
+            except FileNotFoundError:
+                pass
         return cls(marker_path, token)
 
     def check(self) -> None:
@@ -184,8 +203,9 @@ class WriterFence:
         store's newest writer.  Call immediately before every
         commit-point mutation."""
         back = _read_token(self.marker_path)
-        # an idle() rewrite by this same holder differs only in the
-        # active flag; any OTHER difference means a newer acquire
+        # nothing rewrites the token after acquire (idle is a sidecar,
+        # heartbeat a utime), so identity on the tenure fields is the
+        # whole test; any difference means a newer acquire
         if back is None or any(
             back.get(k) != self.token[k] for k in ("epoch", "pid", "nonce")
         ):
@@ -439,6 +459,17 @@ def live_writer(marker_path: str) -> dict | None:
         return None  # pre-sidecar tokens carry active:False when idled
     if os.path.exists(_idle_marker(marker_path, tok)):
         return None  # this tenure finished cleanly
+    # transitional shared-sidecar format (one r19 iteration wrote
+    # `<marker>.idle` with the tenure in the CONTENT): honor it when
+    # it names this exact tenure, so a store idled under that format
+    # is not misreported live until its next acquire sweeps the file
+    legacy = _read_token(marker_path + ".idle")
+    if (
+        legacy
+        and legacy.get("epoch") == tok.get("epoch")
+        and legacy.get("nonce") == tok.get("nonce")
+    ):
+        return None
     ttl = tok.get("lease_ttl_s")
     if ttl is not None:
         try:
