@@ -168,32 +168,62 @@ class WriterFence:
         # dead weight (a sidecar can only ever match its own tenure's
         # token), so sweep them here; a zombie's delayed idle may
         # re-create one afterwards, which stays a dead file until the
-        # next acquire sweeps it.  Two filters matter (code-review
-        # r19): only epochs BELOW ours — a stalled acquirer's delayed
-        # sweep must not delete a NEWER tenure's idle marker and
-        # un-idle it — and only the exact committed shape
-        # `<epoch>-<hex nonce>`, so _write_token's in-flight mkstemp
-        # temps (which carry a random '.suffix') are never unlinked
-        # out from under a concurrent idle().
+        # next acquire sweeps it.  Filters (code-review r19, twice):
+        # only epochs BELOW ours — a stalled acquirer's delayed sweep
+        # must not delete a NEWER tenure's idle marker and un-idle it
+        # (the transitional shared `.idle` format keeps its tenure in
+        # the CONTENT, so it is read before unlinking for the same
+        # guard); isdecimal, not isdigit, so a junk name cannot crash
+        # the acquire that already committed its token (int() rejects
+        # the non-ASCII digits isdigit accepts); and FRESH mkstemp
+        # temps (random '.suffix') are never unlinked out from under
+        # a concurrent idle(), while temps orphaned by a hard kill —
+        # which nothing else ever reclaims — age out after an hour.
+        import time
+
         d = os.path.dirname(marker_path) or "."
         base = os.path.basename(marker_path)
         prefix = base + ".idle-"
+        now = time.time()
         for name in os.listdir(d):
+            if not name.startswith(base + ".idle"):
+                continue
+            path = os.path.join(d, name)
             if name == base + ".idle":
-                pass  # transitional shared-sidecar format: always stale
+                try:
+                    legacy = _read_token(path)
+                except ValueError:
+                    continue  # junk content: leave for a human
+                if (
+                    legacy
+                    and isinstance(legacy.get("epoch"), int)
+                    and legacy["epoch"] >= token["epoch"]
+                ):
+                    continue  # a newer-or-equal tenure's idle state
             elif name.startswith(prefix):
                 ep, _, nonce = name[len(prefix):].partition("-")
-                if (
-                    not ep.isdigit()
-                    or not nonce
-                    or "." in nonce
-                    or int(ep) >= token["epoch"]
-                ):
-                    continue
+                if ep.isdecimal() and nonce and "." not in nonce:
+                    # committed per-tenure shape: epoch guard
+                    if int(ep) >= token["epoch"]:
+                        continue
+                else:
+                    # temp/junk shape: age out only (a live idle()'s
+                    # in-flight temp is milliseconds old)
+                    try:
+                        if now - os.stat(path).st_mtime < 3600:
+                            continue
+                    except FileNotFoundError:
+                        continue
             else:
-                continue
+                # '<base>.idle.XXXX' legacy-format temp or junk: age
+                # out like the per-tenure temps
+                try:
+                    if now - os.stat(path).st_mtime < 3600:
+                        continue
+                except FileNotFoundError:
+                    continue
             try:
-                os.unlink(os.path.join(d, name))
+                os.unlink(path)
             except FileNotFoundError:
                 pass
         return cls(marker_path, token)

@@ -1048,3 +1048,51 @@ def test_drain_runs_end_to_end_in_lease_mode(spark, sf_smoke):
     finally:
         spark.conf.unset(FENCE_LEASE_TTL_KEY)
     assert leased == baseline and baseline
+
+
+def test_acquire_sweep_guards_and_ages(tmp_path):
+    """The acquire-time sidecar sweep (code-review r19, final pass):
+    older tenures' committed sidecars go; newer/equal tenures' stay
+    (per-tenure AND legacy shared format, whose tenure lives in the
+    content); fresh mkstemp-shaped temps stay (a live idle() may be
+    mid-write); hard-kill-orphaned temps age out; junk names never
+    crash the acquire."""
+    import json
+    import time
+
+    from kafka_spark_streaming_spark.fencing import _write_token
+
+    marker = str(tmp_path / "store.epoch")
+    f1 = WriterFence.acquire(marker, purpose="t1")  # epoch 1
+    f1.idle()  # committed older sidecar: .idle-1-<nonce>
+    old_sidecar = f"{marker}.idle-1-{f1.token['nonce']}"
+    assert os.path.exists(old_sidecar)
+    # a NEWER tenure's sidecar (as if a stalled sweeper raced it)
+    newer = f"{marker}.idle-9-{'ab' * 8}"
+    _write_token(newer, {})
+    # legacy shared sidecar naming a newer tenure: must survive
+    legacy = marker + ".idle"
+    with open(legacy, "w") as fh:
+        json.dump({"epoch": 9, "nonce": "ab" * 8}, fh)
+    # fresh temp (live idle mid-write) and an aged orphan temp
+    fresh_tmp = f"{marker}.idle-1-deadbeef.AbCdEf"
+    aged_tmp = f"{marker}.idle-1-deadbeef.ZyXwVu"
+    for p in (fresh_tmp, aged_tmp):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    past = time.time() - 7200
+    os.utime(aged_tmp, (past, past))
+    # junk that int() would reject under isdigit (superscript two)
+    junk = f"{marker}.idle-²-abcd"
+    with open(junk, "w") as fh:
+        fh.write("{}")
+    os.utime(junk, (past, past))
+
+    f2 = WriterFence.acquire(marker, purpose="t2")  # epoch 2: sweeps
+    assert not os.path.exists(old_sidecar), "older tenure swept"
+    assert os.path.exists(newer), "newer tenure's sidecar must survive"
+    assert os.path.exists(legacy), "legacy sidecar naming newer tenure kept"
+    assert os.path.exists(fresh_tmp), "fresh in-flight temp kept"
+    assert not os.path.exists(aged_tmp), "orphaned temp aged out"
+    assert not os.path.exists(junk), "aged junk aged out, no crash"
+    f2.check()
