@@ -151,10 +151,18 @@ FENCE_LEASE_TTL_DEFAULT = 0.0
 # that must hold longer re-pins by calling snapshot()/
 # pinned_store_read again.  0 = off (pid-liveness, pins live for the
 # holder process's lifetime).  UNSET while the fence lease is on
-# falls back to the fence TTL with a warning (pid pins are wrong on
-# multi-host); an EXPLICIT 0 opts out of that fallback.
+# falls back to PIN_TTL_FALLBACK_FACTOR x the fence TTL with a
+# warning (pid pins are wrong on multi-host, and inheriting the raw
+# batch-sized fence TTL would strip vacuum protection from any
+# snapshot held longer than ~one batch — ADVICE r19); an EXPLICIT 0
+# opts out of that fallback.
 STORE_PIN_TTL_KEY = "spark.kss.store.pinTtlSec"
 STORE_PIN_TTL_DEFAULT = 0.0
+
+# The fallback multiplier above: generous enough that a read spanning
+# many batch intervals stays protected, small enough that a crashed
+# remote reader's pin still expires the same hour it was written.
+PIN_TTL_FALLBACK_FACTOR = 16.0
 
 
 def _int_conf(spark: SparkSession, key: str, default: int) -> int:
@@ -232,16 +240,21 @@ def store_pin_ttl(spark: SparkSession) -> float | None:
     """Auto-expiry TTL for reader pins, or None for pid-liveness (the
     default).  Separate knob from fence_lease_ttl by design (see the
     key's comment), but when the fence lease is on and this knob is
-    UNSET, the fence TTL is used as the pin TTL with a warning
-    (code-review r19): in multi-host mode pid pins are simply wrong —
-    they can both reap a live remote reader's pin (local pid table
-    says dead) and block vacuum forever (coincidental local pid says
-    alive) — while a too-short TTL pin merely fails toward expiry,
-    which the publish-then-verify protocol and re-pinning tolerate.
-    Deployments should still set pinTtlSec explicitly to the intended
-    vacuum horizon — and an EXPLICIT pinTtlSec=0 is an opt-out that
-    keeps pid-liveness pins even in fence-lease mode (code-review r19:
-    the fallback must not override the key's documented '0 = off')."""
+    UNSET, PIN_TTL_FALLBACK_FACTOR x the fence TTL is used as the pin
+    TTL with a warning (code-review r19; widened ADVICE r19): in
+    multi-host mode pid pins are simply wrong — they can both reap a
+    live remote reader's pin (local pid table says dead) and block
+    vacuum forever (coincidental local pid says alive) — but the raw
+    fence TTL is sized to ONE batch interval, so inheriting it
+    unscaled would silently strip vacuum protection from any snapshot
+    held longer than roughly one batch (pins are written once and
+    never renewed; the fence is renewed every commit).  The factor
+    keeps multi-batch reads protected while a crashed remote reader's
+    pin still expires promptly.  Deployments should still set
+    pinTtlSec explicitly to the intended vacuum horizon — and an
+    EXPLICIT pinTtlSec=0 is an opt-out that keeps pid-liveness pins
+    even in fence-lease mode (code-review r19: the fallback must not
+    override the key's documented '0 = off')."""
     raw = spark.conf.get(STORE_PIN_TTL_KEY, None)
     if raw is not None:
         # explicit setting wins outright — including an explicit 0
@@ -249,17 +262,20 @@ def store_pin_ttl(spark: SparkSession) -> float | None:
         return _parse_ttl(STORE_PIN_TTL_KEY, raw)
     if STORE_PIN_TTL_DEFAULT > 0:  # seam for a nonzero shipped default
         return STORE_PIN_TTL_DEFAULT
-    fallback = fence_lease_ttl(spark)
-    if fallback is not None:
-        import warnings
+    lease = fence_lease_ttl(spark)
+    if lease is None:
+        return None
+    import warnings
 
-        warnings.warn(
-            f"{FENCE_LEASE_TTL_KEY} is set but {STORE_PIN_TTL_KEY} is "
-            f"not: reader pins will auto-expire after the fence TTL "
-            f"({fallback}s). Set {STORE_PIN_TTL_KEY} to the intended "
-            "vacuum horizon (longest allowed read).",
-            stacklevel=2,
-        )
+    fallback = lease * PIN_TTL_FALLBACK_FACTOR
+    warnings.warn(
+        f"{FENCE_LEASE_TTL_KEY} is set but {STORE_PIN_TTL_KEY} is "
+        f"not: reader pins will auto-expire after "
+        f"{PIN_TTL_FALLBACK_FACTOR:g}x the fence TTL ({fallback}s). "
+        f"Set {STORE_PIN_TTL_KEY} to the intended vacuum horizon "
+        "(longest allowed read).",
+        stacklevel=2,
+    )
     return fallback
 
 

@@ -440,9 +440,21 @@ def live_pins(pin_dir: str) -> list[dict]:
         names = os.listdir(pin_dir)
     except FileNotFoundError:
         return out
+    now = time.time()
     for name in sorted(names):
         if not (name.startswith("pin-") and name.endswith(".json")):
-            continue  # in-flight tmp from _write_token
+            # in-flight tmp from _write_token (`pin-….json.XXXXXX`) or
+            # junk.  A LIVE write_pin's temp is milliseconds old; one
+            # orphaned by a hard kill is reclaimed by nothing else, so
+            # age it out after an hour (ADVICE r19 — the same rule the
+            # fence acquire sweep applies to orphaned idle temps).
+            p = os.path.join(pin_dir, name)
+            try:
+                if now - os.stat(p).st_mtime >= 3600:
+                    os.unlink(p)
+            except FileNotFoundError:
+                pass
+            continue
         p = os.path.join(pin_dir, name)
         try:
             with open(p) as fh:

@@ -149,7 +149,13 @@ def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
     reference releases the pin; a holder that crashes without
     releasing leaves a dead-pid pin the next maintenance pass reaps.
     Raises on an empty store — there is no listing to pin (create the
-    store by draining at least one batch first).
+    store by draining at least one batch first).  The returned frame
+    is full-row deduplicated (ADVICE r19): a listing taken after a
+    crash window, or after a compaction that skipped pin-held
+    originals, contains originals AND compacted copies, and unlike
+    the registered queries an out-of-band export has no downstream
+    collapse — so this read applies the same full-row dropDuplicates
+    compaction's rewrite bakes in.
 
     Paths are realpath-normalized at WRITE time so a pin taken with a
     relative store_dir still matches the delete phase's comparison
@@ -186,6 +192,15 @@ def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
                 df = (
                     spark.read.option("basePath", store_dir)
                     .parquet(*files)
+                    # collapse bit-identical duplicate rows exactly as
+                    # compaction's rewrite does (ADVICE r19): after a
+                    # crash window — or a compaction that skipped
+                    # pin-held originals — the listing legitimately
+                    # contains both originals and compacted copies,
+                    # and an out-of-band EXPORT has no downstream
+                    # dedup the registered queries' duplicate-
+                    # tolerance argument can lean on.
+                    .dropDuplicates()
                 )
             except AnalysisException as exc:
                 if not is_path_not_found(exc):

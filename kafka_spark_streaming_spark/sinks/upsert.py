@@ -401,11 +401,28 @@ class KeyedUpsertSink:
                 # multi-host mode: the pin auto-expires instead of
                 # relying on the single-host pid probe (fencing.live_pins)
                 payload["lease_ttl_s"] = ttl
+            # verify against a FILE-level sentinel where one exists
+            # (ADVICE r19): _prune deletes via shutil.rmtree, which
+            # removes files before the directory, so a pruner caught
+            # MID-rmtree still passes an isdir probe with the data
+            # already gone.  Each version's _MANIFEST.json (present on
+            # every version this code writes) disappears in that same
+            # file-removal phase, narrowing the undetected window to
+            # rmtree's final rmdir; pre-r17 manifest-less versions
+            # keep the isdir probe (captured at LISTING time — a
+            # manifest observed then but missing at verify means a
+            # deleter is mid-pass and must fail the verify).
+            sentinels = [
+                os.path.join(self.path, v, MANIFEST_NAME)
+                if os.path.isfile(
+                    os.path.join(self.path, v, MANIFEST_NAME)
+                )
+                else os.path.join(self.path, v)
+                for v in pins
+            ]
 
             def verify():
-                return all(
-                    os.path.isdir(os.path.join(self.path, v)) for v in pins
-                )
+                return all(os.path.exists(s) for s in sentinels)
 
             def finish(pin_path):
                 weakref.finalize(df, release_pin, pin_path)

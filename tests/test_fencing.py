@@ -872,12 +872,16 @@ def test_idle_sidecar_cannot_clobber_usurper(tmp_path):
 
 def test_pin_ttl_falls_back_to_fence_lease(spark):
     """store_pin_ttl: explicit pinTtlSec wins; unset with the fence
-    lease on falls back to the fence TTL with a warning (multi-host
-    mode must never silently use pid pins); both unset -> None."""
+    lease on falls back to PIN_TTL_FALLBACK_FACTOR x the fence TTL
+    with a warning (multi-host mode must never silently use pid pins,
+    but the raw batch-sized fence TTL would strip vacuum protection
+    from any snapshot held past ~one batch — ADVICE r19); both unset
+    -> None."""
     import warnings as _warnings
 
     from kafka_spark_streaming_spark.config import (
         FENCE_LEASE_TTL_KEY,
+        PIN_TTL_FALLBACK_FACTOR,
         STORE_PIN_TTL_KEY,
         store_pin_ttl,
     )
@@ -886,7 +890,11 @@ def test_pin_ttl_falls_back_to_fence_lease(spark):
     spark.conf.set(FENCE_LEASE_TTL_KEY, "30")
     try:
         with pytest.warns(UserWarning, match="pinTtlSec"):
-            assert store_pin_ttl(spark) == 30.0
+            assert store_pin_ttl(spark) == 30.0 * PIN_TTL_FALLBACK_FACTOR
+        assert PIN_TTL_FALLBACK_FACTOR >= 8, (
+            "the fallback factor exists to cover multi-batch reads; "
+            "a small factor re-opens the silent-protection-loss gap"
+        )
         spark.conf.set(STORE_PIN_TTL_KEY, "600")
         with _warnings.catch_warnings():
             _warnings.simplefilter("error")  # explicit knob: no warning
@@ -1096,3 +1104,127 @@ def test_acquire_sweep_guards_and_ages(tmp_path):
     assert not os.path.exists(aged_tmp), "orphaned temp aged out"
     assert not os.path.exists(junk), "aged junk aged out, no crash"
     f2.check()
+
+
+def test_live_pins_ages_out_orphaned_temps(tmp_path):
+    """ADVICE r19 fencing.py:311: write_pin's mkstemp temps
+    (`pin-….json.XXXXXX`) orphaned by a hard kill are skipped by
+    live_pins but were never reclaimed.  live_pins now ages them out
+    after an hour — mirroring the fence acquire sweep's rule — while a
+    FRESH temp (a live write_pin mid-publish) survives."""
+    import time
+
+    from kafka_spark_streaming_spark.fencing import live_pins, write_pin
+
+    pin_dir = str(tmp_path / "_pins")
+    path = write_pin(pin_dir, {"purpose": "t", "files": []})
+    fresh_tmp = os.path.join(pin_dir, "pin-1-aa.json.AbCdEf")
+    aged_tmp = os.path.join(pin_dir, "pin-1-aa.json.ZyXwVu")
+    for p in (fresh_tmp, aged_tmp):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    past = time.time() - 7200
+    os.utime(aged_tmp, (past, past))
+
+    pins = live_pins(pin_dir)
+    assert [p["purpose"] for p in pins] == ["t"]
+    assert os.path.exists(path), "the live pin itself is untouched"
+    assert os.path.exists(fresh_tmp), "fresh in-flight temp kept"
+    assert not os.path.exists(aged_tmp), "orphaned temp aged out"
+
+
+def test_snapshot_verify_fails_on_mid_rmtree_version(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r19 upsert.py:407: _prune deletes versions via
+    shutil.rmtree, which removes FILES before the directory — so a
+    pruner caught mid-rmtree passed the old isdir verify with the data
+    already gone.  The verify now probes each pinned version's
+    _MANIFEST.json (gone in that same file-removal phase); this test
+    captures snapshot()'s verify closure and shows it failing once the
+    manifest file vanishes even though the version DIRECTORY is still
+    there."""
+    import kafka_spark_streaming_spark.fencing as fencing
+    from kafka_spark_streaming_spark.config import (
+        UPSERT_STATE_BUCKETS_KEY,
+    )
+    from kafka_spark_streaming_spark.sinks.upsert import (
+        MANIFEST_NAME,
+        KeyedUpsertSink,
+    )
+
+    spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
+    try:
+        sink = KeyedUpsertSink(spark, str(tmp_path / "cells"))
+        sink.write_batch(_cells(spark, [("k1", "v1")]), 0)
+
+        captured = {}
+        real = fencing.pin_guarded
+
+        def capture(pin_dir, attempt, **kw):
+            payload, verify, finish = attempt()
+            captured["verify"] = verify
+            captured["versions"] = payload["versions"]
+            return real(pin_dir, lambda: (payload, verify, finish), **kw)
+
+        monkeypatch.setattr(fencing, "pin_guarded", capture)
+        snap = sink.snapshot()
+        assert snap.count() == 1
+        verify = captured["verify"]
+        assert verify(), "intact store must pass the verify"
+        # simulate a pruner mid-rmtree: files gone, directory not yet
+        head = captured["versions"][-1]
+        mpath = os.path.join(sink.path, head, MANIFEST_NAME)
+        assert os.path.isfile(mpath)
+        os.remove(mpath)
+        assert os.path.isdir(os.path.join(sink.path, head))
+        assert not verify(), (
+            "a pinned version whose manifest file vanished (mid-rmtree "
+            "deleter) must fail the post-publish verify even while its "
+            "directory still exists"
+        )
+        del snap
+        gc.collect()
+    finally:
+        spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
+
+
+def test_pinned_store_read_collapses_crash_window_duplicates(
+    spark, tmp_path
+):
+    """ADVICE r19 store_maintenance.py:142: pinned_store_read serves
+    out-of-band EXPORTS, which have no downstream dedup — after a
+    crash window the store legitimately holds bit-identical duplicate
+    rows (original + compacted copy), so the read applies the same
+    full-row dropDuplicates compaction's rewrite does."""
+    import shutil
+
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        _data_files,
+        _leaf_dirs,
+        pinned_store_read,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("a", 0, 2), ("b", 1, 3)],
+        "kind string, pk int, val int",
+    ).coalesce(1)
+    df.write.partitionBy("kind", "pk").parquet(store)
+    # crash-window simulation: a compacted copy appended, originals
+    # not yet deleted -> the same rows exist twice in one leaf
+    leaf = _leaf_dirs(store)[0]
+    src = _data_files(leaf)[0]
+    shutil.copy(src, os.path.join(leaf, "part-dup-copy.parquet"))
+    raw = spark.read.parquet(store)
+    assert raw.count() > 3, "precondition: raw listing sees duplicates"
+
+    pinned = pinned_store_read(spark, store)
+    rows = sorted(
+        (r.kind, r.pk, r.val) for r in pinned.collect()
+    )
+    assert rows == [("a", 0, 1), ("a", 0, 2), ("b", 1, 3)], (
+        "export read must collapse bit-identical duplicates"
+    )
+    del pinned
+    gc.collect()
