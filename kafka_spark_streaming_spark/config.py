@@ -137,6 +137,21 @@ DRAIN_ADAPTIVE_DEFAULT = "false"
 FENCE_LEASE_TTL_KEY = "spark.kss.fence.leaseTtlSec"
 FENCE_LEASE_TTL_DEFAULT = 0.0
 
+# -- streaming drains: default lease posture (r20) ----------------------------
+# The registered streaming drains acquire their store fences in LEASE
+# mode by DEFAULT (VERDICT r19 #5): the pid probe means nothing on a
+# multi-host deployment, every drain already heartbeats once per
+# committed batch, and test_drain_runs_end_to_end_in_lease_mode proved
+# the mode invisible to semantics.  The TTL is sized from the drain's
+# trigger cadence — factor x the processingTime interval, floored for
+# availableNow/fast triggers so a slow batch or an in-drain
+# maintenance pass cannot lapse the lease between heartbeats.  BARE
+# use (constructing a sink/fence outside a registered drain) keeps
+# pid-mode defaults; the explicit knob always wins, including
+# leaseTtlSec=0 to force pid mode back on for the drains.
+DRAIN_LEASE_FLOOR_S = 300.0
+DRAIN_LEASE_FACTOR = 30.0
+
 # -- reader pins: auto-expiry TTL ---------------------------------------------
 # > 0 stamps every reader pin (KeyedUpsertSink.snapshot,
 # pinned_store_read) with this TTL: liveness becomes mtime-within-TTL
@@ -234,6 +249,27 @@ def fence_lease_ttl(spark: SparkSession) -> float | None:
     """Lease TTL for writer fences, or None when pid-liveness mode is
     in effect (the default) — the shape WriterFence.acquire takes."""
     return _ttl_conf(spark, FENCE_LEASE_TTL_KEY, FENCE_LEASE_TTL_DEFAULT)
+
+
+def drain_fence_lease_ttl(
+    spark: SparkSession, trigger_interval_s: float = 0.0
+) -> float | None:
+    """Lease TTL for a REGISTERED streaming drain's fence — lease mode
+    by DEFAULT (VERDICT r19 #5; see the DRAIN_LEASE_* comment).  The
+    explicit knob wins outright: a set leaseTtlSec is used as-is, and
+    an EXPLICIT 0 forces pid mode back on (returns None, the shape
+    WriterFence.acquire takes for pid liveness).  Unset, the TTL is
+    max(floor, factor x trigger interval) — every drain heartbeats per
+    committed batch, so the TTL merely has to outlive the worst batch
+    plus any in-drain maintenance pass between heartbeats."""
+    raw = spark.conf.get(FENCE_LEASE_TTL_KEY, None)
+    if raw is not None:
+        return _parse_ttl(FENCE_LEASE_TTL_KEY, raw)
+    if trigger_interval_s < 0:
+        raise ValueError(
+            f"trigger_interval_s must be >= 0, got {trigger_interval_s}"
+        )
+    return max(DRAIN_LEASE_FLOOR_S, DRAIN_LEASE_FACTOR * trigger_interval_s)
 
 
 def store_pin_ttl(spark: SparkSession) -> float | None:

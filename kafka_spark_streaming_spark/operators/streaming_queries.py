@@ -347,8 +347,16 @@ def s_upsert_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_spark_streaming_spark.sinks.upsert import KeyedUpsertSink
     from kafka_spark_streaming_spark.tables import messages
 
+    from kafka_spark_streaming_spark.config import drain_fence_lease_ttl
+
     work = _scratch_dir("kss_snap_")
-    sink = KeyedUpsertSink(spark, os.path.join(work, "cells"))
+    # registered store writer -> drain lease posture (VERDICT r19 #5);
+    # each write_batch commit renews the lease
+    sink = KeyedUpsertSink(
+        spark,
+        os.path.join(work, "cells"),
+        lease_ttl_s=drain_fence_lease_ttl(spark),
+    )
     msgs = messages(spark, sf_dir).filter(F.col("key").isNotNull())
 
     def cells(tag: str) -> DataFrame:
@@ -1159,7 +1167,7 @@ def s_incremental_near_dedup(
     locally)."""
     from kafka_spark_streaming_spark.config import (
         dedup_compact_every,
-        fence_lease_ttl,
+        drain_fence_lease_ttl,
     )
     from kafka_spark_streaming_spark.fencing import WriterFence
     from kafka_spark_streaming_spark.operators.store_maintenance import (
@@ -1172,11 +1180,14 @@ def s_incremental_near_dedup(
     # writer fence for the whole drain (r18): one attach-scoped token,
     # checked by every batch before its append — the store analogue of
     # the upsert sink's _WRITER_EPOCH (same sibling-marker convention
-    # as the .layout sidecar, so acquiring never creates the store dir)
+    # as the .layout sidecar, so acquiring never creates the store dir).
+    # LEASE mode by default since r20 (drain_fence_lease_ttl): the
+    # per-batch heartbeat below renews it, and the explicit
+    # leaseTtlSec knob still overrides either way.
     fence = WriterFence.acquire(
         store_dir.rstrip("/") + ".epoch",
         purpose="incremental-near-dedup",
-        lease_ttl_s=fence_lease_ttl(spark),
+        lease_ttl_s=drain_fence_lease_ttl(spark),
     )
     # compaction cadence (VERDICT r17 #2): policy knob, read once per
     # drain; > 0 folds the store's leaves back to one file every N
@@ -1490,7 +1501,7 @@ def s_incremental_ann_ivf(
 
     from kafka_spark_streaming_spark.config import (
         ann_compact_every,
-        fence_lease_ttl,
+        drain_fence_lease_ttl,
     )
     from kafka_spark_streaming_spark.operators.store_maintenance import (
         compact_ann_store,
@@ -1500,10 +1511,11 @@ def s_incremental_ann_ivf(
     run_dir = _scratch_dir("kss_sivf_")
     store_dir = os.path.join(run_dir, "store")
     cent_path = store_dir + ".centroids.json"
+    # lease mode by default since r20 — see the dedup drain's fence
     fence = WriterFence.acquire(
         store_dir + ".epoch",
         purpose="incremental-ann-ivf",
-        lease_ttl_s=fence_lease_ttl(spark),
+        lease_ttl_s=drain_fence_lease_ttl(spark),
     )
     # in-drain maintenance cadence — same policy shape as the dedup
     # drain's (store-idle point, cooperative fence); default off

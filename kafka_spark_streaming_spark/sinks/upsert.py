@@ -119,8 +119,25 @@ MANIFEST_NAME = "_MANIFEST.json"
 PIN_DIR = "_pins"
 
 
+# sentinel: "caller did not choose" — distinct from an explicit None
+# (pid mode), so drains can force lease mode without stealing the
+# conf knob from bare attaches
+_LEASE_FROM_CONF = object()
+
+
 class KeyedUpsertSink:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        lease_ttl_s: float | None | object = _LEASE_FROM_CONF,
+    ):
+        """``lease_ttl_s``: fence-liveness override for this writer.
+        Unset (the default) reads the spark.kss.fence.leaseTtlSec knob
+        — pid mode unless configured, the right posture for a BARE
+        local attach.  The registered streaming drains pass
+        config.drain_fence_lease_ttl(...) to run lease-mode by
+        default (VERDICT r19 #5); an explicit None forces pid mode."""
         from kafka_spark_streaming_spark.config import (
             persisted_layout,
             upsert_compact_versions,
@@ -130,6 +147,7 @@ class KeyedUpsertSink:
 
         self.spark = spark
         self.path = path
+        self._lease_ttl_s = lease_ttl_s
         self.compact_versions = upsert_compact_versions(spark)
         self.keep_versions = upsert_keep_versions(spark)
         os.makedirs(path, exist_ok=True)
@@ -154,10 +172,15 @@ class KeyedUpsertSink:
         if self._fence is None:
             from kafka_spark_streaming_spark.config import fence_lease_ttl
 
+            ttl = (
+                fence_lease_ttl(self.spark)
+                if self._lease_ttl_s is _LEASE_FROM_CONF
+                else self._lease_ttl_s
+            )
             self._fence = WriterFence.acquire(
                 os.path.join(self.path, "_WRITER_EPOCH"),
                 purpose="keyed-upsert-sink",
-                lease_ttl_s=fence_lease_ttl(self.spark),
+                lease_ttl_s=ttl,
             )
         return self._fence
 

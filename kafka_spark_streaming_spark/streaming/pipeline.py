@@ -61,8 +61,21 @@ class StreamerPipeline:
             )
         self.spark = spark
         self.cfg = cfg
+        # lease-mode fence by default (VERDICT r19 #5): the pipeline IS
+        # a streaming drain — its sink commits once per micro-batch,
+        # which renews the lease; drain_fence_lease_ttl keeps the
+        # explicit leaseTtlSec knob (including =0 for pid mode) in
+        # charge when set
+        from kafka_spark_streaming_spark.config import drain_fence_lease_ttl
+
         self.sink = (
-            KeyedUpsertSink(spark, cfg.table_path) if cfg.table_path else None
+            KeyedUpsertSink(
+                spark,
+                cfg.table_path,
+                lease_ttl_s=drain_fence_lease_ttl(spark),
+            )
+            if cfg.table_path
+            else None
         )
         self.summaries: list[tuple] = []  # driver-side log of (batch_id, n, nd)
 

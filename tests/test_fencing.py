@@ -1228,3 +1228,44 @@ def test_pinned_store_read_collapses_crash_window_duplicates(
     )
     del pinned
     gc.collect()
+
+
+def test_drains_default_to_lease_mode(spark, tmp_path):
+    """VERDICT r19 #5: the registered drains' writers run LEASE mode
+    by default — the pid probe means nothing multi-host and every
+    drain already heartbeats per committed batch.  The explicit
+    leaseTtlSec knob still rules when set (including =0 to force pid
+    mode back), and BARE sink attaches keep pid-mode defaults
+    (pinned by test_fence_lease_knob_wires_store_writers)."""
+    from kafka_spark_streaming_spark.config import (
+        DRAIN_LEASE_FACTOR,
+        DRAIN_LEASE_FLOOR_S,
+        FENCE_LEASE_TTL_KEY,
+        drain_fence_lease_ttl,
+    )
+    from kafka_spark_streaming_spark.streaming.pipeline import (
+        StreamerConfig,
+        StreamerPipeline,
+    )
+
+    # sizing: floor for availableNow/fast triggers, factor x interval
+    # once the cadence dominates, knob wins outright either way
+    assert drain_fence_lease_ttl(spark) == DRAIN_LEASE_FLOOR_S
+    assert (
+        drain_fence_lease_ttl(spark, trigger_interval_s=60.0)
+        == DRAIN_LEASE_FACTOR * 60.0
+    )
+    spark.conf.set(FENCE_LEASE_TTL_KEY, "0")
+    try:
+        assert drain_fence_lease_ttl(spark) is None  # forced pid mode
+        spark.conf.set(FENCE_LEASE_TTL_KEY, "77")
+        assert drain_fence_lease_ttl(spark, trigger_interval_s=60.0) == 77.0
+    finally:
+        spark.conf.unset(FENCE_LEASE_TTL_KEY)
+
+    # and the pipeline (the drains' sink context) acquires leased
+    cfg = StreamerConfig(table_path=str(tmp_path / "cells"), bulk=True)
+    pipe = StreamerPipeline(spark, cfg)
+    pipe.sink.write_batch(_cells(spark, [("k1", "v1")]), 0)
+    tok = live_writer(os.path.join(pipe.sink.path, "_WRITER_EPOCH"))
+    assert tok is not None and tok["lease_ttl_s"] == DRAIN_LEASE_FLOOR_S
