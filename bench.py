@@ -161,6 +161,57 @@ def _prev_bench() -> tuple[dict[str, float], dict[str, float]]:
     return best_q, best_d
 
 
+# JVM-side canary slots for host-drift normalization (VERDICT r18 #4,
+# landed r20 after the predicted spurious q11 flag re-occurred in r19):
+# pure whole-stage-codegen scan/agg queries with no Python workers, no
+# derived artifacts and no streaming state, whose plans have been
+# stable for many rounds — their ratio vs the previous committed round
+# measures the HOST (CPU steal on this shared VM), not the code.
+CANARIES = (
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+)
+
+
+def host_factor(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    canaries: tuple[str, ...] = CANARIES,
+) -> float:
+    """Median canary slowdown this run vs the committed baseline,
+    clamped to [1.0, 3.0] — the regressions gate divides by this, so
+    pure host drift (every slot slower by ~the canary factor) cannot
+    flag, while a real per-query regression still pokes above the
+    canary-measured host speed.  Clamps: never below 1 (a FASTER host
+    must not loosen the gate) and never above 3 (a canary regression
+    beyond the observed drift band must surface as a flag, not
+    silently forgive the whole board).  MEDIAN of three keeps one
+    genuinely-regressed canary from inflating the factor — the other
+    two outvote it and the regressed one then flags itself.  Shared
+    policy: sf1_smoke delegates here (its r18 implementation was the
+    prototype) and tools/sweep.py normalizes against its min-of-
+    history baseline with the same function."""
+    import statistics
+
+    ratios = [
+        timings[c] / prev[c]
+        for c in canaries
+        if timings.get(c) and prev.get(c)
+    ]
+    if not ratios:
+        return 1.0
+    return max(1.0, min(statistics.median(ratios), 3.0))
+
+
+def normalized(
+    timings: dict[str, float], factor: float
+) -> dict[str, float]:
+    """Raw seconds divided by the canary host factor — what the gate
+    compares; the artifact always keeps the RAW seconds."""
+    return {k: v / factor for k, v in timings.items()}
+
+
 def regressions(
     timings: dict[str, float], prev: dict[str, float], ratio: float = 1.5
 ) -> list[dict]:
@@ -299,6 +350,14 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Gate on canary-normalized seconds (VERDICT r18 #4): the host
+    # factor is measured from the same run's pure-JVM canaries, so a
+    # loaded window on unchanged code prints regressions: [] while a
+    # real single-query regression still flags (ratios normalize by
+    # the SAME factor, so anything above gate x host stands out).
+    # Raw seconds stay in `queries`/`derived_build_sec`, and the
+    # unnormalized flags stay visible as raw_regressions.
+    hf = host_factor(timings, prev_q)
     doc = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -306,7 +365,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "derived_build_sec": derived,
-        "regressions": regressions(timings, prev_q)
+        "host_factor": round(hf, 3),
+        "regressions": regressions(normalized(timings, hf), prev_q)
+        + regressions(normalized(derived, hf), prev_d),
+        "raw_regressions": regressions(timings, prev_q)
         + regressions(derived, prev_d),
     }
     # The driver keeps only the LAST 2000 bytes of stdout and parses the

@@ -176,26 +176,15 @@ CANARIES = ("q1_pricing_summary", "q18_large_volume_customers")
 def host_factor(
     timings: dict[str, float], prev: dict[str, float]
 ) -> float:
-    """Median canary slowdown this run vs the committed baseline,
-    clamped to [1.0, 3.0]: the regressions gate divides by this, so
-    pure host drift (every slot slower by ~the same factor as the
-    canaries) cannot flag, while a real per-query regression still
-    stands out against the canary-measured host speed.  Clamps: never
-    below 1 (a FASTER host must not loosen the gate) and never above
-    3 (a canary regression beyond the observed drift band should
-    surface as a flag, not silently forgive the whole board).  The
-    canaries themselves stay honest through the sf0.1 bench gate,
-    which remains raw."""
-    import statistics
+    """Median canary slowdown vs the committed sf1 baseline, clamped
+    to [1.0, 3.0].  The policy (median + clamp rationale) lives in
+    bench.host_factor since r20 — this run's prototype became the
+    shared implementation when the sf0.1 bench and the sweep adopted
+    the same normalization (VERDICT r18 #4); only the canary set
+    differs (SMOKE carries q1/q18 but not q6)."""
+    import bench
 
-    ratios = [
-        timings[c] / prev[c]
-        for c in CANARIES
-        if timings.get(c) and prev.get(c)
-    ]
-    if not ratios:
-        return 1.0
-    return max(1.0, min(statistics.median(ratios), 3.0))
+    return bench.host_factor(timings, prev, canaries=CANARIES)
 
 
 def _prev_sf1() -> dict[str, float]:
@@ -317,7 +306,8 @@ def main() -> None:
                     "[1,3] — r18, VERDICT r17 #3: raw-seconds gating on "
                     "this shared host flagged pure CPU-steal drift; "
                     "raw_regressions keeps the unnormalized view for "
-                    "transparency and the sf0.1 bench gate stays raw)"
+                    "transparency; since r20 the sf0.1 bench and the "
+                    "registry sweep apply the same normalization)"
                 ),
             }
         )

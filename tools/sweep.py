@@ -78,18 +78,43 @@ def load_baseline() -> dict[str, dict]:
         return {}
 
 
+def sweep_host_factor(
+    timings: dict[str, float], baseline: dict[str, dict]
+) -> float:
+    """Canary drift of THIS sweep window vs the min-of-history
+    baseline — bench.host_factor's policy (median over the pure-JVM
+    canaries q1/q6/q18, clamped to [1,3]) applied to the sweep's
+    baseline shape.  VERDICT r18 #4 (re-proven by the spurious r19
+    q11 flag at 2.03x on untouched code, cleared only by a manual
+    isolation re-time): the sweep gate compares a loaded window
+    against best-EVER seconds, so co-tenant CPU steal alone walks
+    slow-window ratios toward the gate; dividing by the canary factor
+    makes the gate measure the CODE."""
+    import bench
+
+    return bench.host_factor(
+        timings, {n: e.get("min_sec") for n, e in baseline.items()}
+    )
+
+
 def gate_flags(
     timings: dict[str, float],
     baseline: dict[str, dict],
     gate: float = GATE,
     slack: float = SLACK,
     errors: dict | set | tuple = (),
+    host: float = 1.0,
 ) -> list[dict]:
-    """Queries breaching gate×best-ever + absolute slack. Pure function
-    so the policy is unit-testable without Spark. A query that ERRORED
-    this run is excluded: its recorded timing is a partial pass (pass 1
-    before pass 2 raised) and already fails the sweep via rc 1 — a
-    duplicate flag on an untrustworthy number is noise (ADVICE r11)."""
+    """Queries breaching gate×best-ever + absolute slack, after
+    dividing this window's seconds by the canary ``host`` factor
+    (1.0 = raw, the pre-r20 behavior; callers pass
+    sweep_host_factor(...)).  Raw seconds are what the flag records —
+    ``norm_sec``/``host`` make the normalization auditable.  Pure
+    function so the policy is unit-testable without Spark.  A query
+    that ERRORED this run is excluded: its recorded timing is a
+    partial pass (pass 1 before pass 2 raised) and already fails the
+    sweep via rc 1 — a duplicate flag on an untrustworthy number is
+    noise (ADVICE r11)."""
     out = []
     for name, sec in timings.items():
         if name in errors:
@@ -97,16 +122,20 @@ def gate_flags(
         base = baseline.get(name, {}).get("min_sec")
         if base is None or base <= 0:
             continue
-        if sec > gate * base and sec > base + slack:
+        norm = sec / host
+        if norm > gate * base and norm > base + slack:
             out.append(
                 {
                     "query": name,
                     "sec": sec,
                     "best_sec": base,
                     "ratio": round(sec / base, 2),
+                    "norm_sec": round(norm, 3),
+                    "norm_ratio": round(norm / base, 2),
+                    "host": round(host, 3),
                 }
             )
-    return sorted(out, key=lambda r: -r["ratio"])
+    return sorted(out, key=lambda r: -r["norm_ratio"])
 
 
 def merged_baseline(
@@ -234,12 +263,20 @@ def main() -> int:
         print(f"[confirm] {name}: {dt}", file=sys.stderr)
         return dt
 
+    # canary-normalized gate (VERDICT r18 #4): the factor is taken
+    # BEFORE the confirm pass (the confirm's min can only tighten
+    # canary timings, never represent the window that produced the
+    # suspect numbers) and reused for the final flags so both gates
+    # judge the same window.
+    host = sweep_host_factor(timings, baseline)
     confirm_errors = confirm_pass(
-        gate_flags(timings, baseline, errors=errors), timings, retime
+        gate_flags(timings, baseline, errors=errors, host=host),
+        timings,
+        retime,
     )
     wall = round(time.perf_counter() - t_sweep, 1)
 
-    flagged = gate_flags(timings, baseline, errors=errors)
+    flagged = gate_flags(timings, baseline, errors=errors, host=host)
     # exclude errored queries: merged_baseline refuses to enroll them,
     # so listing them here would claim an enrollment that never happened
     new_queries = sorted(set(timings) - set(baseline) - set(errors))
@@ -308,7 +345,9 @@ def main() -> int:
         "n_timed": len(timings),
         "wall_sec": wall,
         "total_warm_sec": round(sum(timings.values()), 3),
+        "host_factor": round(host, 3),
         "flagged": flagged,
+        "raw_flagged": gate_flags(timings, baseline, errors=errors),
         "errors": errors,
         "confirm_errors": confirm_errors,
         "new_in_baseline": new_queries,
@@ -325,7 +364,14 @@ def main() -> int:
                 "pass (min kept) before it is reported; gate compares vs "
                 "min-of-history in SWEEP_BASELINE.json — baselines only "
                 "tighten, so shared-host drift (the r10 uniform 1.3x) "
-                "cannot loosen the gate round over round"
+                "cannot loosen the gate round over round; since r20 the "
+                "window's seconds are divided by the pure-JVM canary "
+                "host_factor (bench.host_factor, clamp [1,3]) before the "
+                "gate — raw seconds stay in `queries` and raw_flagged "
+                "keeps the unnormalized view (VERDICT r18 #4; the "
+                "baseline merge stays RAW so a loaded window's "
+                "normalized seconds can never synthetically tighten the "
+                "floor)"
             ),
         },
     }
