@@ -73,6 +73,7 @@ import shutil
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafka_spark_streaming_spark.fencing import (
     PinRaceLost,
@@ -216,6 +217,265 @@ def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
         attempt,
         what=f"pinned_store_read({store_dir!r})",
     )
+
+
+def ann_store_stats(spark: SparkSession, store_dir: str) -> dict:
+    """Cell-occupancy introspection for a streaming-IVF store
+    (VERDICT r18 #2 / r19 #1) — the append-store analogue of the
+    upsert sink's history(): one partition-column aggregation
+    (groupBy cell, a metadata-friendly scan; bounded collect of
+    <= n_cells rows) summarizing how evenly the frozen quantizer is
+    spreading appends.  ``skew`` is max-cell rows over the mean
+    across DECLARED cells (the centroid sidecar's count, so cells
+    the drift has emptied out still dilute the mean — an occupancy
+    view over observed cells only would under-report collapse).
+    skew ~1 = healthy; a drifting stream concentrating appends into
+    few cells pushes it toward n_cells, degrading append parallelism
+    and probe pruning — the signal rebalance_ann_store answers.
+    Duplicate rows from replayed batches are collapsed (vec_id) so
+    the histogram reflects logical occupancy, not crash-window
+    artifacts."""
+    import json
+
+    df = spark.read.parquet(store_dir).dropDuplicates(["vec_id"])
+    per = {
+        int(r["cell"]): int(r["count"])
+        for r in df.groupBy("cell").count().collect()  # <= n_cells rows
+    }
+    total = sum(per.values())
+    cent_path = store_dir.rstrip("/") + ".centroids.json"
+    n_cells = None
+    if os.path.exists(cent_path):
+        with open(cent_path) as fh:
+            n_cells = len(json.load(fh))
+    denom = n_cells if n_cells else len(per)
+    mean = total / denom if denom else 0.0
+    mx = max(per.values(), default=0)
+    return {
+        "rows": total,
+        "n_cells": n_cells,
+        "occupied_cells": len(per),
+        "empty_cells": (denom - len(per)) if n_cells else 0,
+        "rows_per_cell": dict(sorted(per.items())),
+        "max_cell_rows": mx,
+        "mean_cell_rows": round(mean, 3),
+        "skew": round(mx / mean, 3) if mean else 0.0,
+    }
+
+
+def rebalance_ann_store(
+    spark: SparkSession,
+    store_dir: str,
+    fence: WriterFence | None = None,
+    force: bool = False,
+) -> dict:
+    """Offline re-train + re-partition pass for a skewed streaming-IVF
+    store (VERDICT r19 #1): the drain freezes its coarse quantizer at
+    batch 0, so a drifting stream concentrates appends into few cell=
+    leaves — this pass re-trains the quantizer on the store's CURRENT
+    contents and rewrites every row into its new argmax cell,
+    restoring append parallelism and probe pruning.  Cell COUNT is
+    preserved (read from the centroid sidecar): the fix for drift is
+    where the centroids sit, not how many there are.
+
+    Seeding is OCCUPANCY-PROPORTIONAL, deliberately unlike the drain's
+    batch-0 id-strided init: re-training must seed where the data IS,
+    and the old cells' row counts are exactly the drift map — each
+    old cell gets seeds by largest-remainder apportionment of its
+    share, picked at evenly-spaced ranks WITHIN the cell (a
+    Window.partitionBy(cell) row_number — distributed, never a global
+    sort; the seed-position table is a <= n_cells-row broadcast).  A
+    hot cell holding 90% of the rows thus contributes ~90% of the
+    seeds, and the single Lloyd step (the drain's shared helper)
+    splits it.  One bounded collect of <= n_cells seed rows; then one
+    store-wide Arrow-matmul reassignment job.
+
+    Crash safety reuses compact_partitioned_store's append-first /
+    delete-last skeleton, with the centroid-sidecar swap slotted
+    between the two:
+
+      1. snapshot the current data files (the deletion set);
+      2. ONE Spark job re-assigns the deduplicated store against the
+         re-trained centroids and writes a sibling tmp dataset,
+         one file per new cell;
+      3. move the files INTO the live leaves (append-first) — every
+         row now exists under BOTH quantizers' assignments;
+      4. atomically publish the new centroid sidecar (tmp+rename,
+         same protocol as the drain's batch-0 freeze);
+      5. fence-heartbeat, then delete the snapshotted originals
+         (skipping live-pinned files, like compaction).
+
+    A crash BEFORE step 4 leaves probes on the OLD centroids with
+    every row still in its old cell (the new-cell copies are extra
+    rows a probe either prunes away or collapses via its
+    dropDuplicates(vec_id)); a crash AFTER step 4 leaves probes on
+    the NEW centroids with every row in its new cell (the old copies
+    are the tolerated stragglers).  Either way re-running the pass
+    converges: step 2 reads the union and dedups by vec_id.  A
+    post-rebalance drain batch is consistent by construction — the
+    fold re-reads the sidecar every batch, so replays and new batches
+    assign against the new quantizer.
+
+    Fencing: same standalone/cooperative contract as
+    compact_partitioned_store (refuse a live writer unless ``force``;
+    cooperative mode shares the owning drain's token; the fence is
+    re-checked before the delete phase)."""
+    import json
+    import tempfile
+
+    from kafka_spark_streaming_spark.operators.similarity import (
+        ivf_assign_arrow,
+        ivf_init_centroids,
+        lloyd_refine,
+    )
+
+    marker = store_dir.rstrip("/") + ".epoch"
+    cent_path = store_dir.rstrip("/") + ".centroids.json"
+    if not os.path.exists(cent_path):
+        raise ValueError(
+            f"no centroid sidecar at {cent_path!r} — not a streaming-IVF "
+            "store (or its drain never trained batch 0)"
+        )
+    with open(cent_path) as fh:
+        n_cells = len(json.load(fh))
+    if fence is None:
+        tok = live_writer(marker)
+        if tok is not None and not force:
+            raise StaleWriterError(
+                f"store {store_dir!r} has a live writer (pid "
+                f"{tok.get('pid')}, purpose {tok.get('purpose')!r}): "
+                "refusing to rebalance beside an active drain — run "
+                "between drains or pass force=True if the token is "
+                "known-stale"
+            )
+        from kafka_spark_streaming_spark.config import fence_lease_ttl
+
+        fence = WriterFence.acquire(
+            marker,
+            purpose="rebalance-ann-store",
+            lease_ttl_s=fence_lease_ttl(spark),
+        )
+        standalone = True
+    else:
+        standalone = False
+
+    leaves = _leaf_dirs(store_dir, "cell=*")
+    before = {leaf: _data_files(leaf) for leaf in leaves}
+    files_before = sum(len(v) for v in before.values())
+    stats_before = ann_store_stats(spark, store_dir)
+
+    from pyspark.sql import Window
+
+    base = (
+        spark.read.parquet(store_dir)
+        .dropDuplicates(["vec_id"])
+        .select("vec_id", "embedding", "cell")
+        .persist()
+    )
+    try:
+        counts = {
+            int(r["cell"]): int(r["count"])
+            for r in base.groupBy("cell").count().collect()  # <= n_cells
+        }
+        n = sum(counts.values())
+        if n == 0:
+            raise ValueError(f"empty ANN store {store_dir!r}")
+        n_seeds = min(n, n_cells)
+        # largest-remainder apportionment of the seed budget over the
+        # OLD cells' occupancy (the drift map); ties by cell id
+        quotas = {c: n_seeds * nc // n for c, nc in counts.items()}
+        frac = sorted(
+            counts,
+            key=lambda c: (-(n_seeds * counts[c] % n), c),
+        )
+        for c in frac[: n_seeds - sum(quotas.values())]:
+            quotas[c] += 1
+        positions = [
+            (c, k * counts[c] // quotas[c] + 1)  # 1-based rank
+            for c, q in quotas.items()
+            if q
+            for k in range(q)
+        ]
+        pos_df = spark.createDataFrame(positions, "cell int, rn int")
+        w = Window.partitionBy("cell").orderBy("vec_id")
+        init = (
+            base.withColumn("rn", F.row_number().over(w))
+            .join(F.broadcast(pos_df), ["cell", "rn"])
+            .orderBy("vec_id")
+            .collect()  # bounded: <= n_cells seed rows
+        )
+        cmat = ivf_init_centroids(init, n_cells=n_cells)
+        cmat2 = lloyd_refine(ivf_assign_arrow(base, cmat), cmat)
+
+        tmp = store_dir.rstrip("/") + ".rebalance.tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # leftover from a crashed prior run
+        (
+            ivf_assign_arrow(base, cmat2)
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tmp)
+        )
+    finally:
+        base.unpersist()
+    # append-first: move the re-assigned files into the live leaves
+    for tleaf in _leaf_dirs(tmp, "cell=*"):
+        rel = os.path.relpath(tleaf, tmp)
+        dest = os.path.join(store_dir, rel)
+        os.makedirs(dest, exist_ok=True)
+        for f in os.listdir(tleaf):
+            if f.endswith(".parquet") or f.endswith(".parquet.crc"):
+                os.rename(os.path.join(tleaf, f), os.path.join(dest, f))
+    # publish the new quantizer — the probe cutover point (tmp+rename
+    # atomic, same as the drain's batch-0 freeze)
+    d = os.path.dirname(cent_path) or "."
+    fd, ctmp = tempfile.mkstemp(
+        prefix=os.path.basename(cent_path) + ".", dir=d
+    )
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump([[float(x) for x in row] for row in cmat2], fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ctmp, cent_path)
+    except BaseException:
+        try:
+            os.unlink(ctmp)
+        except FileNotFoundError:
+            pass
+        raise
+    # delete originals last (fence re-check first; pins honored)
+    fence.heartbeat()
+    pinned = _pinned_files(store_dir)
+    for leaf, files in before.items():
+        for f in files:
+            if os.path.realpath(f) in pinned:
+                continue
+            for path in (f, os.path.join(
+                os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+            )):
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+    shutil.rmtree(tmp, ignore_errors=True)
+    if standalone:
+        fence.idle()
+    stats_after = ann_store_stats(spark, store_dir)
+    return {
+        "rows": stats_after["rows"],
+        "files_before": files_before,
+        "files_after": sum(
+            len(_data_files(leaf))
+            for leaf in _leaf_dirs(store_dir, "cell=*")
+        ),
+        "skew_before": stats_before["skew"],
+        "skew_after": stats_after["skew"],
+        "occupied_before": stats_before["occupied_cells"],
+        "occupied_after": stats_after["occupied_cells"],
+        "rewrote": True,
+    }
 
 
 def compact_dedup_store(
