@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from kafka_spark_streaming_spark.operators.dedup import shingles
+from kafka_spark_streaming_spark.operators.dedup import (
+    _JACCARD_PAIRS_SQL,
+    shingles,
+)
 from kafka_spark_streaming_spark.operators.registry import register
 from kafka_spark_streaming_spark.tables import session_checkpoint, table
 
@@ -704,3 +707,256 @@ def p_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_fp"
         ),
     )
+
+
+# --- the whole corpus build as ONE plan -----------------------------------
+# VERDICT r19 #4: every stage above is individually oracled, but a real
+# corpus builder runs them as one chained job — clean (length gate +
+# exact dedup + near-dup drop, pipe_corpus_clean's stage) → normalize →
+# decontaminate (8-gram overlap vs the held-out eval docs) → quality
+# gate (data-derived ttr/repetition/logprob cutoffs) → deterministic
+# hash split → sequence packing of the train split.  Chaining is the
+# only way cross-stage plan problems show up (a lost pushdown, a
+# repeated scan, a shuffle barrier between stages), and the composition
+# changes stage SEMANTICS on purpose: the quality cutoffs are
+# percentiles of the SURVIVING corpus, not of the raw one, and packing
+# sees only documents every earlier gate kept.
+#
+# Plan shape at 100 TB: the near-dup pair set is the memoized LSH
+# artifact (linear-ish, session_minhash_pairs); the eval shingle side
+# is broadcast; the unigram vocabulary is broadcast; the percentile
+# cutoffs are one broadcast row; packing's global prefix sum is the
+# two-phase range-repartition plan.  The multi-consumer stage frames
+# (cleaned corpus, quality signals) are locally checkpointed so the
+# dedup chain and the signal computation run ONCE each instead of once
+# per downstream consumer — the in-query analogue of materializing
+# stage outputs between pipeline jobs.
+_TERMS8 = " || ' ' || ".join(f"c.toks[i.i+{j}]" for j in range(8))
+
+
+@register(
+    "p_corpus_end_to_end",
+    f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents WHERE n_chars >= 100
+      GROUP BY md5(text)),
+    cleaned AS (
+      SELECT doc_id, toks FROM (
+        SELECT d.doc_id,
+               string_split(trim(regexp_replace(regexp_replace(
+                 lower(d.text), '[^a-z0-9 ]', '', 'g'),
+                 '  +', ' ', 'g')), ' ') AS toks,
+               trim(regexp_replace(regexp_replace(lower(d.text),
+                 '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS clean
+        FROM documents d JOIN kept USING (doc_id)
+        WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs))
+      WHERE clean <> ''),
+    sh8 AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT c.doc_id, {_TERMS8} AS s
+        FROM cleaned c,
+             unnest(generate_series(1, len(c.toks) - 7)) AS i(i))),
+    ev AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 50 = 0),
+    tr_sh AS (SELECT * FROM sh8 WHERE doc_id % 50 <> 0),
+    card AS (SELECT doc_id, COUNT(*) AS n_sh FROM tr_sh GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM tr_sh t JOIN ev USING (s) GROUP BY t.doc_id),
+    contaminated AS (
+      SELECT h.doc_id FROM hits h JOIN card c USING (doc_id)
+      WHERE h.n_overlap * 1.0 / c.n_sh >= 0.5),
+    corpus AS (
+      SELECT * FROM cleaned
+      WHERE doc_id % 50 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM corpus),
+    uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c) AS total FROM uni),
+    lp AS (
+      SELECT t.doc_id, AVG(ln(u.c * 1.0 / tot.total)) AS avg_logprob
+      FROM tok t JOIN uni u USING (token), tot GROUP BY t.doc_id),
+    sig AS (
+      SELECT k.doc_id, len(k.toks) AS n,
+             len(list_distinct(k.toks)) * 1.0 / len(k.toks) AS ttr,
+             CASE WHEN len(k.toks) - 1 <= 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(
+                         [array_to_string(k.toks[i + 1:i + 2], ' ')
+                          FOR i IN range(0, len(k.toks) - 1)])) * 1.0
+                       / (len(k.toks) - 1)
+             END AS dup2,
+             lp.avg_logprob
+      FROM corpus k JOIN lp USING (doc_id)),
+    cuts AS (
+      SELECT quantile_cont(avg_logprob, 0.1) AS lp_cut,
+             quantile_cont(dup2, 0.9) AS dup_cut FROM sig),
+    passed AS (
+      SELECT sig.doc_id, sig.n FROM sig, cuts
+      WHERE avg_logprob > cuts.lp_cut AND dup2 < cuts.dup_cut
+        AND ttr >= 0.5),
+    splits AS (
+      SELECT doc_id, n,
+             CASE WHEN bucket < 230 THEN 'train'
+                  WHEN bucket < 243 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT p.*,
+              (strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                AS bucket
+            FROM passed p)),
+    cum AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM splits WHERE split = 'train')
+    SELECT 'train' AS split, CAST(c // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS seq_tokens
+    FROM cum GROUP BY 2
+    UNION ALL
+    SELECT split, CAST(-1 AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS seq_tokens
+    FROM splits WHERE split <> 'train' GROUP BY 1
+    """,
+)
+def p_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_spark_streaming_spark.operators.dedup import (
+        session_minhash_pairs,
+        shingles_of,
+    )
+    from kafka_spark_streaming_spark.operators.text import _dup_frac_raw
+
+    d = table(spark, sf_dir, "documents")
+    # stage 1-2: pipe_corpus_clean's survivors (length gate, exact
+    # dedup keep-min-doc_id, near-dup doc_b drop via the memoized LSH
+    # pair artifact), then normalized; empty-after-clean docs leave
+    clean_expr = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    kept = (
+        d.filter(F.col("n_chars") >= 100)
+        .groupBy(F.md5(F.encode("text", "UTF-8")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_dups = (
+        session_minhash_pairs(spark, sf_dir).select("doc_b").distinct()
+    )
+    cleaned = (
+        d.join(kept, "doc_id", "left_semi")
+        .join(near_dups, d["doc_id"] == near_dups["doc_b"], "left_anti")
+        .select("doc_id", clean_expr.alias("text"))
+        .filter(F.col("text") != "")
+        .withColumn("toks", F.split(F.col("text"), " "))
+        .withColumn("n", F.size("toks").cast("bigint"))
+        # stage output materialized once: sh8/lp/sig all consume it
+        .localCheckpoint(eager=False)
+    )
+    # stage 3: decontaminate — 8-gram shingles of the CLEAN text; the
+    # %50 docs are the held-out benchmark (excluded from the corpus),
+    # eval shingles broadcast, train docs with >=50% overlap dropped
+    sh = shingles_of(cleaned.select("doc_id", "text"), n=8)
+    ev = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    tr_sh = sh.filter(F.col("doc_id") % 50 != 0)
+    card = tr_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        tr_sh.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    contaminated = (
+        hits.join(card, "doc_id")
+        .filter(F.col("n_overlap") / F.col("n_sh") >= 0.5)
+        .select("doc_id")
+    )
+    corpus = cleaned.filter(F.col("doc_id") % 50 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    # stage 4: quality gate — cutoffs are percentiles of the SURVIVING
+    # corpus (two 1-row broadcast aggs), unigram model broadcast
+    tok = corpus.select("doc_id", F.explode("toks").alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("total"))
+    lp = (
+        tok.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.avg(F.log(F.col("c") * 1.0 / F.col("total"))).alias(
+                "avg_logprob"
+            )
+        )
+    )
+    toks = F.col("toks")
+    sig = (
+        corpus.select(
+            "doc_id",
+            "n",
+            (F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)).alias(
+                "ttr"
+            ),
+            _dup_frac_raw(toks, 2).alias("dup2"),
+        )
+        .join(lp, "doc_id")
+        .localCheckpoint(eager=False)  # consumed by cuts AND passed
+    )
+    cuts = sig.agg(
+        F.expr("percentile(avg_logprob, 0.1)").alias("lp_cut"),
+        F.expr("percentile(dup2, 0.9)").alias("dup_cut"),
+    )
+    passed = (
+        sig.crossJoin(F.broadcast(cuts))
+        .filter(
+            (F.col("avg_logprob") > F.col("lp_cut"))
+            & (F.col("dup2") < F.col("dup_cut"))
+            & (F.col("ttr") >= 0.5)
+        )
+        .select("doc_id", "n")
+    )
+    # stage 5: deterministic hash split (p_train_val_split's buckets)
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
+    splits = passed.withColumn(
+        "split",
+        F.when(bucket < 230, "train")
+        .when(bucket < 243, "val")
+        .otherwise("test"),
+    )
+    # stage 6: pack the train split (two-phase prefix sum — the only
+    # unpartitioned window runs over the per-partition-count table)
+    par = spark.sparkContext.defaultParallelism
+    train = splits.filter(F.col("split") == "train").select("doc_id", "n")
+    cum = exclusive_prefix_sum(train, "doc_id", "n", par)
+    packed = (
+        cum.groupBy(
+            F.floor(F.col("c") / PACK_BUDGET).cast("bigint").alias("seq_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("seq_tokens"),
+        )
+        .select(
+            F.lit("train").alias("split"), "seq_id", "n_docs", "seq_tokens"
+        )
+    )
+    others = (
+        splits.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("seq_tokens"),
+        )
+        .select(
+            "split",
+            F.lit(-1).cast("bigint").alias("seq_id"),
+            "n_docs",
+            "seq_tokens",
+        )
+    )
+    return packed.unionByName(others).orderBy("split", "seq_id")

@@ -49,6 +49,9 @@ _BNLJ_OK = {
     "p_incremental_dedup_bloom",  # 1-row dense-bloom-bitset broadcast
     "g_triangle_trade",      # 1-row mean-edge-weight cut broadcast
     "q_key_skew_profile",    # 1-row per-column totals broadcast
+    "p_corpus_end_to_end",   # 1-row token-total + percentile-cutoff
+                             # broadcasts (the pipe_quality_filter /
+                             # t_unigram_logprob pattern, composed)
 }
 
 
@@ -65,6 +68,8 @@ _GLOBAL_WINDOW_OK = {
     "time_rolling_corr",          # rolling stats over the daily series
     "w_trailing_7d_revenue",      # trailing window over the daily rollup
     "p_pack_sequences",           # prefix sum over per-chunk offsets
+    "p_corpus_end_to_end",        # the same two-phase prefix-sum
+                                  # offsets table (~32 rows), composed
     "t_vocab_encode",             # row_number over the 256-row vocab
     "q_key_skew_profile",         # rank over a LIMIT-5 frame per column
 }
