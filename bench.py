@@ -204,32 +204,40 @@ def host_factor(
     return max(1.0, min(statistics.median(ratios), 3.0))
 
 
-def normalized(
-    timings: dict[str, float], factor: float
-) -> dict[str, float]:
-    """Raw seconds divided by the canary host factor — what the gate
-    compares; the artifact always keeps the RAW seconds."""
-    return {k: v / factor for k, v in timings.items()}
-
-
 def regressions(
-    timings: dict[str, float], prev: dict[str, float], ratio: float = 1.5
+    timings: dict[str, float],
+    prev: dict[str, float],
+    ratio: float = 1.5,
+    host: float = 1.0,
 ) -> list[dict]:
-    """Queries slower than `ratio`× their previous-round time — the
-    build-time gate the judge asked for (VERDICT r03 #4): a regression
-    shows up in the bench JSON the round it happens, not a round later."""
+    """Queries whose canary-normalized time (sec / host) exceeds
+    `ratio`× their previous-round time — the build-time gate the judge
+    asked for (VERDICT r03 #4): a regression shows up in the bench
+    JSON the round it happens, not a round later.  host=1.0 is the raw
+    pre-r20 gate.  Flag entries record RAW seconds (code-review r20 —
+    the sweep's gate_flags convention; a reader cross-checking `sec`
+    against `queries[name]` must see the same number), with the
+    normalization spelled out in norm_sec/norm_ratio/host when it is
+    in effect."""
     out = []
     for n, sec in timings.items():
         p = prev.get(n)
-        if p and p > 0 and sec > ratio * p:
-            out.append(
-                {
-                    "query": n,
-                    "sec": sec,
-                    "prev_sec": p,
-                    "ratio": round(sec / p, 2),
-                }
-            )
+        if p and p > 0 and sec / host > ratio * p:
+            entry = {
+                "query": n,
+                "sec": sec,
+                "prev_sec": p,
+                "ratio": round(sec / p, 2),
+            }
+            if host != 1.0:
+                entry.update(
+                    {
+                        "norm_sec": round(sec / host, 3),
+                        "norm_ratio": round(sec / host / p, 2),
+                        "host": round(host, 3),
+                    }
+                )
+            out.append(entry)
     return out
 
 
@@ -366,8 +374,8 @@ def main() -> None:
         "sf": sf_val,
         "derived_build_sec": derived,
         "host_factor": round(hf, 3),
-        "regressions": regressions(normalized(timings, hf), prev_q)
-        + regressions(normalized(derived, hf), prev_d),
+        "regressions": regressions(timings, prev_q, host=hf)
+        + regressions(derived, prev_d, host=hf),
         "raw_regressions": regressions(timings, prev_q)
         + regressions(derived, prev_d),
     }

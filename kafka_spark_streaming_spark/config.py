@@ -315,6 +315,39 @@ def store_pin_ttl(spark: SparkSession) -> float | None:
     return fallback
 
 
+def pin_ttl_for_writer(
+    spark: SparkSession, writer_lease_ttl: float | None
+) -> float | None:
+    """Pin TTL for snapshots handed out by a store whose WRITER holds
+    the given effective fence lease (code-review r20): the r20 drains
+    run lease-mode by DEFAULT without setting the leaseTtlSec conf, so
+    store_pin_ttl's conf-keyed fallback saw 'no lease' and silently
+    left their snapshot pins pid-based — the exact multi-host wrongness
+    the fallback exists to prevent.  Resolution order: an EXPLICIT
+    pinTtlSec always wins (including 0 = pid pins); else the conf-knob
+    chain (store_pin_ttl, which covers a conf-set fence lease); else,
+    when the writer's effective lease is on, PIN_TTL_FALLBACK_FACTOR x
+    that lease with the same sizing warning."""
+    raw = spark.conf.get(STORE_PIN_TTL_KEY, None)
+    if raw is not None:
+        return _parse_ttl(STORE_PIN_TTL_KEY, raw)
+    ttl = store_pin_ttl(spark)
+    if ttl is not None or writer_lease_ttl is None:
+        return ttl
+    import warnings
+
+    fallback = writer_lease_ttl * PIN_TTL_FALLBACK_FACTOR
+    warnings.warn(
+        f"this store's writer runs a {writer_lease_ttl}s fence lease "
+        f"but {STORE_PIN_TTL_KEY} is not set: reader pins will "
+        f"auto-expire after {PIN_TTL_FALLBACK_FACTOR:g}x the lease "
+        f"({fallback}s). Set {STORE_PIN_TTL_KEY} to the intended "
+        "vacuum horizon (longest allowed read).",
+        stacklevel=2,
+    )
+    return fallback
+
+
 def dedup_compact_every(spark: SparkSession) -> int:
     return _cadence_conf(
         spark, DEDUP_COMPACT_EVERY_KEY, DEDUP_COMPACT_EVERY_DEFAULT

@@ -448,11 +448,18 @@ def live_pins(pin_dir: str) -> list[dict]:
             # orphaned by a hard kill is reclaimed by nothing else, so
             # age it out after an hour (ADVICE r19 — the same rule the
             # fence acquire sweep applies to orphaned idle temps).
+            # Only write_pin's own temp shape is swept: foreign
+            # entries (a subdirectory, an unwritable file) must never
+            # crash the pin listing that every prune/compaction rides
+            # on (code-review r20), so anything else is left alone and
+            # unlink failures are swallowed.
+            if not name.startswith("pin-"):
+                continue
             p = os.path.join(pin_dir, name)
             try:
-                if now - os.stat(p).st_mtime >= 3600:
+                if os.path.isfile(p) and now - os.stat(p).st_mtime >= 3600:
                     os.unlink(p)
-            except FileNotFoundError:
+            except OSError:
                 pass
             continue
         p = os.path.join(pin_dir, name)

@@ -140,7 +140,11 @@ def _pinned_files(store_dir: str) -> set[str]:
     return pinned
 
 
-def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
+def pinned_store_read(
+    spark: SparkSession,
+    store_dir: str,
+    dedup_cols: list[str] | None = None,
+) -> DataFrame:
     """Compaction-safe read of a partitioned append store: the
     DataFrame reads EXACTLY the data files present now (basePath keeps
     the partition columns real), and those files are pinned against
@@ -151,12 +155,19 @@ def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
     releasing leaves a dead-pid pin the next maintenance pass reaps.
     Raises on an empty store — there is no listing to pin (create the
     store by draining at least one batch first).  The returned frame
-    is full-row deduplicated (ADVICE r19): a listing taken after a
-    crash window, or after a compaction that skipped pin-held
+    is full-row deduplicated by default (ADVICE r19): a listing taken
+    after a crash window, or after a compaction that skipped pin-held
     originals, contains originals AND compacted copies, and unlike
     the registered queries an out-of-band export has no downstream
     collapse — so this read applies the same full-row dropDuplicates
-    compaction's rewrite bakes in.
+    compaction's rewrite bakes in.  CAVEAT (code-review r20): full-row
+    dedup only collapses SAME-LEAF copies; a row RELOCATED across
+    partitions (rebalance_ann_store's crash window or its pin-skipped
+    originals — old cell and new cell both present) differs in the
+    partition column and survives it.  Pass ``dedup_cols`` with the
+    store's logical key (``["vec_id"]`` for ANN stores) to collapse
+    relocated copies too; which copy's partition value wins is
+    arbitrary, exactly like the probe paths' own key dedup.
 
     Paths are realpath-normalized at WRITE time so a pin taken with a
     relative store_dir still matches the delete phase's comparison
@@ -193,15 +204,16 @@ def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
                 df = (
                     spark.read.option("basePath", store_dir)
                     .parquet(*files)
-                    # collapse bit-identical duplicate rows exactly as
-                    # compaction's rewrite does (ADVICE r19): after a
-                    # crash window — or a compaction that skipped
-                    # pin-held originals — the listing legitimately
-                    # contains both originals and compacted copies,
-                    # and an out-of-band EXPORT has no downstream
-                    # dedup the registered queries' duplicate-
-                    # tolerance argument can lean on.
-                    .dropDuplicates()
+                    # collapse duplicate rows exactly as compaction's
+                    # rewrite does (ADVICE r19): after a crash window —
+                    # or a compaction that skipped pin-held originals —
+                    # the listing legitimately contains both originals
+                    # and compacted copies, and an out-of-band EXPORT
+                    # has no downstream dedup the registered queries'
+                    # duplicate-tolerance argument can lean on.
+                    # dedup_cols widens the collapse to partition-
+                    # relocated copies (docstring caveat, r20).
+                    .dropDuplicates(dedup_cols)
                 )
             except AnalysisException as exc:
                 if not is_path_not_found(exc):
@@ -217,6 +229,98 @@ def pinned_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
         attempt,
         what=f"pinned_store_read({store_dir!r})",
     )
+
+
+def _standalone_fence(
+    spark: SparkSession,
+    store_dir: str,
+    purpose: str,
+    force: bool,
+    verb: str,
+) -> WriterFence:
+    """The standalone maintenance-pass fence protocol, shared by
+    compaction and rebalance (code-review r20 — it was copy-pasted):
+    refuse a live writer unless ``force``, then acquire with the
+    session's lease knob."""
+    marker = store_dir.rstrip("/") + ".epoch"
+    tok = live_writer(marker)
+    if tok is not None and not force:
+        raise StaleWriterError(
+            f"store {store_dir!r} has a live writer (pid "
+            f"{tok.get('pid')}, purpose {tok.get('purpose')!r}): "
+            f"refusing to {verb} beside an active drain — run between "
+            "drains, or pass force=True if the token is known-stale"
+        )
+    from kafka_spark_streaming_spark.config import fence_lease_ttl
+
+    return WriterFence.acquire(
+        marker, purpose=purpose, lease_ttl_s=fence_lease_ttl(spark)
+    )
+
+
+def _idle_quietly(fence: WriterFence) -> None:
+    """Mark a standalone pass's tenure finished on the FAILURE path so
+    a failed pass is immediately retryable (code-review r20: an
+    exception between acquire and the success-path idle() left the
+    token active — blocking retries for the holder pid's lifetime, or
+    a full TTL in lease mode).  Quiet: if a newer writer already
+    usurped us, idling is neither possible nor needed."""
+    try:
+        fence.idle()
+    except Exception:  # noqa: BLE001 — failure-path cleanup only
+        pass
+
+
+def _move_leaf_files(tmp: str, store_dir: str, leaf_glob: str) -> None:
+    """Append-first move of a rewrite's tmp-dataset files into the
+    live leaves (os.rename, same filesystem; Spark part names carry a
+    job UUID so they cannot collide)."""
+    for tleaf in _leaf_dirs(tmp, leaf_glob):
+        rel = os.path.relpath(tleaf, tmp)
+        dest = os.path.join(store_dir, rel)
+        os.makedirs(dest, exist_ok=True)
+        for f in os.listdir(tleaf):
+            if f.endswith(".parquet") or f.endswith(".parquet.crc"):
+                os.rename(os.path.join(tleaf, f), os.path.join(dest, f))
+
+
+def _delete_snapshotted(
+    before: dict[str, list[str]], pinned: set[str]
+) -> None:
+    """Delete-last phase shared by compaction and rebalance: remove the
+    snapshotted original files (+ .crc sidecars), SKIPPING any file a
+    live pin still references."""
+    for files in before.values():
+        for f in files:
+            if os.path.realpath(f) in pinned:
+                continue
+            for path in (f, os.path.join(
+                os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+            )):
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+
+
+def _occupancy(counts: dict[int, int], n_cells: int | None) -> dict:
+    """Histogram-summary shared by ann_store_stats and the rebalance
+    pass (which already holds the counts — no second store scan,
+    code-review r20)."""
+    total = sum(counts.values())
+    denom = n_cells if n_cells else len(counts)
+    mean = total / denom if denom else 0.0
+    mx = max(counts.values(), default=0)
+    return {
+        "rows": total,
+        "n_cells": n_cells,
+        "occupied_cells": len(counts),
+        "empty_cells": (denom - len(counts)) if n_cells else 0,
+        "rows_per_cell": dict(sorted(counts.items())),
+        "max_cell_rows": mx,
+        "mean_cell_rows": round(mean, 3),
+        "skew": round(mx / mean, 3) if mean else 0.0,
+    }
 
 
 def ann_store_stats(spark: SparkSession, store_dir: str) -> dict:
@@ -242,25 +346,12 @@ def ann_store_stats(spark: SparkSession, store_dir: str) -> dict:
         int(r["cell"]): int(r["count"])
         for r in df.groupBy("cell").count().collect()  # <= n_cells rows
     }
-    total = sum(per.values())
     cent_path = store_dir.rstrip("/") + ".centroids.json"
     n_cells = None
     if os.path.exists(cent_path):
         with open(cent_path) as fh:
             n_cells = len(json.load(fh))
-    denom = n_cells if n_cells else len(per)
-    mean = total / denom if denom else 0.0
-    mx = max(per.values(), default=0)
-    return {
-        "rows": total,
-        "n_cells": n_cells,
-        "occupied_cells": len(per),
-        "empty_cells": (denom - len(per)) if n_cells else 0,
-        "rows_per_cell": dict(sorted(per.items())),
-        "max_cell_rows": mx,
-        "mean_cell_rows": round(mean, 3),
-        "skew": round(mx / mean, 3) if mean else 0.0,
-    }
+    return _occupancy(per, n_cells)
 
 
 def rebalance_ann_store(
@@ -321,15 +412,7 @@ def rebalance_ann_store(
     cooperative mode shares the owning drain's token; the fence is
     re-checked before the delete phase)."""
     import json
-    import tempfile
 
-    from kafka_spark_streaming_spark.operators.similarity import (
-        ivf_assign_arrow,
-        ivf_init_centroids,
-        lloyd_refine,
-    )
-
-    marker = store_dir.rstrip("/") + ".epoch"
     cent_path = store_dir.rstrip("/") + ".centroids.json"
     if not os.path.exists(cent_path):
         raise ValueError(
@@ -338,33 +421,43 @@ def rebalance_ann_store(
         )
     with open(cent_path) as fh:
         n_cells = len(json.load(fh))
-    if fence is None:
-        tok = live_writer(marker)
-        if tok is not None and not force:
-            raise StaleWriterError(
-                f"store {store_dir!r} has a live writer (pid "
-                f"{tok.get('pid')}, purpose {tok.get('purpose')!r}): "
-                "refusing to rebalance beside an active drain — run "
-                "between drains or pass force=True if the token is "
-                "known-stale"
-            )
-        from kafka_spark_streaming_spark.config import fence_lease_ttl
-
-        fence = WriterFence.acquire(
-            marker,
-            purpose="rebalance-ann-store",
-            lease_ttl_s=fence_lease_ttl(spark),
+    standalone = fence is None
+    if standalone:
+        fence = _standalone_fence(
+            spark, store_dir, "rebalance-ann-store", force, "rebalance"
         )
-        standalone = True
-    else:
-        standalone = False
+    try:
+        out = _rebalance_body(spark, store_dir, cent_path, n_cells, fence)
+    except BaseException:
+        if standalone:
+            _idle_quietly(fence)  # failed pass stays retryable
+        raise
+    if standalone:
+        fence.idle()
+    return out
+
+
+def _rebalance_body(
+    spark: SparkSession,
+    store_dir: str,
+    cent_path: str,
+    n_cells: int,
+    fence: WriterFence,
+) -> dict:
+    import json
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from kafka_spark_streaming_spark.operators.similarity import (
+        ivf_assign_arrow,
+        ivf_init_centroids,
+        lloyd_refine,
+    )
 
     leaves = _leaf_dirs(store_dir, "cell=*")
     before = {leaf: _data_files(leaf) for leaf in leaves}
     files_before = sum(len(v) for v in before.values())
-    stats_before = ann_store_stats(spark, store_dir)
-
-    from pyspark.sql import Window
 
     base = (
         spark.read.parquet(store_dir)
@@ -373,10 +466,14 @@ def rebalance_ann_store(
         .persist()
     )
     try:
+        # ONE occupancy scan feeds both the before-stats and the seed
+        # quotas (code-review r20 — ann_store_stats here was a second
+        # identical scan)
         counts = {
             int(r["cell"]): int(r["count"])
             for r in base.groupBy("cell").count().collect()  # <= n_cells
         }
+        stats_before = _occupancy(counts, n_cells)
         n = sum(counts.values())
         if n == 0:
             raise ValueError(f"empty ANN store {store_dir!r}")
@@ -391,7 +488,7 @@ def rebalance_ann_store(
         for c in frac[: n_seeds - sum(quotas.values())]:
             quotas[c] += 1
         positions = [
-            (c, k * counts[c] // quotas[c] + 1)  # 1-based rank
+            (c, k * counts[c] // q + 1)  # 1-based rank
             for c, q in quotas.items()
             if q
             for k in range(q)
@@ -420,13 +517,7 @@ def rebalance_ann_store(
     finally:
         base.unpersist()
     # append-first: move the re-assigned files into the live leaves
-    for tleaf in _leaf_dirs(tmp, "cell=*"):
-        rel = os.path.relpath(tleaf, tmp)
-        dest = os.path.join(store_dir, rel)
-        os.makedirs(dest, exist_ok=True)
-        for f in os.listdir(tleaf):
-            if f.endswith(".parquet") or f.endswith(".parquet.crc"):
-                os.rename(os.path.join(tleaf, f), os.path.join(dest, f))
+    _move_leaf_files(tmp, store_dir, "cell=*")
     # publish the new quantizer — the probe cutover point (tmp+rename
     # atomic, same as the drain's batch-0 freeze)
     d = os.path.dirname(cent_path) or "."
@@ -447,21 +538,8 @@ def rebalance_ann_store(
         raise
     # delete originals last (fence re-check first; pins honored)
     fence.heartbeat()
-    pinned = _pinned_files(store_dir)
-    for leaf, files in before.items():
-        for f in files:
-            if os.path.realpath(f) in pinned:
-                continue
-            for path in (f, os.path.join(
-                os.path.dirname(f), "." + os.path.basename(f) + ".crc"
-            )):
-                try:
-                    os.remove(path)
-                except FileNotFoundError:
-                    pass
+    _delete_snapshotted(before, _pinned_files(store_dir))
     shutil.rmtree(tmp, ignore_errors=True)
-    if standalone:
-        fence.idle()
     stats_after = ann_store_stats(spark, store_dir)
     return {
         "rows": stats_after["rows"],
@@ -560,36 +638,38 @@ def compact_partitioned_store(
     token; cooperative passes the owning drain's fence.  Either way
     the fence is checked before step 4 — the only destructive step.
     """
-    marker = store_dir.rstrip("/") + ".epoch"
-    if fence is None:
-        tok = live_writer(marker)
-        if tok is not None and not force:
-            raise StaleWriterError(
-                f"store {store_dir!r} has a live writer (pid "
-                f"{tok.get('pid')}, purpose {tok.get('purpose')!r}): "
-                "refusing to compact beside an active drain — run "
-                "between drains, let the drain's compactEveryNBatches "
-                "policy knob do it in-line, or pass force=True if the "
-                "token is known-stale"
-            )
-        from kafka_spark_streaming_spark.config import fence_lease_ttl
-
+    standalone = fence is None
+    if standalone:
         # same lease plumbing as the drains and the upsert sink —
         # without it a standalone pass that crashed on another host
         # would leave a pid-mode token that live_writer can only
         # probe locally (code-review r19)
-        fence = WriterFence.acquire(
-            marker, purpose=purpose, lease_ttl_s=fence_lease_ttl(spark)
+        fence = _standalone_fence(spark, store_dir, purpose, force, "compact")
+    try:
+        out = _compact_body(
+            spark, store_dir, partition_cols, leaf_glob, min_files, fence
         )
-        standalone = True
-    else:
-        standalone = False
+    except BaseException:
+        if standalone:
+            _idle_quietly(fence)  # failed pass stays retryable (r20)
+        raise
+    if standalone:
+        fence.idle()
+    return out
+
+
+def _compact_body(
+    spark: SparkSession,
+    store_dir: str,
+    partition_cols: list[str],
+    leaf_glob: str,
+    min_files: int,
+    fence: WriterFence,
+) -> dict:
     leaves = _leaf_dirs(store_dir, leaf_glob)
     before = {leaf: _data_files(leaf) for leaf in leaves}
     files_before = sum(len(v) for v in before.values())
     if not leaves or all(len(v) < min_files for v in before.values()):
-        if standalone:
-            fence.idle()
         return {
             "leaves": len(leaves),
             "files_before": files_before,
@@ -618,13 +698,7 @@ def compact_partitioned_store(
         .parquet(tmp)
     )
     # move compacted files into the live leaves (append-first)
-    for tleaf in _leaf_dirs(tmp, leaf_glob):
-        rel = os.path.relpath(tleaf, tmp)
-        dest = os.path.join(store_dir, rel)
-        os.makedirs(dest, exist_ok=True)
-        for f in os.listdir(tleaf):
-            if f.endswith(".parquet") or f.endswith(".parquet.crc"):
-                os.rename(os.path.join(tleaf, f), os.path.join(dest, f))
+    _move_leaf_files(tmp, store_dir, leaf_glob)
     # delete originals last — the only step that removes data, and by
     # now every row exists in a compacted file.  Fence check first: if
     # a newer writer attached since, abort HERE — the appended
@@ -641,21 +715,8 @@ def compact_partitioned_store(
     # left behind as tolerated duplicates for the first pass after
     # the pin is released to sweep (module docstring, r19).
     fence.heartbeat()
-    pinned = _pinned_files(store_dir)
-    for leaf, files in before.items():
-        for f in files:
-            if os.path.realpath(f) in pinned:
-                continue
-            for path in (f, os.path.join(
-                os.path.dirname(f), "." + os.path.basename(f) + ".crc"
-            )):
-                try:
-                    os.remove(path)
-                except FileNotFoundError:
-                    pass
+    _delete_snapshotted(before, _pinned_files(store_dir))
     shutil.rmtree(tmp, ignore_errors=True)
-    if standalone:
-        fence.idle()
     files_after = sum(
         len(_data_files(leaf)) for leaf in _leaf_dirs(store_dir, leaf_glob)
     )

@@ -398,7 +398,7 @@ class KeyedUpsertSink:
         head; see pin_guarded for the residual-window argument."""
         from pyspark.errors import AnalysisException
 
-        from kafka_spark_streaming_spark.config import store_pin_ttl
+        from kafka_spark_streaming_spark.config import pin_ttl_for_writer
         from kafka_spark_streaming_spark.fencing import (
             PinRaceLost,
             is_path_not_found,
@@ -406,7 +406,16 @@ class KeyedUpsertSink:
             release_pin,
         )
 
-        ttl = store_pin_ttl(self.spark)
+        # the pin TTL must see this sink's EFFECTIVE fence lease, not
+        # just the conf knob: a drain-default lease (constructor arg,
+        # conf unset) would otherwise leave pins pid-based — wrong on
+        # multi-host (code-review r20)
+        ttl = pin_ttl_for_writer(
+            self.spark,
+            None
+            if self._lease_ttl_s is _LEASE_FROM_CONF
+            else self._lease_ttl_s,
+        )
 
         def attempt():
             try:

@@ -36,6 +36,32 @@ from kafka_spark_streaming_spark.sinks.upsert import (
     single_cell,
 )
 
+_INTERVAL_UNITS = {
+    "millisecond": 0.001,
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+}
+
+
+def _interval_seconds(interval: str) -> float:
+    """Seconds in a Structured Streaming processingTime string
+    ('2 seconds', '15 minutes', ...).  Raises on shapes Spark itself
+    would reject, so a typo fails at start() instead of sizing a lease
+    from a silent 0."""
+    parts = interval.strip().lower().split()
+    if len(parts) == 2 and parts[1].rstrip("s") in _INTERVAL_UNITS:
+        try:
+            return float(parts[0]) * _INTERVAL_UNITS[parts[1].rstrip("s")]
+        except ValueError:
+            pass
+    raise ValueError(
+        f"unparseable trigger interval {interval!r} — expected "
+        "'<number> <unit>' with unit in "
+        f"{sorted(_INTERVAL_UNITS)} (+optional plural s)"
+    )
+
 
 @dataclass
 class StreamerConfig:
@@ -183,6 +209,26 @@ class StreamerPipeline:
         deterministic test mode; processingTime mirrors the reference's
         Seconds(2) cadence (Streamer.scala:57).
         """
+        if (
+            not available_now
+            and self.sink is not None
+            and self.sink._fence is None
+        ):
+            # lease-TTL sizing needs the REAL trigger cadence
+            # (code-review r20: the constructor sized it for the
+            # availableNow floor, so a slow processingTime drain's
+            # lease could lapse between per-batch heartbeats and a
+            # concurrent maintenance pass would fence the live drain
+            # out).  The fence is acquired lazily at first write, so
+            # re-deriving here is safe; the explicit leaseTtlSec knob
+            # still wins inside drain_fence_lease_ttl.
+            from kafka_spark_streaming_spark.config import (
+                drain_fence_lease_ttl,
+            )
+
+            self.sink._lease_ttl_s = drain_fence_lease_ttl(
+                self.spark, _interval_seconds(interval)
+            )
         writer = (
             messages.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)

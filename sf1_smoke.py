@@ -284,7 +284,6 @@ def main() -> None:
     }
     prev = _prev_sf1()
     hf = host_factor(timings, prev)
-    normalized = {k: v / hf for k, v in timings.items()}
     print(
         json.dumps(
             {
@@ -295,7 +294,7 @@ def main() -> None:
                 "queries": results,
                 "derived_build_sec": derived,
                 "host_factor": round(hf, 3),
-                "regressions": regressions(normalized, prev),
+                "regressions": regressions(timings, prev, host=hf),
                 "raw_regressions": regressions(timings, prev),
                 "note": (
                     "scale stress on a K-replicated sf0.1 (exact-duplicate "

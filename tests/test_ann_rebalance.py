@@ -250,3 +250,40 @@ def test_rebalance_requires_centroid_sidecar(spark, tmp_path):
     os.makedirs(store)
     with pytest.raises(ValueError, match="centroid sidecar"):
         rebalance_ann_store(spark, store)
+
+
+def test_pinned_export_dedup_cols_collapses_relocated_rows(
+    spark, tmp_path
+):
+    """code-review r20: full-row dedup cannot collapse a row the
+    rebalance crash window left in TWO cells (the copies differ in the
+    partition column); dedup_cols=['vec_id'] — the store's logical
+    key — collapses them for out-of-band exports."""
+    import gc
+
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        pinned_store_read,
+    )
+
+    store = str(tmp_path / "store")
+    cmat = _build_skewed_store(spark, store)
+    assert cmat is not None
+    # simulate the rebalance crash window: one vector re-appended in a
+    # DIFFERENT cell, originals not yet deleted
+    moved = spark.createDataFrame(
+        [(0, _emb_batch0(0), 15)],
+        "vec_id long, embedding array<float>, cell int",
+    )
+    moved.write.mode("append").partitionBy("cell").parquet(store)
+
+    fullrow = pinned_store_read(spark, store)
+    n_full = fullrow.filter(F.col("vec_id") == 0).count()
+    assert n_full == 2, "precondition: full-row dedup keeps both cells"
+    del fullrow
+    gc.collect()
+
+    keyed = pinned_store_read(spark, store, dedup_cols=["vec_id"])
+    assert keyed.filter(F.col("vec_id") == 0).count() == 1
+    assert keyed.count() == N_BATCH0 + N_DRIFT
+    del keyed
+    gc.collect()

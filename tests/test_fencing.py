@@ -1269,3 +1269,158 @@ def test_drains_default_to_lease_mode(spark, tmp_path):
     pipe.sink.write_batch(_cells(spark, [("k1", "v1")]), 0)
     tok = live_writer(os.path.join(pipe.sink.path, "_WRITER_EPOCH"))
     assert tok is not None and tok["lease_ttl_s"] == DRAIN_LEASE_FLOOR_S
+
+
+def test_live_pins_tolerates_foreign_entries(tmp_path):
+    """code-review r20: the aging sweep must never crash the pin
+    listing every prune/compaction rides on — a subdirectory or a
+    non-pin file in the pin dir is left alone, and only write_pin's
+    own temp shape is aged out."""
+    import time
+
+    from kafka_spark_streaming_spark.fencing import live_pins, write_pin
+
+    pin_dir = str(tmp_path / "_pins")
+    write_pin(pin_dir, {"purpose": "t"})
+    os.makedirs(os.path.join(pin_dir, "backup.dir"))
+    foreign = os.path.join(pin_dir, "README")
+    with open(foreign, "w") as fh:
+        fh.write("hands off")
+    past = time.time() - 7200
+    for p in (os.path.join(pin_dir, "backup.dir"), foreign):
+        os.utime(p, (past, past))
+    pins = live_pins(pin_dir)  # must not raise
+    assert [p["purpose"] for p in pins] == ["t"]
+    assert os.path.isdir(os.path.join(pin_dir, "backup.dir"))
+    assert os.path.exists(foreign), "foreign files are never deleted"
+
+
+def test_drain_default_sink_pins_carry_lease(spark, tmp_path):
+    """code-review r20: a sink running the r20 drain-default lease
+    (constructor arg, conf knobs UNSET) must hand out snapshot pins
+    that auto-expire — pid pins under a lease-mode writer are exactly
+    the multi-host wrongness the pinTtlSec fallback exists to prevent."""
+    import json
+    import warnings as _warnings
+
+    from kafka_spark_streaming_spark.config import (
+        PIN_TTL_FALLBACK_FACTOR,
+        UPSERT_STATE_BUCKETS_KEY,
+        drain_fence_lease_ttl,
+    )
+    from kafka_spark_streaming_spark.sinks.upsert import (
+        PIN_DIR,
+        KeyedUpsertSink,
+    )
+
+    spark.conf.set(UPSERT_STATE_BUCKETS_KEY, "1")
+    try:
+        ttl = drain_fence_lease_ttl(spark)
+        sink = KeyedUpsertSink(
+            spark, str(tmp_path / "cells"), lease_ttl_s=ttl
+        )
+        sink.write_batch(_cells(spark, [("k1", "v1")]), 0)
+        with pytest.warns(UserWarning, match="pinTtlSec"):
+            snap = sink.snapshot()
+        pin_dir = os.path.join(sink.path, PIN_DIR)
+        (pin,) = [f for f in os.listdir(pin_dir) if f.endswith(".json")]
+        with open(os.path.join(pin_dir, pin)) as fh:
+            assert json.load(fh)["lease_ttl_s"] == (
+                ttl * PIN_TTL_FALLBACK_FACTOR
+            )
+        del snap
+        gc.collect()
+        # and an EXPLICIT pid-mode sink still hands out pid pins
+        sink2 = KeyedUpsertSink(
+            spark, str(tmp_path / "cells2"), lease_ttl_s=None
+        )
+        sink2.write_batch(_cells(spark, [("k1", "v1")]), 0)
+        snap2 = sink2.snapshot()
+        pin_dir2 = os.path.join(sink2.path, PIN_DIR)
+        (pin2,) = [f for f in os.listdir(pin_dir2) if f.endswith(".json")]
+        with open(os.path.join(pin_dir2, pin2)) as fh:
+            assert "lease_ttl_s" not in json.load(fh)
+        del snap2
+        gc.collect()
+    finally:
+        spark.conf.unset(UPSERT_STATE_BUCKETS_KEY)
+
+
+def test_pipeline_sizes_lease_from_trigger_interval(spark, tmp_path):
+    """code-review r20: a processingTime drain's lease must be sized
+    from the REAL cadence, or the lease lapses between per-batch
+    heartbeats and maintenance fences out the live drain."""
+    from kafka_spark_streaming_spark.config import (
+        DRAIN_LEASE_FACTOR,
+        DRAIN_LEASE_FLOOR_S,
+    )
+    from kafka_spark_streaming_spark.streaming.pipeline import (
+        StreamerConfig,
+        StreamerPipeline,
+        _interval_seconds,
+    )
+
+    assert _interval_seconds("2 seconds") == 2.0
+    assert _interval_seconds("15 minutes") == 900.0
+    assert _interval_seconds("1 hour") == 3600.0
+    with pytest.raises(ValueError, match="unparseable"):
+        _interval_seconds("whenever")
+
+    cfg = StreamerConfig(table_path=str(tmp_path / "cells"), bulk=True)
+    pipe = StreamerPipeline(spark, cfg)
+    assert pipe.sink._lease_ttl_s == DRAIN_LEASE_FLOOR_S
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    msgs = rate.selectExpr(
+        "CAST(value AS STRING) AS key",
+        "CAST(value AS STRING) AS value",
+        "'t' AS topic",
+        "timestamp AS ts",
+    )
+    q = pipe.start(
+        msgs,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=False,
+        interval="15 minutes",
+    )
+    try:
+        assert (
+            pipe.sink._lease_ttl_s == DRAIN_LEASE_FACTOR * 900.0
+        ), "start() must re-derive the lease TTL from the trigger cadence"
+    finally:
+        q.stop()
+
+
+def test_failed_standalone_pass_is_retryable(spark, sf_smoke, tmp_path):
+    """code-review r20: a standalone maintenance pass that raises
+    mid-flight must idle its fence so a retry is not refused for the
+    holder process's lifetime (or a full TTL in lease mode)."""
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        compact_dedup_store,
+    )
+    from kafka_spark_streaming_spark.operators.streaming_queries import (
+        _incremental_dedup_batch,
+    )
+    from kafka_spark_streaming_spark.tables import table
+
+    store = str(tmp_path / "store")
+    docs = table(spark, sf_smoke, "documents")
+    fence = WriterFence.acquire(store + ".epoch", purpose="drain")
+    for b in range(2):
+        _incremental_dedup_batch(
+            docs.filter(F.col("doc_id") % 2 == b), store, fence=fence
+        )
+    fence.idle()
+
+    # inject a failure mid-pass: make the tmp path unusable by
+    # pre-creating it as a FILE (the pass rmtree/overwrites a dir)
+    tmp = store + ".compact.tmp"
+    with open(tmp, "w") as fh:
+        fh.write("not a dir")
+    with pytest.raises(Exception):
+        compact_dedup_store(spark, store)
+    os.remove(tmp)
+    assert live_writer(store + ".epoch") is None, (
+        "a failed standalone pass must not leave a live token"
+    )
+    stats = compact_dedup_store(spark, store)  # retry succeeds now
+    assert stats["rewrote"]

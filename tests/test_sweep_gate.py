@@ -287,7 +287,7 @@ def test_bench_gate_normalizes_like_the_judge_asked():
     1.5x vs previous round): a loaded window on unchanged code prints
     regressions: [] while an injected real 1.5x+ single-query
     regression still flags."""
-    from bench import host_factor, normalized, regressions
+    from bench import host_factor, regressions
 
     prev = {
         "q1_pricing_summary": 1.0,
@@ -299,15 +299,16 @@ def test_bench_gate_normalizes_like_the_judge_asked():
     loaded = {k: v * 1.8 for k, v in prev.items()}
     hf = host_factor(loaded, prev)
     assert abs(hf - 1.8) < 1e-9
-    assert regressions(normalized(loaded, hf), prev) == []
+    assert regressions(loaded, prev, host=hf) == []
     assert regressions(loaded, prev) != []  # raw view keeps the truth
     # quiet window, injected 1.6x single-query regression
     quiet = dict(prev, w_top3_parts_per_brand=1.3 * 1.6)
     hf = host_factor(quiet, prev)
     assert hf == 1.0
-    assert [r["query"] for r in regressions(normalized(quiet, hf), prev)] == [
-        "w_top3_parts_per_brand"
-    ]
+    flags = regressions(quiet, prev, host=hf)
+    assert [r["query"] for r in flags] == ["w_top3_parts_per_brand"]
+    # flags record RAW seconds (the sweep-side convention, r20)
+    assert flags[0]["sec"] == quiet["w_top3_parts_per_brand"]
 
 
 def test_sweep_host_factor_without_canaries_is_raw():

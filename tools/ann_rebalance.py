@@ -43,8 +43,12 @@ def main(argv: list[str]) -> int:
     for path in paths:
         doc: dict = {"store": path}
         try:
-            doc["stats"] = ann_store_stats(spark, path)
-            if not stats_only:
+            if stats_only:
+                doc["stats"] = ann_store_stats(spark, path)
+            else:
+                # the rebalance result carries skew/occupancy before
+                # and after — a separate stats call here would be a
+                # redundant third full-store scan (code-review r20)
                 doc["rebalance"] = rebalance_ann_store(
                     spark, path, force=force
                 )

@@ -267,12 +267,20 @@ def main() -> int:
     # BEFORE the confirm pass (the confirm's min can only tighten
     # canary timings, never represent the window that produced the
     # suspect numbers) and reused for the final flags so both gates
-    # judge the same window.
+    # judge the same window.  The confirm pass re-times the UNION of
+    # normalized and RAW flags (code-review r20): a raw breach the
+    # normalization would clear still deserves its settled isolated
+    # re-time — the min lands in the artifact and in raw_flagged, so
+    # a real drain regression riding host drift cannot hide behind
+    # the canary factor with only a one-sample number on record.
     host = sweep_host_factor(timings, baseline)
+    suspects = {
+        f["query"]: f
+        for f in gate_flags(timings, baseline, errors=errors)
+        + gate_flags(timings, baseline, errors=errors, host=host)
+    }
     confirm_errors = confirm_pass(
-        gate_flags(timings, baseline, errors=errors, host=host),
-        timings,
-        retime,
+        list(suspects.values()), timings, retime
     )
     wall = round(time.perf_counter() - t_sweep, 1)
 
