@@ -1477,7 +1477,14 @@ def s_incremental_ann_ivf(
     store is the dedup/upsert stores' third sibling (fenced
     single-writer, append-only, partition-pruned probes,
     duplicate-tolerant reads so a foreachBatch replay's bit-identical
-    re-append is collapsed by the read-side dropDuplicates).
+    re-append is collapsed by the read-side dropDuplicates).  The
+    frozen quantizer's drift exposure (a shifting stream concentrating
+    appends into few cells) has a maintenance answer since r20:
+    store_maintenance.ann_store_stats is the occupancy watch and
+    rebalance_ann_store the offline re-train/re-partition response
+    (tools/ann_rebalance.py), crash-safe like compaction; this
+    registered drain keeps the frozen quantizer so construction stays
+    batch-replayable against the oracle.
 
     Batch ≡ stream: assignment depends only on (frozen centroids,
     row), so the DuckDB oracle replays the construction with the
