@@ -272,6 +272,24 @@ def drain_fence_lease_ttl(
     return max(DRAIN_LEASE_FLOOR_S, DRAIN_LEASE_FACTOR * trigger_interval_s)
 
 
+def _pin_fallback(lease: float, source: str) -> float:
+    """The one place the pin-TTL fallback policy lives (code-review
+    r20, second pass — it had drifted into two near-verbatim copies):
+    PIN_TTL_FALLBACK_FACTOR x the writer's lease, with the sizing
+    warning naming where the lease came from."""
+    import warnings
+
+    fallback = lease * PIN_TTL_FALLBACK_FACTOR
+    warnings.warn(
+        f"{source} but {STORE_PIN_TTL_KEY} is not set: reader pins "
+        f"will auto-expire after {PIN_TTL_FALLBACK_FACTOR:g}x that "
+        f"lease ({fallback}s). Set {STORE_PIN_TTL_KEY} to the "
+        "intended vacuum horizon (longest allowed read).",
+        stacklevel=3,
+    )
+    return fallback
+
+
 def store_pin_ttl(spark: SparkSession) -> float | None:
     """Auto-expiry TTL for reader pins, or None for pid-liveness (the
     default).  Separate knob from fence_lease_ttl by design (see the
@@ -301,18 +319,7 @@ def store_pin_ttl(spark: SparkSession) -> float | None:
     lease = fence_lease_ttl(spark)
     if lease is None:
         return None
-    import warnings
-
-    fallback = lease * PIN_TTL_FALLBACK_FACTOR
-    warnings.warn(
-        f"{FENCE_LEASE_TTL_KEY} is set but {STORE_PIN_TTL_KEY} is "
-        f"not: reader pins will auto-expire after "
-        f"{PIN_TTL_FALLBACK_FACTOR:g}x the fence TTL ({fallback}s). "
-        f"Set {STORE_PIN_TTL_KEY} to the intended vacuum horizon "
-        "(longest allowed read).",
-        stacklevel=2,
-    )
-    return fallback
+    return _pin_fallback(lease, f"{FENCE_LEASE_TTL_KEY} is set")
 
 
 def pin_ttl_for_writer(
@@ -334,18 +341,10 @@ def pin_ttl_for_writer(
     ttl = store_pin_ttl(spark)
     if ttl is not None or writer_lease_ttl is None:
         return ttl
-    import warnings
-
-    fallback = writer_lease_ttl * PIN_TTL_FALLBACK_FACTOR
-    warnings.warn(
-        f"this store's writer runs a {writer_lease_ttl}s fence lease "
-        f"but {STORE_PIN_TTL_KEY} is not set: reader pins will "
-        f"auto-expire after {PIN_TTL_FALLBACK_FACTOR:g}x the lease "
-        f"({fallback}s). Set {STORE_PIN_TTL_KEY} to the intended "
-        "vacuum horizon (longest allowed read).",
-        stacklevel=2,
+    return _pin_fallback(
+        writer_lease_ttl,
+        f"this store's writer runs a {writer_lease_ttl}s fence lease",
     )
-    return fallback
 
 
 def dedup_compact_every(spark: SparkSession) -> int:

@@ -179,10 +179,25 @@ def pinned_store_read(
     see pin_guarded for the residual-window argument."""
     from pyspark.errors import AnalysisException
 
-    from kafka_spark_streaming_spark.config import store_pin_ttl
-
     store_dir = os.path.realpath(store_dir)
-    ttl = store_pin_ttl(spark)
+    # the pin TTL must see the store WRITER's effective fence lease
+    # (code-review r20, second pass): a drain on the r20 lease default
+    # acquires with drain_fence_lease_ttl while the conf knobs stay
+    # unset, so the conf-keyed store_pin_ttl alone would hand out
+    # pid-based pins — wrong on multi-host.  The writer's lease is in
+    # the store's epoch token (set at acquire, never rewritten), so
+    # read it from there; no token or a pid-mode token leaves the
+    # conf-chain result.
+    from kafka_spark_streaming_spark.config import pin_ttl_for_writer
+    from kafka_spark_streaming_spark.fencing import _read_token
+
+    try:
+        tok = _read_token(store_dir + ".epoch")
+    except ValueError:
+        tok = None  # corrupt token fails the WRITER path loudly, not reads
+    ttl = pin_ttl_for_writer(
+        spark, tok.get("lease_ttl_s") if tok else None
+    )
 
     def attempt():
         files = _all_data_files(store_dir)
@@ -552,6 +567,10 @@ def _rebalance_body(
         "skew_after": stats_after["skew"],
         "occupied_before": stats_before["occupied_cells"],
         "occupied_after": stats_after["occupied_cells"],
+        # full drift maps, so a rebalance run's record keeps the
+        # histogram without a separate stats scan (code-review r20)
+        "rows_per_cell_before": stats_before["rows_per_cell"],
+        "rows_per_cell_after": stats_after["rows_per_cell"],
         "rewrote": True,
     }
 

@@ -37,30 +37,51 @@ from kafka_spark_streaming_spark.sinks.upsert import (
 )
 
 _INTERVAL_UNITS = {
+    "microsecond": 1e-6,
     "millisecond": 0.001,
     "second": 1.0,
     "minute": 60.0,
     "hour": 3600.0,
     "day": 86400.0,
+    "week": 604800.0,
 }
 
 
 def _interval_seconds(interval: str) -> float:
-    """Seconds in a Structured Streaming processingTime string
-    ('2 seconds', '15 minutes', ...).  Raises on shapes Spark itself
-    would reject, so a typo fails at start() instead of sizing a lease
-    from a silent 0."""
+    """Seconds in a Structured Streaming processingTime string,
+    accepting the grammar Spark's own CalendarInterval parser takes
+    for trigger intervals: optional leading 'interval', one or MORE
+    '<number> <unit>' pairs ('1 minute 30 seconds'), singular or
+    plural units (code-review r20, second pass — the first cut
+    rejected valid configs, a functional regression for a helper that
+    only exists to size a lease).  A shape this parser still cannot
+    read returns 0.0 (the lease falls back to the floor) with a
+    warning rather than failing a stream start Spark itself would
+    accept; Spark raises on genuinely invalid strings when the
+    trigger is built."""
     parts = interval.strip().lower().split()
-    if len(parts) == 2 and parts[1].rstrip("s") in _INTERVAL_UNITS:
-        try:
-            return float(parts[0]) * _INTERVAL_UNITS[parts[1].rstrip("s")]
-        except ValueError:
-            pass
-    raise ValueError(
-        f"unparseable trigger interval {interval!r} — expected "
-        "'<number> <unit>' with unit in "
-        f"{sorted(_INTERVAL_UNITS)} (+optional plural s)"
+    if parts and parts[0] == "interval":
+        parts = parts[1:]
+    total, ok = 0.0, bool(parts) and len(parts) % 2 == 0
+    if ok:
+        for num, unit in zip(parts[::2], parts[1::2]):
+            u = unit.rstrip("s")
+            try:
+                total += float(num) * _INTERVAL_UNITS[u]
+            except (KeyError, ValueError):
+                ok = False
+                break
+    if ok:
+        return total
+    import warnings
+
+    warnings.warn(
+        f"could not parse trigger interval {interval!r} for lease "
+        "sizing — the drain fence lease falls back to the floor "
+        f"({interval!r} is handed to Spark unchanged)",
+        stacklevel=2,
     )
+    return 0.0
 
 
 @dataclass
@@ -209,11 +230,7 @@ class StreamerPipeline:
         deterministic test mode; processingTime mirrors the reference's
         Seconds(2) cadence (Streamer.scala:57).
         """
-        if (
-            not available_now
-            and self.sink is not None
-            and self.sink._fence is None
-        ):
+        if not available_now and self.sink is not None:
             # lease-TTL sizing needs the REAL trigger cadence
             # (code-review r20: the constructor sized it for the
             # availableNow floor, so a slow processingTime drain's
@@ -226,9 +243,33 @@ class StreamerPipeline:
                 drain_fence_lease_ttl,
             )
 
-            self.sink._lease_ttl_s = drain_fence_lease_ttl(
+            required = drain_fence_lease_ttl(
                 self.spark, _interval_seconds(interval)
             )
+            if self.sink._fence is None:
+                self.sink._lease_ttl_s = required
+            else:
+                # reused pipeline: the fence token is immutable after
+                # acquire, so an already-acquired lease cannot be
+                # resized (code-review r20, second pass) — surface
+                # the gap instead of silently running with a lease
+                # shorter than the batch cadence
+                held = self.sink._fence.token.get("lease_ttl_s")
+                if (
+                    required is not None
+                    and held is not None
+                    and held < required
+                ):
+                    import warnings
+
+                    warnings.warn(
+                        f"this pipeline's fence lease ({held}s) was "
+                        "acquired before the slow trigger cadence "
+                        f"(needs {required}s) and cannot be resized; "
+                        "the lease may lapse between batches — use a "
+                        "fresh StreamerPipeline for slow-cadence runs",
+                        stacklevel=2,
+                    )
         writer = (
             messages.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)

@@ -1363,8 +1363,16 @@ def test_pipeline_sizes_lease_from_trigger_interval(spark, tmp_path):
     assert _interval_seconds("2 seconds") == 2.0
     assert _interval_seconds("15 minutes") == 900.0
     assert _interval_seconds("1 hour") == 3600.0
-    with pytest.raises(ValueError, match="unparseable"):
-        _interval_seconds("whenever")
+    # the full grammar Spark's trigger parser takes (code-review r20,
+    # second pass: the first cut REJECTED these valid configs)
+    assert _interval_seconds("1 minute 30 seconds") == 90.0
+    assert _interval_seconds("interval 2 seconds") == 2.0
+    assert _interval_seconds("1 week") == 604800.0
+    assert _interval_seconds("500 milliseconds") == 0.5
+    # a shape even that parser can't read degrades to the floor with
+    # a warning — never a start()-time failure Spark wouldn't have
+    with pytest.warns(UserWarning, match="lease sizing"):
+        assert _interval_seconds("whenever") == 0.0
 
     cfg = StreamerConfig(table_path=str(tmp_path / "cells"), bulk=True)
     pipe = StreamerPipeline(spark, cfg)
@@ -1424,3 +1432,54 @@ def test_failed_standalone_pass_is_retryable(spark, sf_smoke, tmp_path):
     )
     stats = compact_dedup_store(spark, store)  # retry succeeds now
     assert stats["rewrote"]
+
+
+def test_pinned_store_read_inherits_writer_lease(spark, tmp_path):
+    """code-review r20 (second pass): the append stores' pinned reads
+    must also see the writer's effective lease — read from the store's
+    epoch token — so a drain-default store's export pins auto-expire
+    instead of staying pid-based."""
+    import json
+
+    from kafka_spark_streaming_spark.config import (
+        PIN_TTL_FALLBACK_FACTOR,
+    )
+    from kafka_spark_streaming_spark.operators.store_maintenance import (
+        _pin_dir,
+        pinned_store_read,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("b", 1, 2)], "kind string, pk int, val int"
+    ).coalesce(1)
+    df.write.partitionBy("kind", "pk").parquet(store)
+
+    # writer ran the drain default: leased fence, conf knobs unset
+    fence = WriterFence.acquire(
+        store + ".epoch", purpose="drain", lease_ttl_s=300.0
+    )
+    fence.idle()
+    with pytest.warns(UserWarning, match="pinTtlSec"):
+        pinned = pinned_store_read(spark, store)
+    (pin,) = [
+        f for f in os.listdir(_pin_dir(store)) if f.endswith(".json")
+    ]
+    with open(os.path.join(_pin_dir(store), pin)) as fh:
+        assert json.load(fh)["lease_ttl_s"] == 300.0 * PIN_TTL_FALLBACK_FACTOR
+    assert pinned.count() == 2
+    del pinned
+    gc.collect()
+
+    # a pid-mode writer's store keeps pid pins (no token lease)
+    store2 = str(tmp_path / "store2")
+    df.write.partitionBy("kind", "pk").parquet(store2)
+    WriterFence.acquire(store2 + ".epoch", purpose="drain").idle()
+    pinned2 = pinned_store_read(spark, store2)
+    (pin2,) = [
+        f for f in os.listdir(_pin_dir(store2)) if f.endswith(".json")
+    ]
+    with open(os.path.join(_pin_dir(store2), pin2)) as fh:
+        assert "lease_ttl_s" not in json.load(fh)
+    del pinned2
+    gc.collect()

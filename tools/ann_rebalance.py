@@ -3,12 +3,15 @@
 Usage:
     python tools/ann_rebalance.py [--stats-only] [--force] /path/to/store [more...]
 
-Prints one JSON line per store: the cell-occupancy histogram
-(ann_store_stats — the drift signal), and unless --stats-only, the
-result of rebalance_ann_store (re-train the coarse quantizer on the
-store's current contents, rewrite rows into their new argmax cells;
-crash-safe append-first/sidecar-swap/delete-last — see
-kafka_spark_streaming_spark/operators/store_maintenance.py).  The
+Prints one JSON line per store.  With --stats-only: the cell-
+occupancy histogram (ann_store_stats — the drift signal), no writes.
+Otherwise: the result of rebalance_ann_store (re-train the coarse
+quantizer on the store's current contents, rewrite rows into their
+new argmax cells; crash-safe append-first/sidecar-swap/delete-last —
+see kafka_spark_streaming_spark/operators/store_maintenance.py),
+whose record carries skew/occupancy AND the per-cell histograms
+before and after, so nothing is lost by skipping the separate stats
+scan.  The
 single-writer contract is enforced exactly like compaction: the pass
 refuses a store whose writer token names a live drain, and --force
 overrides a token you know is stale.
