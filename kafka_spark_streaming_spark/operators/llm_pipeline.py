@@ -514,8 +514,9 @@ def p_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast) — comparisons against an interpolated percentile are
 # engine-safe because every data value lies strictly on one side of an
 # interpolated threshold regardless of last-ulp differences. Signals
-# are pure scan-side maps except the unigram join (vocab-sized,
-# broadcast); nothing shuffles the corpus twice.
+# are pure scan-side maps except the unigram join (vocabulary-sized —
+# hint size-guarded via vocab_broadcast, AQE decides past the guard);
+# nothing shuffles the corpus twice.
 @register(
     "pipe_quality_filter",
     """
@@ -551,15 +552,22 @@ def p_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_spark_streaming_spark.operators.text import _dup_frac_raw, _toks
+    from kafka_spark_streaming_spark.operators.text import (
+        _dup_frac_raw,
+        _toks,
+        vocab_broadcast,
+    )
 
     d = table(spark, sf_dir, "documents")
     toks = _toks()
     tok = d.select("doc_id", F.explode(toks).alias("token"))
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = uni.agg(F.sum("c").alias("total"))
+    # identical integer to SUM(c) over uni, in one scan with no
+    # explode/shuffle (see t_unigram_logprob); uni's broadcast hint is
+    # size-guarded — vocabulary tables are corpus-growth aggregates
+    tot = d.agg(F.sum(F.size(toks)).alias("total"))
     lp = (
-        tok.join(F.broadcast(uni), "token")
+        tok.join(vocab_broadcast(uni, sf_dir), "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(F.avg(F.log(F.col("c") * 1.0 / F.col("total"))).alias("avg_logprob"))
@@ -826,7 +834,10 @@ def p_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_minhash_pairs,
         shingles_of,
     )
-    from kafka_spark_streaming_spark.operators.text import _dup_frac_raw
+    from kafka_spark_streaming_spark.operators.text import (
+        _dup_frac_raw,
+        vocab_broadcast,
+    )
 
     d = table(spark, sf_dir, "documents")
     # stage 1-2: pipe_corpus_clean's survivors (length gate, exact
@@ -882,9 +893,13 @@ def p_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus (two 1-row broadcast aggs), unigram model broadcast
     tok = corpus.select("doc_id", F.explode("toks").alias("token"))
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = uni.agg(F.sum("c").alias("total"))
+    # SUM(c) over uni == SUM(n) over the surviving corpus (n is the
+    # per-doc token count carried from stage 2) — one localCheckpoint
+    # read instead of a second explode→groupBy→sum of every token;
+    # uni's broadcast hint is size-guarded (corpus-growth aggregate)
+    tot = corpus.agg(F.sum("n").alias("total"))
     lp = (
-        tok.join(F.broadcast(uni), "token")
+        tok.join(vocab_broadcast(uni, sf_dir), "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

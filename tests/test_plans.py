@@ -1373,3 +1373,40 @@ def test_incremental_ann_probe_prunes_cell_partitions(spark, sf_smoke):
     assert cell_pf, f"no cell PartitionFilters on the store scan:\n{plan}"
     assert "BroadcastNestedLoop" not in plan, "probe join must not be NL"
     assert "BroadcastHashJoin" in plan, "probe join must broadcast"
+
+
+def test_vocab_broadcast_hint_is_size_guarded(spark, sf_smoke, monkeypatch):
+    """VERDICT r20 #1: vocabulary tables (unigram counts / document
+    frequencies / bigram contexts) are corpus-growth aggregates, so
+    their broadcast hint must be conditional on source size — a forced
+    hint at the 100 TB posture hard-fails past 8 GB where AQE would
+    have picked a shuffle join. Below the guard the hint (and the
+    pre-r21 plan) is preserved; past it the join is left to AQE."""
+    from kafka_spark_streaming_spark.operators import text as text_mod
+
+    # tiny fixture: hint fires -> static plan broadcasts the vocab side
+    plan = plan_of(spark, "t_unigram_logprob", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+
+    # ... and the guard (not a planner estimate) is what carries it:
+    # the optimized logical join holds an explicit broadcast hint
+    opt = (
+        QUERIES["t_unigram_logprob"](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "strategy=broadcast" in opt
+
+    # simulate a 100 TB corpus: guard off -> the FORCED hint is gone
+    # from the vocab join; the strategy is the planner/AQE's to decide
+    # from (runtime) stats.  Only the bounded 1-row total keeps a hint.
+    monkeypatch.setattr(text_mod, "_VOCAB_HINT_SOURCE_BYTES", 0)
+    opt_big = (
+        QUERIES["t_unigram_logprob"](spark, sf_smoke)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    joins = [ln for ln in opt_big.splitlines() if "Join Inner" in ln]
+    assert joins and all("strategy=broadcast" not in ln for ln in joins)

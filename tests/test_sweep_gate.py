@@ -315,3 +315,56 @@ def test_sweep_host_factor_without_canaries_is_raw():
     from tools.sweep import sweep_host_factor
 
     assert sweep_host_factor({"x": 9.0}, _base({"x": 1.0})) == 1.0
+
+
+def test_settled_regression_under_stale_loaded_factor_still_flags():
+    """VERDICT r20 #2's exact 'done' criterion: the main loop runs on a
+    loaded window (canaries 2.5x), a REAL regression settles at 2.3x in
+    the confirm pass.  Pre-r21, the final `flagged` divided the settled
+    2.3x by the stale 2.5 factor (norm 0.92x — cleared); with the
+    canaries settled in the same confirm window and the factor
+    re-derived from the post-confirm timings (final_flags), the 2.3x
+    breach flags in `flagged`, not just raw_flagged."""
+    from tools.sweep import (
+        confirm_pass,
+        final_flags,
+        gate_flags,
+        sweep_host_factor,
+    )
+
+    best = {
+        "q1_pricing_summary": 1.0,
+        "q6_forecast_revenue": 0.3,
+        "q18_large_volume_customers": 1.2,
+        "victim": 2.0,
+    }
+    # loaded main-loop window: everything 2.5x, victim ALSO regressed
+    # (its true settled cost is 2.3x best; the window adds drift on top)
+    timings = {k: v * 2.5 for k, v in best.items()}
+    timings["victim"] = 2.0 * 2.3 * 2.5
+    host_window = sweep_host_factor(timings, _base(best))
+    assert abs(host_window - 2.5) < 1e-9
+    suspects = gate_flags(
+        timings, _base(best), gate=2.0, slack=0.75, host=host_window
+    )
+    assert [f["query"] for f in suspects] == ["victim"]
+    # the pre-r21 bug, pinned: gating post-confirm settled seconds by
+    # the stale loaded factor clears the real breach
+    settled = {"victim": 2.0 * 2.3}  # regression survives settling
+    settled.update({c: best[c] for c in best if c != "victim"})
+    confirm_targets = suspects + [
+        {"query": c} for c in settled if c != "victim"
+    ]
+    confirm_pass(confirm_targets, timings, lambda n: settled[n])
+    assert timings["victim"] == 2.0 * 2.3  # min kept
+    assert (
+        gate_flags(
+            timings, _base(best), gate=2.0, slack=0.75, host=host_window
+        )
+        == []
+    ), "precondition: the stale factor hides the settled breach"
+    # the r21 fix: factor and flags from the same post-confirm timings
+    flagged, host = final_flags(timings, _base(best))
+    assert host == 1.0
+    assert [f["query"] for f in flagged] == ["victim"]
+    assert flagged[0]["norm_ratio"] == 2.3

@@ -163,6 +163,23 @@ def merged_baseline(
     return dict(sorted(out.items()))
 
 
+def final_flags(
+    timings: dict[str, float],
+    baseline: dict[str, dict],
+    errors: dict | set | tuple = (),
+) -> tuple[list[dict], float]:
+    """Post-confirm gate: the host factor is re-derived from the SAME
+    timings dict the flags judge (VERDICT r20 #2 — the r20 sweep
+    divided post-confirm settled seconds by the PRE-confirm window's
+    factor, so a regression that settled at 2.3x under a stale loaded
+    factor of 2.5 cleared `flagged` while raw_flagged caught it).
+    Callers must have settled the canaries alongside the suspects in
+    the confirm pass, so the factor describes the window that produced
+    the gated numbers.  Pure so the policy is unit-testable."""
+    host = sweep_host_factor(timings, baseline)
+    return gate_flags(timings, baseline, errors=errors, host=host), host
+
+
 def confirm_pass(
     flags: list[dict],
     timings: dict[str, float],
@@ -263,28 +280,39 @@ def main() -> int:
         print(f"[confirm] {name}: {dt}", file=sys.stderr)
         return dt
 
-    # canary-normalized gate (VERDICT r18 #4): the factor is taken
-    # BEFORE the confirm pass (the confirm's min can only tighten
-    # canary timings, never represent the window that produced the
-    # suspect numbers) and reused for the final flags so both gates
-    # judge the same window.  The confirm pass re-times the UNION of
+    # canary-normalized gate (VERDICT r18 #4): suspects are gathered
+    # with the PRE-confirm window's factor (that window produced the
+    # suspect numbers).  The confirm pass re-times the UNION of
     # normalized and RAW flags (code-review r20): a raw breach the
     # normalization would clear still deserves its settled isolated
     # re-time — the min lands in the artifact and in raw_flagged, so
     # a real drain regression riding host drift cannot hide behind
     # the canary factor with only a one-sample number on record.
-    host = sweep_host_factor(timings, baseline)
+    # When anything needs confirming, the CANARIES are re-timed in the
+    # same settled window (VERDICT r20 #2): the final flags divide
+    # post-confirm seconds, so they must be normalized by a factor
+    # from those same post-confirm timings — dividing settled seconds
+    # by a stale loaded-window factor under-reported real regressions
+    # that settle above the gate (they only surfaced in raw_flagged).
+    import bench as _bench
+
+    host_window = sweep_host_factor(timings, baseline)
     suspects = {
         f["query"]: f
         for f in gate_flags(timings, baseline, errors=errors)
-        + gate_flags(timings, baseline, errors=errors, host=host)
+        + gate_flags(timings, baseline, errors=errors, host=host_window)
     }
-    confirm_errors = confirm_pass(
-        list(suspects.values()), timings, retime
-    )
+    confirm_targets = list(suspects.values())
+    if confirm_targets:
+        confirm_targets += [
+            {"query": c}
+            for c in _bench.CANARIES
+            if c in timings and c not in suspects and c not in errors
+        ]
+    confirm_errors = confirm_pass(confirm_targets, timings, retime)
     wall = round(time.perf_counter() - t_sweep, 1)
 
-    flagged = gate_flags(timings, baseline, errors=errors, host=host)
+    flagged, host = final_flags(timings, baseline, errors=errors)
     # exclude errored queries: merged_baseline refuses to enroll them,
     # so listing them here would claim an enrollment that never happened
     new_queries = sorted(set(timings) - set(baseline) - set(errors))
@@ -354,6 +382,7 @@ def main() -> int:
         "wall_sec": wall,
         "total_warm_sec": round(sum(timings.values()), 3),
         "host_factor": round(host, 3),
+        "host_factor_window": round(host_window, 3),
         "flagged": flagged,
         "raw_flagged": gate_flags(timings, baseline, errors=errors),
         "errors": errors,
@@ -379,7 +408,11 @@ def main() -> int:
                 "keeps the unnormalized view (VERDICT r18 #4; the "
                 "baseline merge stays RAW so a loaded window's "
                 "normalized seconds can never synthetically tighten the "
-                "floor)"
+                "floor); since r21 the confirm pass also settles the "
+                "canaries whenever it runs, and the final flags use a "
+                "factor re-derived from the post-confirm timings they "
+                "gate (host_factor; host_factor_window keeps the "
+                "pre-confirm suspect-gathering factor) — VERDICT r20 #2"
             ),
         },
     }
