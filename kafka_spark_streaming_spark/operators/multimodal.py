@@ -31,7 +31,13 @@ FEATURE_DIM = 8
 
 def media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → synthetic media table: (doc_id, payload binary,
-    meta struct<n_bytes, mime, width, height>)."""
+    meta struct<n_bytes, mime, width, height>).
+
+    Deliberately NOT spread (tables.spread_scan): at fixture scale the
+    A/B showed every consumer 1.25-1.5x SLOWER with a pre-Arrow
+    exchange — fanning 32 Python workers over 5000 tiny payloads costs
+    more than the single-worker fold saves (r21 measurement). At real
+    scale the corpus arrives multi-split and parallelizes by itself."""
     d = table(spark, sf_dir, "documents")
     payload = F.encode("text", "UTF-8")
     return d.select(

@@ -511,7 +511,16 @@ _REP_GRAM = (
     """,
 )
 def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    from kafka_spark_streaming_spark.tables import spread_scan
+
+    # the per-row HOF work below is the heaviest pure map in the text
+    # family; a single-file corpus arrives as ONE split and ran it all
+    # on one core (A/B r21: 0.77 s -> 0.52 s at sf0.1 with the spread;
+    # the only text query where the per-row work repays the narrow
+    # exchange — the family-wide A/B showed every OTHER candidate
+    # 1.2-4x slower spread, so they stay single-exchange) — conditional
+    # spread, a no-op on a well-partitioned scan
+    d = spread_scan(table(spark, sf_dir, "documents"), spark)
     toks = _toks()
     # mode-within-array without exploding: sort the tokens, then one
     # aggregate() traversal tracks the longest equal-run — O(n log n)

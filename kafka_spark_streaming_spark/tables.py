@@ -245,6 +245,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Conditional round-robin spread of an under-partitioned scan
+    (guide §2.5 input skew / §6 split sizing, the generalization of
+    sketches._spread_tokens, r21).
+
+    A single small parquet file arrives as ONE input split, so every
+    row-heavy downstream stage — higher-order array functions, explode
+    + partial aggregation, Arrow/pandas workers — runs on one core no
+    matter how many the session has.  Spreading the NARROW source rows
+    once (round-robin, before any explode multiplies them) unlocks the
+    full task width for the per-row work.  Conditional on the scan
+    actually arriving under defaultParallelism partitions: a real
+    multi-file 100 TB corpus skips the exchange entirely, so this is
+    scale-adaptive, not a local[32] constant.  Use ONLY where the
+    downstream per-row work dominates the one narrow exchange.
+    """
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # Derived-table memo: a production pipeline PERSISTS expensive derived
 # artifacts (signature profiles, distilled edge lists) next to the
 # corpus and probes them from every query; rebuilding one per query

@@ -1410,3 +1410,28 @@ def test_vocab_broadcast_hint_is_size_guarded(spark, sf_smoke, monkeypatch):
     )
     joins = [ln for ln in opt_big.splitlines() if "Join Inner" in ln]
     assert joins and all("strategy=broadcast" not in ln for ln in joins)
+
+
+def test_spread_scan_is_conditional(spark, sf_smoke):
+    """tables.spread_scan (r21, the generalized doc-spread): an
+    under-partitioned scan gets exactly one round-robin spread to
+    defaultParallelism; an already-well-partitioned frame passes
+    through untouched (the multi-file 100 TB case adds no exchange).
+    Consumer: t_repetition_signals (A/B: 0.77 s -> 0.52 s at sf0.1)."""
+    from kafka_spark_streaming_spark.tables import spread_scan, table
+
+    docs = table(spark, sf_smoke, "documents")
+    par = spark.sparkContext.defaultParallelism
+
+    well = spread_scan(docs.repartition(par), spark)
+    plan = well._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Repartition") == 1, plan  # only the test's own
+
+    narrow = spread_scan(docs.coalesce(1), spark)
+    plan = narrow._jdf.queryExecution().optimizedPlan().toString()
+    assert f"Repartition {par}, true" in plan, plan
+
+    # and the registered consumer carries the spread on this fixture
+    rep = QUERIES["t_repetition_signals"](spark, sf_smoke)
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert f"Repartition {par}, true" in plan, plan
