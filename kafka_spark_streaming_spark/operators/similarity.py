@@ -1124,11 +1124,19 @@ def _km_dists(pts: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def _km_argmin(dists: DataFrame) -> DataFrame:
-    w = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("k"))
+    # argmin as MIN(struct(d2, k)) — lexicographic struct comparison is
+    # exactly the window's (d2 ASC, k ASC) first-row semantics (d2 is
+    # _q9-quantized, never NaN), verified row-identical at sf0.1.  The
+    # aggregate replaces the r20 sort+row_number window per Lloyd pass:
+    # partial aggregation runs map-side on the (vec_id, k)-partitioned
+    # dist rows, so the argmin exchange carries ONE row per vector
+    # instead of k, and both per-pass sorts disappear (guide §2.3 —
+    # aggregate before you shuffle; at scale the argmin shuffle shrinks
+    # k-fold).
     return (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "k", "d2")
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "k")).alias("m"))
+        .select("vec_id", F.col("m.k").alias("k"), F.col("m.d2").alias("d2"))
     )
 
 

@@ -254,7 +254,13 @@ _WINNOW_SQL = f"""
 
 @register("t_winnow_fingerprints", _WINNOW_SQL)
 def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    from kafka_spark_streaming_spark.tables import spread_scan
+
+    # ~50 MD5s + windowed array mins PER ROW, all scan-side until the
+    # final distinct: the t_repetition_signals class (A/B r21:
+    # 1.31 s -> 0.83 s at sf0.1 with the conditional narrow spread;
+    # no-op on a well-partitioned corpus)
+    d = spread_scan(table(spark, sf_dir, "documents"), spark)
     k, w = WINNOW_K, WINNOW_W
     # materialize the token array BEFORE any lambda references it
     # (higher-order closure trap, PERF_NOTES r8)
