@@ -538,10 +538,21 @@ def test_incremental_dedup_is_anti_join(spark, sf_smoke):
 
 
 def test_repetition_signals_is_pure_scan(spark, sf_smoke):
-    # per-doc repetition metrics are a row-local map — the plan must be
-    # a single scan+project with no exchange of the corpus
+    # per-doc repetition metrics are a row-local map: no aggregation,
+    # join or window exchange anywhere. Since r21 the plan may carry AT
+    # MOST the one conditional narrow-row spread (tables.spread_scan —
+    # round-robin, pre-map, only when the scan arrives
+    # under-partitioned; test_spread_scan_is_conditional pins the
+    # conditions), so the assertion is "nothing but the spread", not
+    # "no exchange at all".
     plan = plan_of(spark, "t_repetition_signals", sf_smoke)
-    assert "+- Exchange" not in plan, "repetition signals must not shuffle"
+    assert plan.count("+- Exchange") <= 1, "only the conditional spread"
+    assert "RoundRobinPartitioning" in plan or "+- Exchange" not in plan, (
+        "any exchange present must be the round-robin spread, never a "
+        "hash/range shuffle of the corpus"
+    )
+    for node in ("HashAggregate", "SortMergeJoin", "Window"):
+        assert node not in plan, f"row-local map must not plan a {node}"
     assert "BatchEvalPython" not in plan, "must stay JVM-side"
 
 
