@@ -1168,7 +1168,15 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = (
         c0.join(rec, ["k", "pos"], "left")
         .select("k", "pos", F.coalesce("rc", "c").alias("c"))
-        .localCheckpoint(eager=True)  # k·D rows; pins the trained centroids
+        # k·D rows; pins the trained centroids and keeps the first
+        # Lloyd pass out of the broadcast-build path.  LAZY since r21:
+        # the checkpoint still materializes exactly once (at the final
+        # plan's broadcast build), but the separate blocking job the
+        # eager form ran before the main action disappears —
+        # interleaved 6-round A/B at sf0.1: eager 1.489 s / lazy
+        # 1.247 s / no checkpoint 1.537 s (min per arm), lazy ≤ eager
+        # in 5/6 paired rounds.
+        .localCheckpoint(eager=False)
     )
     a1 = _km_argmin(_km_dists(pts, c1))
     return (
