@@ -62,9 +62,12 @@ def _mg_candidates(pdfs: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def _spread_tokens(d: DataFrame, par: int) -> DataFrame:
     """Explode text → tokens, spreading the narrow DOCUMENT rows first
     iff the input arrives under-partitioned (plan shape pinned by
-    tests/test_plans.py::test_heavy_hitter_doc_spread_is_conditional)."""
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    tests/test_plans.py::test_heavy_hitter_doc_spread_is_conditional).
+    Delegates to tables.spread_scan (r21) so the conditional-spread
+    policy exists exactly once."""
+    from kafka_spark_streaming_spark.tables import spread_scan
+
+    d = spread_scan(d, d.sparkSession, par=par)
     return d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
 
 

@@ -245,10 +245,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+def spread_scan(
+    df: DataFrame, spark: SparkSession, par: int | None = None
+) -> DataFrame:
     """Conditional round-robin spread of an under-partitioned scan
-    (guide §2.5 input skew / §6 split sizing, the generalization of
-    sketches._spread_tokens, r21).
+    (guide §2.5 input skew / §6 split sizing; sketches._spread_tokens
+    delegates here since r21, so there is ONE copy of the policy).
 
     A single small parquet file arrives as ONE input split, so every
     row-heavy downstream stage — higher-order array functions, explode
@@ -260,8 +262,16 @@ def spread_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     multi-file 100 TB corpus skips the exchange entirely, so this is
     scale-adaptive, not a local[32] constant.  Use ONLY where the
     downstream per-row work dominates the one narrow exchange.
+
+    RESTRICTION: pass a BARE (or filtered/projected) file scan only.
+    The partition-count probe converts the plan to an RDD, and under
+    AQE that materializes any upstream shuffle/broadcast stages AT
+    CONSTRUCTION TIME — on a scan it is just a plan compile against
+    the (cached) file listing, but on a shuffle-bearing frame it would
+    silently run real jobs before any action.
     """
-    par = spark.sparkContext.defaultParallelism
+    if par is None:
+        par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

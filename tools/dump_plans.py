@@ -22,6 +22,9 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        return 2
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,17 +35,24 @@ def main() -> int:
     from kafka_spark_streaming_spark.operators import QUERIES
     from kafka_spark_streaming_spark.session import get_spark
 
+    unknown = sorted(set(names) - set(QUERIES))
+    if unknown:
+        # fail before a Spark session is booted for nothing
+        print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
+        return 2
     spark = get_spark(app_name="kss-plan-dump")
-    for n in names:
-        df = QUERIES[n](spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        path = os.path.join(out_dir, f"{n}_{suffix}.txt")
-        with open(path, "w") as f:
-            f.write(buf.getvalue())
-        print(f"wrote {path}", file=sys.stderr)
-    spark.stop()
+    try:
+        for n in names:
+            df = QUERIES[n](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            path = os.path.join(out_dir, f"{n}_{suffix}.txt")
+            with open(path, "w") as f:
+                f.write(buf.getvalue())
+            print(f"wrote {path}", file=sys.stderr)
+    finally:
+        spark.stop()
     return 0
 
 

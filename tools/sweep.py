@@ -59,6 +59,9 @@ GATE = float(os.environ.get("KSS_SWEEP_GATE", "2.0"))
 SLACK = float(os.environ.get("KSS_SWEEP_SLACK", "0.75"))
 BASELINE_PATH = os.path.join(REPO, "SWEEP_BASELINE.json")
 
+import bench  # noqa: E402  — repo root is on sys.path above; shares
+# host_factor/CANARIES with the bench gate so the two policies can't drift
+
 
 def _round_number() -> int:
     best = 0
@@ -90,8 +93,6 @@ def sweep_host_factor(
     against best-EVER seconds, so co-tenant CPU steal alone walks
     slow-window ratios toward the gate; dividing by the canary factor
     makes the gate measure the CODE."""
-    import bench
-
     return bench.host_factor(
         timings, {n: e.get("min_sec") for n, e in baseline.items()}
     )
@@ -167,6 +168,8 @@ def final_flags(
     timings: dict[str, float],
     baseline: dict[str, dict],
     errors: dict | set | tuple = (),
+    gate: float = GATE,
+    slack: float = SLACK,
 ) -> tuple[list[dict], float]:
     """Post-confirm gate: the host factor is re-derived from the SAME
     timings dict the flags judge (VERDICT r20 #2 — the r20 sweep
@@ -177,7 +180,12 @@ def final_flags(
     the confirm pass, so the factor describes the window that produced
     the gated numbers.  Pure so the policy is unit-testable."""
     host = sweep_host_factor(timings, baseline)
-    return gate_flags(timings, baseline, errors=errors, host=host), host
+    return (
+        gate_flags(
+            timings, baseline, gate=gate, slack=slack, errors=errors, host=host
+        ),
+        host,
+    )
 
 
 def confirm_pass(
@@ -294,8 +302,6 @@ def main() -> int:
     # from those same post-confirm timings — dividing settled seconds
     # by a stale loaded-window factor under-reported real regressions
     # that settle above the gate (they only surfaced in raw_flagged).
-    import bench as _bench
-
     host_window = sweep_host_factor(timings, baseline)
     suspects = {
         f["query"]: f
@@ -306,7 +312,7 @@ def main() -> int:
     if confirm_targets:
         confirm_targets += [
             {"query": c}
-            for c in _bench.CANARIES
+            for c in bench.CANARIES
             if c in timings and c not in suspects and c not in errors
         ]
     confirm_errors = confirm_pass(confirm_targets, timings, retime)
