@@ -137,10 +137,27 @@ NOTES = {
 }
 
 
+def _usable_queries(parsed: dict) -> dict[str, float]:
+    """The per-query map of a bench doc iff it holds real timings.
+
+    r21's tail-guard replaced `queries` with a slim pointer
+    (`{"_see": ..., "n": 27}`) whose truthiness made _prev_bench adopt
+    it as the baseline — every prev lookup then missed, so host_factor
+    fell back to 1.0 and BOTH regression gates ran blind (observed on
+    the first r22 bench: regressions [] against a baseline of zero
+    usable entries).  A map carrying the slim marker is no baseline;
+    non-numeric entries are dropped defensively either way."""
+    q = parsed.get("queries") or {}
+    if "_see" in q:
+        return {}
+    return {k: v for k, v in q.items() if isinstance(v, (int, float))}
+
+
 def _prev_bench() -> tuple[dict[str, float], dict[str, float]]:
     """(per-query, derived-build) timings from the latest BENCH_r{N}.json
     that actually produced numbers — a crashed round (parsed: null, like
-    r05) is skipped, so the gate compares against the last REAL bench."""
+    r05) or a slim-line round (r21) is skipped, so the gate compares
+    against the last REAL bench."""
     here = os.path.dirname(os.path.abspath(__file__))
     best_n, best_q, best_d = -1, {}, {}
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -153,7 +170,7 @@ def _prev_bench() -> tuple[dict[str, float], dict[str, float]]:
         except (OSError, json.JSONDecodeError):
             continue
         parsed = doc.get("parsed") or doc
-        q = parsed.get("queries") or {}
+        q = _usable_queries(parsed)
         if int(m.group(1)) > best_n and q:
             best_n = int(m.group(1))
             best_q = q
@@ -241,6 +258,47 @@ def regressions(
     return out
 
 
+def compact_line(doc: dict, budget: int = 1900) -> str:
+    """Serialize the bench doc to the one printed JSON line, keeping it
+    under the driver's 2000-byte stdout tail window.
+
+    r21 post-mortem (VERDICT r21 #1): the old guard dropped the
+    per-query map — the one part of the doc the driver's comparator and
+    scaling block NEED — while keeping the unbounded regression arrays,
+    which are exactly what grows on a loaded window.  Order inverted:
+    the flag arrays are capped FIRST (top-3 by raw ratio, plus an
+    honest `<name>_n` total so a capped line is self-describing), then
+    derived_build_sec collapses to a pointer, and `queries` is NEVER
+    dropped.  Full detail always lives in BENCH_FULL_LAST.json.
+    """
+    line = json.dumps(doc)
+    if len(line) <= budget:
+        return line
+    pointer = {
+        "_see": "BENCH_FULL_LAST.json",
+        "n": len(doc.get("derived_build_sec") or {}),
+    }
+    for cap in (3, 2, 1, 0):
+        slim = dict(doc)
+        for key in ("regressions", "raw_regressions"):
+            flags = doc.get(key) or []
+            if len(flags) > cap:
+                slim[key] = sorted(
+                    flags, key=lambda e: -e.get("ratio", 0)
+                )[:cap]
+                slim[key + "_n"] = len(flags)
+        line = json.dumps(slim)
+        if len(line) <= budget:
+            return line
+        slim["derived_build_sec"] = pointer
+        line = json.dumps(slim)
+        if len(line) <= budget:
+            return line
+    # cap 0 + derived collapsed is the smallest doc that still honors
+    # the contract; at that point the line is queries + scalars only.
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kafka_spark_streaming_spark.operators import QUERIES
@@ -290,7 +348,8 @@ def main() -> None:
     # machine's actual capability per plan rather than whichever pass
     # caught the noisy neighbor.
     timings: dict[str, float] = {}
-    for _pass in range(3):
+
+    def timed_pass() -> None:
         for n in names:
             q0 = time.perf_counter()
             _force(fns[n](spark, sf_dir))
@@ -316,6 +375,28 @@ def main() -> None:
                 # substring test was vacuously true for EVERY query and
                 # silently defeated the batch-only quiesce skip.
                 ran_streaming["flag"] = True
+
+    prev_q, prev_d = _prev_bench()
+    for _pass in range(3):
+        timed_pass()
+    # Dirty-window rule (VERDICT r21 #7): if the canary factor after
+    # the standard 3 passes says the whole window was polluted
+    # (co-tenant CPU steal), take up to 2 EXTRA passes rather than
+    # publish near-blind numbers.  min-of-N is monotone — extra passes
+    # can only move a number toward the machine's true capability,
+    # never away from it — so round-over-round comparability is
+    # preserved; a clean window still runs exactly the 3 passes every
+    # prior round ran.  extra_passes in the doc records when it fired.
+    extra_passes = 0
+    while host_factor(timings, prev_q) > 2.0 and extra_passes < 2:
+        extra_passes += 1
+        print(
+            f"[dirty-window] canary factor "
+            f"{host_factor(timings, prev_q):.2f} > 2.0 — extra pass "
+            f"{extra_passes}/2",
+            file=sys.stderr,
+        )
+        timed_pass()
     total = round(sum(timings.values()), 3)
 
     # One-time derived-artifact build cost at the bench SF (ADVICE r4
@@ -352,7 +433,6 @@ def main() -> None:
         if sf_dir in k
     }
 
-    prev_q, prev_d = _prev_bench()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -379,6 +459,8 @@ def main() -> None:
         "raw_regressions": regressions(timings, prev_q)
         + regressions(derived, prev_d),
     }
+    if extra_passes:
+        doc["extra_passes"] = extra_passes
     # The driver keeps only the LAST 2000 bytes of stdout and parses the
     # JSON line out of that tail — r9/r10 both shipped `parsed: null`
     # because the inline NOTES prose pushed the line past the window and
@@ -389,17 +471,7 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL_LAST.json"), "w") as f:
         json.dump({**doc, "notes": NOTES}, f, indent=1)
-    line = json.dumps(doc)
-    # Hard guard: if the line ever outgrows the tail window again, drop
-    # per-query detail before losing parseability — the full file keeps
-    # everything.
-    if len(line) > 1900:
-        slim = dict(doc)
-        slim["queries"] = {
-            "_see": "BENCH_FULL_LAST.json",
-            "n": len(timings),
-        }
-        line = json.dumps(slim)
+    line = compact_line(doc)
     # BENCH_r12 was `parsed: null` because a post-stop StateStore
     # maintenance WARN printed AFTER the JSON line, pushing it out of
     # the driver's 2000-byte tail window. Quiesce the engine BEFORE

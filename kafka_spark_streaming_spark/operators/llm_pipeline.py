@@ -567,7 +567,7 @@ def pipe_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size-guarded — vocabulary tables are corpus-growth aggregates
     tot = d.agg(F.sum(F.size(toks)).alias("total"))
     lp = (
-        tok.join(vocab_broadcast(uni, sf_dir), "token")
+        tok.join(vocab_broadcast(uni, sf_dir, source="documents"), "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(F.avg(F.log(F.col("c") * 1.0 / F.col("total"))).alias("avg_logprob"))
@@ -899,7 +899,7 @@ def p_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uni's broadcast hint is size-guarded (corpus-growth aggregate)
     tot = corpus.agg(F.sum("n").alias("total"))
     lp = (
-        tok.join(vocab_broadcast(uni, sf_dir), "token")
+        tok.join(vocab_broadcast(uni, sf_dir, source="documents"), "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

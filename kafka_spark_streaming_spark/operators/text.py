@@ -57,8 +57,18 @@ def _source_bytes(sf_dir: str, name: str = "documents") -> int:
         return _VOCAB_HINT_SOURCE_BYTES + 1
 
 
-def vocab_broadcast(df: DataFrame, sf_dir: str) -> DataFrame:
-    if _source_bytes(sf_dir) <= _VOCAB_HINT_SOURCE_BYTES:
+def vocab_broadcast(
+    df: DataFrame, sf_dir: str, source: str = "documents"
+) -> DataFrame:
+    """Size-guarded broadcast hint for corpus-growth vocabulary tables.
+
+    ``source`` names the fixture table whose bytes bound the vocabulary
+    (ADVICE r21 #2: the guard used to hardcode 'documents', so a future
+    caller guarding a vocab built from another table would silently
+    size the wrong source).  Every current caller's vocab does derive
+    from documents; a new call site must declare its own source.
+    """
+    if _source_bytes(sf_dir, source) <= _VOCAB_HINT_SOURCE_BYTES:
         return F.broadcast(df)
     return df
 
@@ -425,7 +435,7 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         # df table is vocabulary-sized (corpus-growth aggregate) — the
         # broadcast hint is size-guarded, AQE decides past the guard
-        tf.join(vocab_broadcast(dfreq, sf_dir), "term")
+        tf.join(vocab_broadcast(dfreq, sf_dir, source="documents"), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -603,7 +613,7 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan) the uni-derived aggregate re-ran
     tot = d.agg(F.sum(F.size(_toks())).alias("total"))
     return (
-        tok.join(vocab_broadcast(uni, sf_dir), "token")
+        tok.join(vocab_broadcast(uni, sf_dir, source="documents"), "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -787,7 +797,7 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate, just one power lower.
     return (
         bg.join(cnt, ["w1", "w2"])
-        .join(vocab_broadcast(ctx, sf_dir), "w1")
+        .join(vocab_broadcast(ctx, sf_dir, source="documents"), "w1")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),

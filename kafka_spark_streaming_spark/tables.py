@@ -268,13 +268,64 @@ def spread_scan(
     AQE that materializes any upstream shuffle/broadcast stages AT
     CONSTRUCTION TIME — on a scan it is just a plan compile against
     the (cached) file listing, but on a shuffle-bearing frame it would
-    silently run real jobs before any action.
+    silently run real jobs before any action.  The restriction is
+    STRUCTURAL since r22 (VERDICT r21 #6): the analyzed logical plan
+    is walked (analysis only — no job) and any shuffle/join/aggregate-
+    bearing node raises before the probe can execute anything.
     """
+    _assert_scan_only(df)
     if par is None:
         par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+# Logical nodes that mean "not a bare scan": anything that plans a
+# shuffle (Repartition*/Sort/Window/Aggregate/Deduplicate/Distinct/
+# Join), multiplies rows before the spread (Generate), or fans in
+# several children (Union).  Node NAMES are matched (first identifier
+# after the tree-art prefix), never raw substrings — expression text
+# like `sort_array(...)` or a literal 'join' in a filter must not trip
+# the guard.
+_SPREAD_FORBIDDEN_NODES = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Repartition",
+        "RepartitionByExpression",
+        "Rebalance",
+        "RebalancePartitions",
+        "Sort",
+        "Window",
+        "WindowGroupLimit",
+        "Deduplicate",
+        "Distinct",
+        "Generate",
+        "Union",
+        "Intersect",
+        "Except",
+        "GlobalLimit",
+        "Sample",
+    }
+)
+
+
+def _assert_scan_only(df: DataFrame) -> None:
+    """Reject non-scan plans before spread_scan's RDD probe (which
+    would silently RUN their upstream stages at construction time)."""
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        m = re.match(r"[\s:+\-*]*'?([A-Za-z]+)", line)
+        if m and m.group(1) in _SPREAD_FORBIDDEN_NODES:
+            raise ValueError(
+                "spread_scan requires a bare/projected file scan; got a "
+                f"plan containing {m.group(1)} — its RDD partition probe "
+                "would execute upstream stages at construction time:\n"
+                + plan
+            )
 
 
 # Derived-table memo: a production pipeline PERSISTS expensive derived

@@ -1428,7 +1428,12 @@ def test_spread_scan_is_conditional(spark, sf_smoke):
     under-partitioned scan gets exactly one round-robin spread to
     defaultParallelism; an already-well-partitioned frame passes
     through untouched (the multi-file 100 TB case adds no exchange).
-    Consumer: t_repetition_signals (A/B: 0.77 s -> 0.52 s at sf0.1)."""
+    Consumer: t_repetition_signals (A/B: 0.77 s -> 0.52 s at sf0.1).
+
+    r22 (ADVICE r21 #3): the passthrough branch is probed with par=1 on
+    the bare single-split scan — NOT a .repartition(par) frame, which
+    violated spread_scan's own bare-scan restriction and ran a real job
+    at construction time under AQE."""
     from kafka_spark_streaming_spark.tables import spread_scan, table
 
     docs = table(spark, sf_smoke, "documents")
@@ -1436,11 +1441,13 @@ def test_spread_scan_is_conditional(spark, sf_smoke):
     if par < 2:
         pytest.skip("spread is definitionally a no-op on a 1-core session")
 
-    well = spread_scan(docs.repartition(par), spark)
+    # fixture scan = 1 split; at par=1 it is NOT under-partitioned, so
+    # the passthrough branch returns the frame with no exchange added
+    well = spread_scan(docs, spark, par=1)
     plan = well._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Repartition") == 1, plan  # only the test's own
+    assert "Repartition" not in plan, plan
 
-    narrow = spread_scan(docs.coalesce(1), spark)
+    narrow = spread_scan(docs, spark)
     plan = narrow._jdf.queryExecution().optimizedPlan().toString()
     assert f"Repartition {par}, true" in plan, plan
 
@@ -1448,3 +1455,30 @@ def test_spread_scan_is_conditional(spark, sf_smoke):
     rep = QUERIES["t_repetition_signals"](spark, sf_smoke)
     plan = rep._jdf.queryExecution().optimizedPlan().toString()
     assert f"Repartition {par}, true" in plan, plan
+
+
+def test_spread_scan_rejects_non_scan_plans(spark, sf_smoke):
+    """VERDICT r21 #6: the bare-scan restriction is structural — a
+    shuffle/join/aggregate-bearing frame raises BEFORE the RDD
+    partition probe can execute its upstream stages; projected/filtered
+    scans (the documented allowed shapes) still pass."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_spark.tables import spread_scan, table
+
+    docs = table(spark, sf_smoke, "documents")
+    for bad in (
+        docs.repartition(4),
+        docs.groupBy("doc_id").count(),
+        docs.join(docs.select("doc_id"), "doc_id"),
+        docs.select(F.explode(F.split("text", " ")).alias("tok")),
+        docs.orderBy("doc_id"),
+    ):
+        with pytest.raises(ValueError, match="bare/projected file scan"):
+            spread_scan(bad, spark)
+    # node-NAME matching, not substring: expression text containing
+    # 'sort_array'/'join' must not trip the guard on a legal projection
+    ok = docs.where(F.col("lang") != "join").select(
+        "doc_id", F.sort_array(F.split("text", " ")).alias("s")
+    )
+    spread_scan(ok, spark, par=1)  # must not raise

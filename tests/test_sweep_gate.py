@@ -368,3 +368,81 @@ def test_settled_regression_under_stale_loaded_factor_still_flags():
     assert host == 1.0
     assert [f["query"] for f in flagged] == ["victim"]
     assert flagged[0]["norm_ratio"] == 2.3
+
+
+def test_bench_line_guard_never_drops_the_queries_map():
+    """VERDICT r21 #1 'done' criterion: even on a loaded window whose
+    regression arrays bloat the printed line past the tail budget, the
+    per-query map the driver's comparator reads survives intact; the
+    flag arrays are what get capped (top-3 + an honest total)."""
+    import json
+
+    from bench import compact_line
+
+    queries = {f"q{i:02d}_some_longish_query_name": 1.234 for i in range(27)}
+    derived = {f"artifact_{i}": 2.345 for i in range(8)}
+    flags = [
+        {
+            "query": f"q{i:02d}_some_longish_query_name",
+            "sec": 2.5,
+            "prev_sec": 1.0,
+            "ratio": round(2.5 - i * 0.01, 2),
+            "norm_sec": 1.55,
+            "norm_ratio": 1.55,
+            "host": 1.611,
+        }
+        for i in range(21)
+    ]
+    raw = [{k: e[k] for k in ("query", "sec", "prev_sec", "ratio")} for e in flags]
+    doc = {
+        "metric": "headline_queries_total_sec",
+        "value": 39.186,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "derived_build_sec": derived,
+        "host_factor": 1.611,
+        "regressions": flags,
+        "raw_regressions": raw,
+    }
+    line = compact_line(doc)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    # the driver's contract: full numeric per-query map, always
+    assert parsed["queries"] == queries
+    # the arrays are what get capped (worst flags kept, total honest)
+    assert 0 < len(parsed["regressions"]) <= 3
+    assert 0 < len(parsed["raw_regressions"]) <= 3
+    assert parsed["regressions_n"] == 21
+    assert parsed["raw_regressions_n"] == 21
+    assert parsed["regressions"][0]["ratio"] == 2.5
+    # a quiet-window doc (no flags) passes through verbatim
+    quiet = dict(doc, regressions=[], raw_regressions=[])
+    assert json.loads(compact_line(quiet)) == quiet
+
+
+def test_dirty_window_rerun_policy():
+    """VERDICT r21 #7: a pre-confirm canary factor above the dirty
+    threshold re-runs the timing loop while attempts remain; a clean
+    window never re-runs; the retry budget bounds the loop."""
+    from tools.sweep import should_rerun_window
+
+    assert should_rerun_window(2.5, attempt=0, retries=1, threshold=2.0)
+    assert not should_rerun_window(1.4, attempt=0, retries=1, threshold=2.0)
+    # threshold is exclusive: exactly-at-threshold publishes
+    assert not should_rerun_window(2.0, attempt=0, retries=1, threshold=2.0)
+    # budget exhausted: publish (with window_dirty recorded), don't loop
+    assert not should_rerun_window(3.0, attempt=1, retries=1, threshold=2.0)
+    assert should_rerun_window(3.0, attempt=1, retries=2, threshold=2.0)
+
+
+def test_prev_bench_rejects_slim_queries_map():
+    """The r21 slim line (`queries: {"_see": ..., "n": 27}`) must never
+    be adopted as a gate baseline — it has no usable timings, and its
+    truthiness silently blinded both regression gates on the first r22
+    bench run (host_factor fell back to 1.0 with zero canary matches)."""
+    from bench import _usable_queries
+
+    assert _usable_queries({"queries": {"_see": "BENCH_FULL_LAST.json", "n": 27}}) == {}
+    assert _usable_queries({"queries": {"q1": 1.2, "junk": "str"}}) == {"q1": 1.2}
+    assert _usable_queries({}) == {}
