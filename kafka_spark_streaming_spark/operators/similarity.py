@@ -1169,14 +1169,20 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         c0.join(rec, ["k", "pos"], "left")
         .select("k", "pos", F.coalesce("rc", "c").alias("c"))
         # k·D rows; pins the trained centroids and keeps the first
-        # Lloyd pass out of the broadcast-build path.  LAZY since r21:
-        # the checkpoint still materializes exactly once (at the final
-        # plan's broadcast build), but the separate blocking job the
-        # eager form ran before the main action disappears —
-        # interleaved 6-round A/B at sf0.1: eager 1.489 s / lazy
-        # 1.247 s / no checkpoint 1.537 s (min per arm), lazy ≤ eager
-        # in 5/6 paired rounds.
-        .localCheckpoint(eager=False)
+        # Lloyd pass out of the broadcast-build path.  EAGER again
+        # since r22 (ADVICE r21 #1): the r21 lazy flip moved the whole
+        # first Lloyd pass (scan + shuffle + argmin + recenter) INSIDE
+        # the BroadcastExchange build of _km_dists(pts, c1), which runs
+        # under spark.sql.broadcastTimeout — at the 100 TB posture the
+        # first pass can exceed the 300 s window and hard-fail.  The
+        # quiet-window interleaved A/B VERDICT r21 #2 asked for
+        # (7 rounds, q1 canary 1.06-1.15x) measured the three arms
+        # indistinguishable — eager+aggregate 1.345 s min / lazy+
+        # aggregate 1.365 / eager+window(r20) 1.346 — so the r21
+        # "regression" was window noise, the 0.24 s lazy win was too,
+        # and eager is free at fixture scale while being the only
+        # scale-safe choice.
+        .localCheckpoint(eager=True)
     )
     a1 = _km_argmin(_km_dists(pts, c1))
     return (
