@@ -36,6 +36,7 @@ import math
 
 from kafka_spark_streaming_spark.operators.similarity import _LSH_DIM, _q9
 from kafka_spark_streaming_spark.operators.registry import register
+from kafka_spark_streaming_spark.operators.text import _source_bytes
 from kafka_spark_streaming_spark.tables import session_checkpoint, table
 
 JACCARD_THRESHOLD = 0.8
@@ -1308,12 +1309,69 @@ def _emb_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ceiling for the broadcast-gather verify path: use it only while the
+# SOURCE embeddings parquet is small enough that the whole quantized
+# rep-vector matrix is a comfortable executor broadcast (same
+# metadata-stat guard shape as text._VOCAB_HINT_SOURCE_BYTES — no job).
+# Past the guard the attach-join path below remains the scale shape:
+# a corpus-growth vector table must never be collected to the driver.
+_GATHER_SOURCE_BYTES = 64 * 1024 * 1024
+
+
+def _emb_gather_arrays(spark: SparkSession, sf_dir: str):
+    """(ids, Q, SN) numpy gather arrays over the corpus' quantized
+    embeddings, collected ONCE per (session, corpus) as a
+    session_checkpoint sidecar (the IVF-centroid pattern): ids is the
+    sorted vec_id vector, Q the int64 micro-unit matrix in id order,
+    SN the float64 norm sqrts.  Only called under the
+    _GATHER_SOURCE_BYTES guard, so the collect is bounded."""
+    import numpy as np
+
+    from kafka_spark_streaming_spark.tables import session_checkpoint
+
+    def build():
+        qe = session_quant_embeddings(spark, sf_dir)
+        rows = qe.select("vec_id", "qv", "sn").collect()
+        rows.sort(key=lambda r: r.vec_id)
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        Q = np.array([r.qv for r in rows], dtype=np.int64)
+        SN = np.array([r.sn for r in rows], dtype=np.float64)
+        return qe, (ids, Q, SN)
+
+    _, sidecar = session_checkpoint(
+        spark,
+        f"quant_gather:{sf_dir}",
+        build,
+        sf_dir=sf_dir,
+        with_sidecar=True,
+    )
+    return sidecar
+
+
 def _emb_pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms hoisted to once-per-VECTOR (r9): candidates outnumber
     # vectors ~400:1 here, so each side carries its micro-unit vector
     # (qa/qb) and precomputed norm sqrt (sna/snb) from
     # _emb_quant_sides; the per-pair work is one exact int64 dot + one
     # multiply + one divide.
+    #
+    # r22 (guide §8 — decide with small rows, move heavy bytes once,
+    # here: zero times): attaching both 64-lane int64 vectors to every
+    # candidate pair shipped ~1 KB per pair through the two attach
+    # joins AND the Arrow boundary — ~830 MB for the 808 k sf0.1
+    # candidates, measured as +1.0 s (attach joins) +1.1 s (Arrow hop)
+    # of the 3.1 s probe.  While the rep-vector matrix is bounded
+    # (size guard above), it is broadcast ONCE (2000×64 int64 ≈ 1 MB)
+    # and the Arrow hop carries only the 16-byte id pair; the kernel
+    # gathers rows by binary search and computes the IDENTICAL exact
+    # int64 dot / float64 divide, so the cosines are bit-identical
+    # (pinned vs the JVM twin by test_emb_verify_kernel_bit_identical,
+    # which runs this path at fixture SFs).  Past the guard the
+    # attach-join shape below is unchanged — at the 100 TB posture a
+    # corpus-growth matrix cannot be broadcast, and candidates
+    # outnumber vectors so the per-pair attach stays the right trade.
+    if _source_bytes(sf_dir, "embeddings") <= _GATHER_SOURCE_BYTES:
+        return _emb_pair_cos_gather(spark, sf_dir)
     a, b = _emb_quant_sides(spark, sf_dir, "vec_a", "vec_b")
     # cosine kernel as Arrow-batched numpy (r10): the HOF dot is
     # interpreted per element, and candidates outnumber vectors ~400:1
@@ -1373,6 +1431,60 @@ def _emb_pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "qa", "qb", "sna", "snb")
     )
     return paired.mapInArrow(
+        cos_kernel, "vec_a bigint, vec_b bigint, cos double"
+    )
+
+
+def _emb_pair_cos_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarded fast path of _emb_pair_cos: id pairs only cross the
+    Arrow boundary; vectors are gathered from a broadcast matrix."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids, Q, SN = _emb_gather_arrays(spark, sf_dir)
+    if Q.ndim != 2 or Q.shape[1] != _LSH_DIM:
+        raise ValueError(f"embedding dim != {_LSH_DIM}")
+    bc = spark.sparkContext.broadcast((ids, Q, SN))
+
+    def cos_kernel(batches):
+        ids_, Q_, SN_ = bc.value
+        hi = len(ids_) - 1
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            va = np.asarray(batch.column("vec_a"), dtype=np.int64)
+            vb = np.asarray(batch.column("vec_b"), dtype=np.int64)
+            ia = np.minimum(np.searchsorted(ids_, va), hi)
+            ib = np.minimum(np.searchsorted(ids_, vb), hi)
+            # candidates derive from the same corpus artifact, so every
+            # id must be present — a miss means the gather table and
+            # the bucket artifact diverged; fail loudly, never gather a
+            # wrong row
+            if not (
+                np.array_equal(ids_[ia], va)
+                and np.array_equal(ids_[ib], vb)
+            ):
+                raise ValueError(
+                    "candidate vec_id missing from the gather matrix"
+                )
+            # exact int64 accumulate (same bounds argument as the
+            # attach-path kernel: |dot| <= 2^53, so the float64 cast
+            # is exact and the divide sees identical operands)
+            acc = (Q_[ia] * Q_[ib]).sum(axis=1, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_a"),
+                    batch.column("vec_b"),
+                    pa.array(
+                        acc.astype(np.float64) / (SN_[ia] * SN_[ib]),
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["vec_a", "vec_b", "cos"],
+            )
+
+    return _emb_lsh_candidates(spark, sf_dir).mapInArrow(
         cos_kernel, "vec_a bigint, vec_b bigint, cos double"
     )
 
@@ -1517,7 +1629,15 @@ def d_semantic_only_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-orthogonal 64-dim embeddings keep the bound at 0.79-1.0,
     never under tau=0.25), and the only partial-dot bound that prunes
     (k=dim) is the full dot on the JVM expression path r10 already
-    measured 6 s slower. The 2.5-2.9 s floor stands."""
+    measured 6 s slower. The 2.5-2.9 s floor stands.
+    r22: the floor DIDN'T stand — phase profile showed the verify cost
+    was never the dot but the PAYLOAD (two 64-lane int64 vectors
+    attached to every candidate pair: +1.0 s attach joins, +1.1 s
+    Arrow transport of ~830 MB at sf0.1). The size-guarded gather
+    kernel (_emb_pair_cos_gather) broadcasts the 1 MB rep matrix once
+    and ships only id pairs across the boundary: 4.25 s -> 2.30 s here,
+    3.13 s -> 1.63 s for d_embedding_near_dup_lsh, bit-identical
+    cosines, oracle-exact at all three SFs."""
     sem = _emb_lsh_verified(spark, sf_dir, 0.25).select(
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),

@@ -1482,3 +1482,41 @@ def test_spread_scan_rejects_non_scan_plans(spark, sf_smoke):
         "doc_id", F.sort_array(F.split("text", " ")).alias("s")
     )
     spread_scan(ok, spark, par=1)  # must not raise
+
+
+def test_emb_verify_gather_is_size_guarded(spark, sf_smoke, monkeypatch):
+    """r22 verify-join rework (guide §8): while the embeddings source
+    is under the gather guard, the Arrow verify consumes ID PAIRS only
+    (no attach joins below the Python node — vectors come from a
+    broadcast matrix); past the guard (simulated 100 TB corpus) the
+    r13 attach-join shape returns, and BOTH paths yield bit-identical
+    cosine rows."""
+    from kafka_spark_streaming_spark.operators import dedup as dd
+
+    # guard on (fixture scale): no Join below the Arrow node
+    opt = (
+        dd._emb_pair_cos(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "MapInArrow" in opt or "mapInArrow" in opt.lower()
+    gather_rows = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in dd._emb_pair_cos(spark, sf_smoke).collect()
+    }
+
+    # guard off: the attach-join fallback is the plan (two joins feed
+    # the Arrow node) and the cosines are bit-identical
+    monkeypatch.setattr(dd, "_GATHER_SOURCE_BYTES", 0)
+    fallback = dd._emb_pair_cos(spark, sf_smoke)
+    opt_big = fallback._jdf.queryExecution().optimizedPlan().toString()
+    # the candidates subtree carries joins on BOTH paths; what the
+    # guard controls is whether the Arrow node's input rows carry the
+    # attached vector payload (qa/qb) or just the id pair
+    assert "qa" in opt_big and "qb" in opt_big, opt_big
+    assert "qa" not in opt and "qb" not in opt, opt
+    attach_rows = {
+        (r.vec_a, r.vec_b): r.cos for r in fallback.collect()
+    }
+    assert attach_rows == gather_rows
