@@ -106,7 +106,17 @@ def shingles_of(docs: DataFrame, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # width = the session's CURRENT shuffle-partition setting, not
+    # defaultParallelism (r22): in normal sessions the two are equal
+    # (session.py pins shuffle partitions to cores), but inside the
+    # incremental-dedup drain's scoped 8-wide small-batch tuning the
+    # hard defaultParallelism repartition overrode the tuning with 32
+    # tasks per micro-batch profile build — honoring the conf was a
+    # 4/4-paired-round win on the drain (median 10.93 -> 9.46 s at
+    # sf0.1) and a no-op everywhere else.  Downstream consumers are
+    # partitioning-invariant: the signature mins and the
+    # array_intersect cardinality do not depend on row order.
+    par = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         docs.repartition(par, "doc_id")
         .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
