@@ -727,24 +727,29 @@ def simhash_of(d: DataFrame) -> DataFrame:
     rep-level artifact."""
     toks = shingles_of(d).select("doc_id", F.col("s").alias("tok"))
     h = F.xxhash64("tok")
-    # per-bit weights: +1 if bit set else -1, summed per doc
+    # per-bit SET COUNTS, branch-free (r22): the historical form summed
+    # a ±1 CASE per bit (64 when/otherwise branches per shingle row);
+    # weight = 2*set_count - n, so weight > 0 <=> 2*set_count > n and
+    # the conditional disappears from the per-row loop — SUM((h>>i)&1)
+    # is a straight-line bitop the codegen vectorizes much better.
+    # Interleaved 5-round A/B at sf0.1: median 2.76 -> 1.80 s, min
+    # 1.97 -> 1.53 s, outputs verified IDENTICAL over all 5000 docs
+    # before landing.
     agg = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nn"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}")
             for i in range(64)
-        ]
+        ],
     )
     return agg.select(
         "doc_id",
         sum(
             [
-                # bit i set iff weight > 0; shift JVM-side (1 << 63
-                # overflows a py4j long literal)
+                # bit i set iff weight > 0 iff 2*set_count > n; shift
+                # JVM-side (1 << 63 overflows a py4j long literal)
                 F.when(
-                    F.col(f"b{i}") > 0,
+                    F.col(f"b{i}") * 2 > F.col("nn"),
                     F.shiftleft(F.lit(1).cast("long"), i),
                 ).otherwise(F.lit(0).cast("long"))
                 for i in range(64)
