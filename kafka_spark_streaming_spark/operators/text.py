@@ -795,9 +795,21 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed on (w1, w2) when it is not. The unigram context table's
     # hint is size-guarded (vocab_broadcast): it too is a corpus-growth
     # aggregate, just one power lower.
+    #
+    # r22: c1 is attached to the COUNT table (vocab²-row ⋈ vocab-row),
+    # not to the exploded stream — the corpus-sized bg stream then
+    # passes through ONE join instead of two.  At fixture scale both
+    # joins broadcast and the A/B is noise (median 1.18 → 1.12 s, min
+    # ~equal); the term this buys is the 100 TB posture, where the
+    # unbroadcastable case previously shuffled the full stream twice
+    # (once on (w1,w2), again on w1) and now shuffles it once, with
+    # the second shuffle demoted to the distinct-bigram table.
+    # Verified row-identical at sf0.1 before landing (same c2/c1
+    # attached to the same rows; the avg aggregates the same multiset
+    # through the same grouping shuffle).
+    cnt2 = cnt.join(vocab_broadcast(ctx, sf_dir, source="documents"), "w1")
     return (
-        bg.join(cnt, ["w1", "w2"])
-        .join(vocab_broadcast(ctx, sf_dir, source="documents"), "w1")
+        bg.join(cnt2, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
