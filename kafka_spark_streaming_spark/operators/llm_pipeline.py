@@ -132,13 +132,23 @@ def p_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: shingles(spark, sf_dir, n=8),
         sf_dir=sf_dir,
     )
-    ev = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    ev = sh.filter(F.col("doc_id") % 50 == 0).select("s")
     train = sh.filter(F.col("doc_id") % 50 != 0)
     card = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
         # eval shingles are benchmark-sized -> broadcast; the corpus
         # side is a streaming semi-probe, never shuffled on shingle.
-        train.join(F.broadcast(ev), "s")
+        # LEFT SEMI since r22: the old inner join needed a .distinct()
+        # on ev (duplicate eval shingles would multiply matches), and
+        # that distinct's exchange + second agg stage was the query's
+        # single biggest term (isolated: ev filter-only 0.16 s,
+        # +distinct 0.52 s).  A semi join keeps each train row at most
+        # once regardless of eval-side duplicates, and train rows are
+        # per-doc-distinct by shingles_of construction, so n_overlap =
+        # |{doc shingles} ∩ {eval set}| exactly as before — verified
+        # row-identical at sf0.1; interleaved 5-round A/B median
+        # 0.93 -> 0.53 s, min 0.83 -> 0.37 s.
+        train.join(F.broadcast(ev), "s", "semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
