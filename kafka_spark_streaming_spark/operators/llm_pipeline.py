@@ -883,11 +883,16 @@ def p_corpus_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # %50 docs are the held-out benchmark (excluded from the corpus),
     # eval shingles broadcast, train docs with >=50% overlap dropped
     sh = shingles_of(cleaned.select("doc_id", "text"), n=8)
-    ev = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    ev = sh.filter(F.col("doc_id") % 50 == 0).select("s")
     tr_sh = sh.filter(F.col("doc_id") % 50 != 0)
     card = tr_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     hits = (
-        tr_sh.join(F.broadcast(ev), "s")
+        # LEFT SEMI probe (r22, same rewrite as p_decontaminate_ngram):
+        # no distinct needed on the broadcast eval side — a semi join
+        # cannot multiply the per-doc-distinct train shingles, so
+        # n_overlap is unchanged while the eval subtree loses its
+        # exchange + second aggregate stage.
+        tr_sh.join(F.broadcast(ev), "s", "semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
