@@ -1334,12 +1334,21 @@ _GATHER_SOURCE_BYTES = 64 * 1024 * 1024
 
 
 def _emb_gather_arrays(spark: SparkSession, sf_dir: str):
-    """(ids, Q, SN) numpy gather arrays over the corpus' quantized
-    embeddings, collected ONCE per (session, corpus) as a
-    session_checkpoint sidecar (the IVF-centroid pattern): ids is the
-    sorted vec_id vector, Q the int64 micro-unit matrix in id order,
-    SN the float64 norm sqrts.  Only called under the
-    _GATHER_SOURCE_BYTES guard, so the collect is bounded."""
+    """(ids, Q, SN, bc) — numpy gather arrays over the corpus'
+    quantized embeddings plus their ONE Spark broadcast, collected and
+    shipped ONCE per (session, corpus) as a session_checkpoint sidecar
+    (the IVF-centroid pattern): ids is the sorted vec_id vector, Q the
+    int64 micro-unit matrix in id order (explicit (0, dim) shape on an
+    empty corpus so the caller's dim check holds), SN the float64 norm
+    sqrts, bc the broadcast of (ids, Q, SN).  The broadcast lives in
+    the sidecar (code-review r22): creating it per query call would
+    re-pickle and re-ship the matrix on every bench pass and leak the
+    prior copies until their plans are GC'd.  Only called under the
+    _GATHER_SOURCE_BYTES guard, so the collect is bounded.  The memo's
+    DataFrame slot is a 1-row placeholder, NOT the quant table — that
+    frame is already checkpointed under its own quant_embeddings key,
+    and re-checkpointing it here would hold a dead second in-memory
+    copy of the whole table (code-review r22)."""
     import numpy as np
 
     from kafka_spark_streaming_spark.tables import session_checkpoint
@@ -1349,9 +1358,13 @@ def _emb_gather_arrays(spark: SparkSession, sf_dir: str):
         rows = qe.select("vec_id", "qv", "sn").collect()
         rows.sort(key=lambda r: r.vec_id)
         ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-        Q = np.array([r.qv for r in rows], dtype=np.int64)
+        if rows:
+            Q = np.array([r.qv for r in rows], dtype=np.int64)
+        else:
+            Q = np.empty((0, _LSH_DIM), dtype=np.int64)
         SN = np.array([r.sn for r in rows], dtype=np.float64)
-        return qe, (ids, Q, SN)
+        bc = spark.sparkContext.broadcast((ids, Q, SN))
+        return spark.range(1), (ids, Q, SN, bc)
 
     _, sidecar = session_checkpoint(
         spark,
@@ -1456,10 +1469,9 @@ def _emb_pair_cos_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    ids, Q, SN = _emb_gather_arrays(spark, sf_dir)
+    ids, Q, SN, bc = _emb_gather_arrays(spark, sf_dir)
     if Q.ndim != 2 or Q.shape[1] != _LSH_DIM:
         raise ValueError(f"embedding dim != {_LSH_DIM}")
-    bc = spark.sparkContext.broadcast((ids, Q, SN))
 
     def cos_kernel(batches):
         ids_, Q_, SN_ = bc.value

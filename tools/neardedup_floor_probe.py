@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 2 else os.environ.get(
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
