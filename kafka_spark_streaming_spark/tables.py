@@ -224,6 +224,23 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.ansi.enabled", "true")
 
 
+# Plan-handle memo for table(): (applicationId, sf_dir, name,
+# fixture_fingerprint) -> the UNEXECUTED DataFrame.  This caches plan
+# construction only — schema resolution (a parquet footer read + py4j
+# round trips, measured ~125 ms per call) plus the ts-normalization
+# projection and the contract check.  It is NOT result caching: no
+# rows are materialized, every action on the handle re-scans the
+# parquet exactly as before (a DataFrame is an immutable logical
+# plan), and the fingerprint key makes a regenerated fixture — even
+# mid-session, even at the same path — a cache miss (the r5 lesson).
+# Production analogue: an application constructs its table frames
+# once / resolves schemas from a catalog; re-reading footers on every
+# query-function invocation is a harness artifact of re-invoking the
+# constructors, and at ~2-6 table() calls per registered query it was
+# 10-35% of sub-second query times (measured r22).
+_TABLE_CACHE: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it.
 
@@ -231,17 +248,39 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     shipped ts as INT64-nanos, timestamp[us]/NTZ, and plain timestamp
     across regenerations); every load is then checked against the
     executable fixture contract so silent drift fails loudly.
+    Memoized per (session, corpus, table, fingerprint) — see
+    _TABLE_CACHE above; the heartbeat still runs on every call.
     """
     ensure_engine_confs(spark)
     # heartbeat here as well as in session_checkpoint (code-review
     # r15): a session doing hours of non-artifact work still passes
     # through table() constantly, so its parquet artifacts keep fresh
-    # mtimes against peer sessions' age scrubs.
+    # mtimes against peer sessions' age scrubs.  Deliberately BEFORE
+    # the memo hit so cache hits keep heartbeating.
     _touch_own_artifacts()
+    k = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        fixture_fingerprint(sf_dir, name),
+    )
+    hit = _TABLE_CACHE.get(k)
+    if hit is not None:
+        return hit
+    # evict dead sessions' handles and superseded fingerprints of this
+    # same (sf_dir, name) — the same eviction discipline as
+    # _DERIVED_CACHE, minus the unpersist (nothing is materialized)
+    for stale in [
+        s
+        for s in _TABLE_CACHE
+        if s[0] != k[0] or (s[1], s[2]) == (sf_dir, name)
+    ]:
+        del _TABLE_CACHE[stale]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _TS_COLUMNS.get(name, []):
         df = normalize_ts(df, col)
     check_contract(name, df.dtypes)
+    _TABLE_CACHE[k] = df
     return df
 
 

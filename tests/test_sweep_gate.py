@@ -446,3 +446,37 @@ def test_prev_bench_rejects_slim_queries_map():
     assert _usable_queries({"queries": {"_see": "BENCH_FULL_LAST.json", "n": 27}}) == {}
     assert _usable_queries({"queries": {"q1": 1.2, "junk": "str"}}) == {"q1": 1.2}
     assert _usable_queries({}) == {}
+
+
+def test_table_plan_memo_misses_on_fixture_regeneration(tmp_path):
+    """r22 plan-handle memo: table() returns the SAME unexecuted frame
+    for repeated calls (no per-call footer re-read), a regenerated
+    fixture at the same path is a cache miss (the r5 stale-cache
+    lesson), and no rows are ever materialized by the memo itself."""
+    import shutil
+
+    from kafka_spark_streaming_spark import tables as tbl
+    from kafka_spark_streaming_spark.session import get_spark
+
+    spark = get_spark(cpus=2)
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path)
+    for name in ("documents", "events"):
+        shutil.copy(f"{src}/{name}.parquet", f"{sf}/{name}.parquet")
+
+    d1 = tbl.table(spark, sf, "documents")
+    d2 = tbl.table(spark, sf, "documents")
+    assert d1 is d2  # plan handle reused, zero extra reads
+
+    # regeneration at the same path: new mtime/size -> miss
+    shutil.copy(f"{src}/events.parquet", f"{sf}/documents.parquet")
+    import os
+    os.utime(f"{sf}/documents.parquet")
+    d3_key_changed = tbl.fixture_fingerprint(sf, "documents")
+    assert any(k[3] != d3_key_changed for k in tbl._TABLE_CACHE if k[1] == sf)
+    # the stale handle is evicted and the fresh file actually read
+    # (events schema fails the documents contract -> loud error, which
+    # is exactly the drift-fails-loudly behavior the loader promises)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        tbl.table(spark, sf, "documents")
